@@ -1,0 +1,793 @@
+"""The BFS crawl driver — the Ray-native replacement for the reference's
+event-loop queue (/root/reference/src/index.ts:216-927, src/queue.ts).
+
+Design (SURVEY.md §3 "Ray-native lifecycle"): the frontier is a table of
+``(url, url_hash, host, parent, depth, do_crawl, root_path, attempt,
+not_before)`` rows; each round:
+
+1. split runnable vs deferred on ``not_before`` (the round loop is the
+   clock — no timers);
+2. rewrite + skip-classify (vectorized kernel; SKIPPED rows → results);
+3. per-host politeness gate (429 deadlines + optional token-bucket
+   stagger) → more deferrals;
+4. fetch via the host-sticky actor pool (stages/fetch.py);
+5. handle Retry-After re-enqueues (max-of-deadlines per host,
+   src/index.ts:1035-1043) and error-retry backoff (:1069-1109);
+6. classify (stages/classify.py) → results rows;
+7. extract links from crawled bodies (stages/extract.py, distributed via
+   ``ray.data`` ``map_batches`` when the round is large), dedup edges,
+   consult the sharded seen-set (batched anti-join) → next frontier;
+8. validate fragments whose target page was fetched this round;
+9. checkpoint frontier + seen shards + lineage (state/checkpoint.py).
+
+After the loop: the duplicate-broken hash join (SURVEY.md §2.4 J1)
+re-reports every BROKEN URL once per distinct referring parent.
+
+Equality contract vs the reference (SURVEY.md §2.6): final URL-seen set,
+per-URL state/status, per-(url,parent) BROKEN edges, and retry counts —
+not emit order, which is nondeterministic in the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import fnmatch
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from linkinator_ray import schema, urlkit
+from linkinator_ray.options import CheckOptions, LinkState
+from linkinator_ray.sources.documents import CorpusIndex
+from linkinator_ray.stages import classify as classify_mod
+from linkinator_ray.stages.extract import ExtractLinks, extract_css_doc_links
+from linkinator_ray.stages.fetch import FetchPool
+from linkinator_ray.state import checkpoint as ckpt
+from linkinator_ray.state.clock import Clock, FakeClock
+from linkinator_ray.state.seen import SeenSet
+
+
+@dataclasses.dataclass
+class CrawlResult:
+    passed: bool
+    results: pa.Table       # schema.RESULTS
+    stats: dict
+    call_log: list
+
+
+def _frontier_rows(**cols) -> pa.Table:
+    return schema.table(schema.FRONTIER, **cols)
+
+
+class LinkChecker:
+    """One crawl job. Construct with options + the corpus table (+ mock
+    http_map); ``check()`` runs the BFS loop to frontier exhaustion."""
+
+    def __init__(self, options: CheckOptions, documents: pa.Table | None = None,
+                 http_map: list[dict] | None = None, clock: Clock | None = None,
+                 corpus_host: str = "corpus.test", use_ray: bool | None = None,
+                 transport_latency_s: float = 0.0, jitter_seed: int = 42):
+        self.opts = options
+        self.clock = clock or FakeClock()
+        self.corpus_host = corpus_host
+        self.corpus_base = f"http://{corpus_host}/"
+        self.documents = documents if documents is not None \
+            else schema.empty(schema.DOCUMENTS)
+        self.http_map = http_map or []
+        self.rng = np.random.default_rng(jitter_seed)
+        if use_ray is None:
+            use_ray = options.execution == "ray"
+        self.use_ray = use_ray
+        self.transport_latency_s = transport_latency_s
+
+        self.corpus = CorpusIndex(self.documents, host=corpus_host,
+                                  clean_urls=options.clean_urls,
+                                  markdown=options.markdown)
+        self.extractor = ExtractLinks(check_css=options.check_css,
+                                      corpus_base=self.corpus_base)
+        self._skip_patterns = options.compiled_skips()
+        self._frag_skip_patterns = options.compiled_fragment_skips()
+
+        # mutable crawl state (the Arrow/actor re-architecture of the
+        # reference's six shared caches, src/index.ts:260-265)
+        self.seen = None          # SeenSet — built in check()
+        self.edge_seen = None     # SeenSet over hash64(url + '|' + parent)
+        self.results_tables: list[pa.Table] = []
+        self.dup_edges: list[tuple[str, str]] = []  # (url, parent) dup references
+        self.pending_fragments: dict[str, set[str]] = {}
+        self.delay_map: dict[str, float] = {}       # host → retry-after deadline
+        self.counters = {
+            "retries": 0, "warn_redirect": 0, "warn_insecure": 0,
+            "warn_status": 0, "pages_crawled": 0, "urls_checked": 0,
+            "rounds": 0,
+        }
+        self.static_host = self.corpus_base  # requireHttps exemption + mapUrl
+        self.run_id = uuid.uuid4().hex[:12]
+
+    # ------------------------------------------------------------------
+    # seed handling (processOptions, src/options.ts:54-191)
+    # ------------------------------------------------------------------
+
+    def _expand_paths(self) -> list[str]:
+        paths = []
+        for path in self.opts.paths:
+            if urlkit.is_absolute_url(path):
+                paths.append(path)
+                continue
+            if any(ch in path for ch in "*?["):
+                matches = sorted(fnmatch.filter(self.corpus.doc_ids(), path))
+                if not matches:
+                    raise ValueError(f"glob provided, but no matches found: {path}")
+                paths.extend(matches)
+            else:
+                paths.append(path)
+        if not paths:
+            raise ValueError("at least one path is required")
+        # markdown auto-detect (src/options.ts:156-164)
+        if any(p.endswith((".md", ".mdx")) for p in paths) and not self.opts.markdown:
+            self.opts.markdown = True
+            self.corpus.markdown = True
+        return paths
+
+    def _seed_frontier(self) -> pa.Table:
+        paths = self._expand_paths()
+        urls, roots = [], []
+        for path in paths:
+            if urlkit.is_absolute_url(path):
+                url = urlkit.normalize_url(path, keep_fragment=False)
+            else:
+                url = urlkit.normalize_url(self.corpus_base + path.lstrip("/"),
+                                           keep_fragment=False)
+            urls.append(url)
+            roots.append(url)
+        hashes = urlkit.hash64_array(urls)
+        # seeds pre-inserted into the seen set (src/index.ts:267-288)
+        self.seen.contains_or_insert(hashes)
+        return _frontier_rows(
+            url=urls, url_hash=hashes,
+            host=[urlkit.host_of(u) for u in urls],
+            parent=[""] * len(urls), depth=[0] * len(urls),
+            do_crawl=[True] * len(urls), root_path=roots,
+            attempt=[0] * len(urls), not_before=[0.0] * len(urls),
+        )
+
+    # ------------------------------------------------------------------
+    # skip rules (src/index.ts:929-971)
+    # ------------------------------------------------------------------
+
+    def _should_skip(self, href: str) -> bool:
+        if not href.startswith(("http://", "https://")):
+            return True
+        if callable(self.opts.links_to_skip):
+            return bool(self.opts.links_to_skip(href))
+        return any(p.search(href) for p in self._skip_patterns)
+
+    def _has_skip_rules(self) -> bool:
+        return callable(self.opts.links_to_skip) or bool(self._skip_patterns)
+
+    def _should_skip_fragment(self, fragment: str, url: str) -> bool:
+        if callable(self.opts.fragments_to_skip):
+            return bool(self.opts.fragments_to_skip(fragment, url))
+        return any(p.search(fragment) for p in self._frag_skip_patterns)
+
+    # ------------------------------------------------------------------
+    # results plumbing
+    # ------------------------------------------------------------------
+
+    def _push_results(self, round_no: int, urls, statuses, states, parents,
+                      failures=None, frontier_level=None):
+        n = len(urls)
+        if n == 0:
+            return
+        table = pa.table({
+            "url": pa.array(urls, pa.string()),
+            "status": pa.array(statuses, pa.int32()),
+            "state": pa.array(states, pa.string()),
+            "parent": pa.array(parents, pa.string()),
+            "failure_details": pa.array(failures or [""] * n, pa.string()),
+            "round": pa.array([round_no] * n, pa.int32()),
+        })
+        table = table.append_column(
+            "frontier_level",
+            pa.array(frontier_level if frontier_level is not None else [False] * n,
+                     pa.bool_()))
+        self.results_tables.append(table)
+
+    # ------------------------------------------------------------------
+    # the round loop
+    # ------------------------------------------------------------------
+
+    def check(self, resume_from: str | None = None) -> CrawlResult:
+        opts = self.opts
+        self.seen = SeenSet(opts.seen_shards, opts.seen_filter, use_ray=self.use_ray)
+        self.edge_seen = SeenSet(opts.seen_shards, "exact", use_ray=False)
+
+        transport_blob = {
+            "http_map": self.http_map,
+            "corpus_docs": dict(zip(self.documents["doc_id"].to_pylist(),
+                                    self.documents["spans"].to_pylist()))
+            if self.documents.num_rows else {},
+            "corpus_host": self.corpus_host,
+            "clean_urls": opts.clean_urls,
+            "markdown": opts.markdown,
+            "latency_s": self.transport_latency_s,
+            "strict": False,
+        }
+        worker_kwargs = {
+            "redirects": opts.redirects.value,
+            "check_css": opts.check_css,
+            "check_fragments": opts.check_fragments,
+            "retry": opts.retry,
+            "skip_patterns": opts.links_to_skip if not callable(opts.links_to_skip) else None,
+            "skip_fn": opts.links_to_skip if callable(opts.links_to_skip) else None,
+            "headers": opts.headers,
+        }
+        pool = FetchPool(worker_kwargs, transport_blob, use_ray=self.use_ray,
+                         num_actors=opts.fetch_concurrency)
+
+        round_no = 0
+        if resume_from is not None:
+            frontier, round_no = self._restore(resume_from)
+        else:
+            frontier = self._seed_frontier()
+
+        while frontier.num_rows and round_no < opts.max_rounds:
+            now = self.clock.now()
+            not_before = frontier["not_before"].to_numpy(zero_copy_only=False)
+            runnable_mask = not_before <= now
+            if not runnable_mask.any():
+                self.clock.advance_to(float(not_before.min()))
+                continue
+            runnable = frontier.filter(pa.array(runnable_mask))
+            deferred = [frontier.filter(pa.array(~runnable_mask))]
+
+            runnable = self._apply_rewrites(runnable)
+            live, skipped = self._skip_stage(runnable, round_no)
+            live, gated = self._politeness_gate(live, now)
+            deferred.extend(gated)
+
+            fetched = pool.fetch(live, set(self.pending_fragments), now)
+            self.counters["urls_checked"] += fetched.num_rows
+
+            fetched, requeues = self._handle_retries(fetched, now)
+            deferred.extend(requeues)
+
+            new_frontier = self._process_fetched(fetched, round_no)
+            deferred.append(new_frontier)
+
+            frontier = pa.concat_tables([t for t in deferred if t.num_rows]) \
+                if any(t.num_rows for t in deferred) else schema.empty(schema.FRONTIER)
+            round_no += 1
+            self.counters["rounds"] = round_no
+
+            if opts.checkpoint_dir:
+                self._checkpoint(round_no, frontier)
+
+        self._duplicate_broken_join()
+        results = self._final_results()
+        broken = results.filter(pc.equal(results["state"], "BROKEN")).num_rows
+        return CrawlResult(
+            passed=broken == 0,
+            results=results,
+            stats=dict(self.counters, broken=broken,
+                       seen_urls=self.seen.size()),
+            call_log=pool.call_log(),
+        )
+
+    # ------------------------------------------------------------------
+
+    def _apply_rewrites(self, frontier: pa.Table) -> pa.Table:
+        """urlRewriteExpressions over frontier URLs (src/index.ts:311-318)."""
+        if not self.opts.url_rewrites:
+            return frontier
+        urls = frontier["url"].to_pylist()
+        changed = False
+        out = []
+        for url in urls:
+            new = url
+            for rw in self.opts.url_rewrites:
+                new = rw.pattern.sub(rw.replacement, new)
+            if new != url:
+                changed = True
+            out.append(new)
+        if not changed:
+            return frontier
+        hashes = urlkit.hash64_array(out)
+        hosts = [urlkit.host_of(u) for u in out]
+        frontier = frontier.set_column(0, "url", pa.array(out, pa.string()))
+        frontier = frontier.set_column(1, "url_hash", pa.array(hashes, pa.uint64()))
+        return frontier.set_column(2, "host", pa.array(hosts, pa.string()))
+
+    def _skip_stage(self, frontier: pa.Table, round_no: int):
+        """Frontier-level skip classification (src/index.ts:320-323,
+        :973-985): non-http(s) → SKIPPED status 0; skip rules → SKIPPED
+        status null."""
+        urls = frontier["url"].to_pylist()
+        parents = frontier["parent"].to_pylist()
+        n = len(urls)
+        is_http = np.fromiter((u.startswith(("http://", "https://")) for u in urls), bool, n)
+        if callable(self.opts.links_to_skip):
+            fn = self.opts.links_to_skip
+            rule_skip = np.fromiter((bool(fn(u)) for u in urls), bool, n)
+        elif self._skip_patterns:
+            pats = self._skip_patterns
+            rule_skip = np.fromiter(
+                (any(p.search(u) for p in pats) for u in urls), bool, n)
+        else:
+            rule_skip = np.zeros(n, dtype=bool)
+        skip_mask = ~is_http | (is_http & rule_skip)
+        if skip_mask.any():
+            idx = np.flatnonzero(skip_mask)
+            self._push_results(
+                round_no,
+                [urls[i] for i in idx],
+                [0 if not is_http[i] else None for i in idx],
+                ["SKIPPED"] * len(idx),
+                [parents[i] for i in idx],
+                frontier_level=[True] * len(idx),
+            )
+        live = frontier.filter(pa.array(~skip_mask))
+        return live, skip_mask.sum()
+
+    def _politeness_gate(self, frontier: pa.Table, now: float):
+        """Host deadline gate (delayCache, src/index.ts:326-342) plus the
+        optional per-host token-bucket stagger (north_rule politeness):
+        with ``politeness_delay`` > 0 each host runs at most one fetch per
+        delay window; excess rows carry to ``not_before`` slots."""
+        deferred = []
+        if self.delay_map:
+            hosts = frontier["host"].to_pylist()
+            deadlines = np.fromiter(
+                (self.delay_map.get(h, 0.0) for h in hosts), np.float64, len(hosts))
+            gate = deadlines > now
+            if gate.any():
+                parked = frontier.filter(pa.array(gate))
+                parked = parked.set_column(
+                    parked.schema.get_field_index("not_before"), "not_before",
+                    pa.array(deadlines[gate], pa.float64()))
+                deferred.append(parked)
+                frontier = frontier.filter(pa.array(~gate))
+        delay = self.opts.politeness_delay
+        if delay > 0 and frontier.num_rows:
+            hosts = frontier["host"].to_pylist()
+            first_seen: dict[str, int] = {}
+            slot = np.zeros(len(hosts), dtype=np.int64)
+            for i, h in enumerate(hosts):
+                slot[i] = first_seen.get(h, 0)
+                first_seen[h] = slot[i] + 1
+            later = slot > 0
+            if later.any():
+                parked = frontier.filter(pa.array(later))
+                parked = parked.set_column(
+                    parked.schema.get_field_index("not_before"), "not_before",
+                    pa.array(now + slot[later] * delay, pa.float64()))
+                deferred.append(parked)
+                frontier = frontier.filter(pa.array(~later))
+        return frontier, deferred
+
+    def _handle_retries(self, fetched: pa.Table, now: float):
+        """Retry-After re-enqueues with host-wide max-of-deadlines
+        (src/index.ts:1019-1060) and error-retry backoff (:1069-1109)."""
+        requeues = []
+        if fetched.num_rows == 0:
+            return fetched, requeues
+        ra_epoch = fetched["retry_after_epoch"].to_numpy(zero_copy_only=False)
+        ra_mask = ra_epoch > 0
+        if ra_mask.any():
+            rows = fetched.filter(pa.array(ra_mask))
+            hosts = rows["host"].to_pylist()
+            epochs = ra_epoch[ra_mask]
+            for host, epoch in zip(hosts, epochs):
+                cur = self.delay_map.get(host)
+                self.delay_map[host] = max(cur, epoch) if cur is not None else epoch
+            deadlines = np.fromiter((self.delay_map[h] for h in hosts),
+                                    np.float64, len(hosts))
+            requeue = _frontier_rows(
+                url=rows["url"].to_pylist(), url_hash=rows["url_hash"].to_pylist(),
+                host=hosts, parent=rows["parent"].to_pylist(),
+                depth=rows["depth"].to_pylist(), do_crawl=rows["do_crawl"].to_pylist(),
+                root_path=rows["root_path"].to_pylist(),
+                attempt=rows["attempt"].to_pylist(),
+                not_before=deadlines,
+            )
+            requeues.append(requeue)
+            self.counters["retries"] += len(hosts)
+            fetched = fetched.filter(pa.array(~ra_mask))
+        status = fetched["status"].to_numpy(zero_copy_only=False).astype(np.int64)
+        attempt = fetched["attempt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ra_left = fetched["retry_after_epoch"].to_numpy(zero_copy_only=False)
+        err_mask = classify_mod.should_retry_error_mask(status, attempt, ra_left, self.opts)
+        if err_mask.any():
+            rows = fetched.filter(pa.array(err_mask))
+            attempts = attempt[err_mask]
+            delays = classify_mod.backoff_delays(attempts, self.opts, self.rng)
+            requeue = _frontier_rows(
+                url=rows["url"].to_pylist(), url_hash=rows["url_hash"].to_pylist(),
+                host=rows["host"].to_pylist(), parent=rows["parent"].to_pylist(),
+                depth=rows["depth"].to_pylist(), do_crawl=rows["do_crawl"].to_pylist(),
+                root_path=rows["root_path"].to_pylist(),
+                attempt=(attempts + 1).tolist(),
+                not_before=(now + delays).tolist(),
+            )
+            requeues.append(requeue)
+            self.counters["retries"] += int(err_mask.sum())
+            fetched = fetched.filter(pa.array(~err_mask))
+        return fetched, requeues
+
+    # ------------------------------------------------------------------
+
+    def _process_fetched(self, fetched: pa.Table, round_no: int) -> pa.Table:
+        """Classify, extract, build the next frontier slice."""
+        if fetched.num_rows == 0:
+            return schema.empty(schema.FRONTIER)
+
+        # redirect-skipped rows → SKIPPED results (src/index.ts:370-373)
+        rskip = np.fromiter(
+            (s != "" for s in fetched["redirect_skipped"].to_pylist()),
+            bool, fetched.num_rows)
+        if rskip.any():
+            rows = fetched.filter(pa.array(rskip))
+            self._push_results(
+                round_no, rows["url"].to_pylist(),
+                [None] * rows.num_rows, ["SKIPPED"] * rows.num_rows,
+                rows["parent"].to_pylist(),
+                frontier_level=[True] * rows.num_rows)
+            fetched = fetched.filter(pa.array(~rskip))
+        if fetched.num_rows == 0:
+            return schema.empty(schema.FRONTIER)
+
+        verdict = classify_mod.classify_batch(fetched, self.opts, self.static_host)
+        self.counters["warn_status"] += int(verdict["warn_status"].sum())
+        self.counters["warn_redirect"] += int(verdict["warn_redirect"].sum())
+        self.counters["warn_insecure"] += int(verdict["warn_insecure"].sum())
+
+        urls = fetched["url"].to_pylist()
+        parents = fetched["parent"].to_pylist()
+        statuses = fetched["status"].to_numpy(zero_copy_only=False)
+        self._push_results(
+            round_no, urls, statuses.tolist(), verdict["state"].tolist(), parents,
+            failures=verdict["failure"].tolist(),
+            frontier_level=[True] * len(urls))
+
+        # which rows recurse? (src/index.ts:419-424, :675-715)
+        do_crawl = fetched["do_crawl"].to_numpy(zero_copy_only=False)
+        has_body = fetched["has_body"].to_numpy(zero_copy_only=False)
+        recurse_html = do_crawl & verdict["should_recurse_html"] & has_body
+        recurse_css = (do_crawl & verdict["should_recurse_css"] & has_body
+                       & self.opts.check_css)
+        recurse = recurse_html | recurse_css
+        new_rows = self._extract_and_enqueue(fetched, recurse, recurse_css,
+                                             verdict, round_no)
+
+        if self.opts.check_fragments:
+            self._validate_fragments(fetched, verdict, round_no)
+        return new_rows
+
+    def _extract_and_enqueue(self, fetched: pa.Table, recurse: np.ndarray,
+                             recurse_css: np.ndarray, verdict: dict,
+                             round_no: int) -> pa.Table:
+        opts = self.opts
+        idx = np.flatnonzero(recurse)
+        if len(idx) == 0:
+            return schema.empty(schema.FRONTIER)
+        self.counters["pages_crawled"] += len(idx)
+        urls = fetched["url"].to_pylist()
+        parents = fetched["parent"].to_pylist()
+        final_urls = fetched["final_url"].to_pylist()
+        body_docs = fetched["body_doc_id"].to_pylist()
+        roots = fetched["root_path"].to_pylist()
+        depths = fetched["depth"].to_pylist()
+
+        # extract links page by page (distributed via ray.data map_batches
+        # when the round is large — see _extract_links_many)
+        pages = []
+        for i in idx:
+            base = final_urls[i] or urls[i]
+            pages.append({
+                "page_url": urls[i], "base_url": base, "doc_id": body_docs[i],
+                "is_css": bool(recurse_css[i]), "root_path": roots[i],
+                "depth": depths[i], "page_parent": parents[i],
+            })
+        extracted = self._extract_links_many(pages)
+
+        # per-link handling (src/index.ts:717-876), batched per round
+        cand_urls: list[str] = []
+        cand_parents: list[str] = []
+        cand_crawl: list[bool] = []
+        cand_roots: list[str] = []
+        cand_depths: list[int] = []
+        for page, links in zip(pages, extracted):
+            page_url = page["page_url"]
+            root_path = page["root_path"]
+            root_host = urlkit.host_of(root_path)
+            for link in links:
+                if link["parse_error"]:
+                    # unparseable → BROKEN status 0 (src/index.ts:717-730)
+                    self._push_results(round_no, [link["raw_link"]], [0],
+                                       ["BROKEN"], [page_url])
+                    continue
+                url = link["url"]
+                url_with_fragment = link["url_with_fragment"] or url
+                # fragment-full skip rule (src/index.ts:732-752)
+                if (self._has_skip_rules()
+                        and url.startswith(("http://", "https://"))
+                        and self._should_skip(url_with_fragment)):
+                    self._push_results(round_no, [url_with_fragment], [None],
+                                       ["SKIPPED"], [page_url])
+                    continue
+                # fragment tracking (src/index.ts:754-784) — the URL is
+                # still checked even when its fragment is skipped
+                if opts.check_fragments and link["fragment"]:
+                    if self._should_skip_fragment(link["fragment"], url_with_fragment):
+                        self._push_results(round_no, [url_with_fragment], [None],
+                                           ["SKIPPED"], [page_url])
+                    else:
+                        self.pending_fragments.setdefault(url, set()).add(link["fragment"])
+                child_crawl = bool(
+                    opts.recurse and url.startswith(root_path)
+                    and urlkit.host_of(url) == root_host)
+                cand_urls.append(url)
+                cand_parents.append(page_url)
+                cand_crawl.append(child_crawl)
+                cand_roots.append(root_path)
+                cand_depths.append(page["depth"] + 1)
+
+        if not cand_urls:
+            return schema.empty(schema.FRONTIER)
+
+        # edge dedup — relationshipCache (src/index.ts:800-810)
+        edge_keys = urlkit.hash64_array(
+            [f"{u}|{p}" for u, p in zip(cand_urls, cand_parents)])
+        edge_dup = self.edge_seen.contains_or_insert(edge_keys)
+        keep = ~edge_dup
+        if not keep.any():
+            return schema.empty(schema.FRONTIER)
+        kept_idx = np.flatnonzero(keep)
+        urls_k = [cand_urls[i] for i in kept_idx]
+        parents_k = [cand_parents[i] for i in kept_idx]
+
+        # seen-set anti-join (cache, src/index.ts:812-875): fresh URLs are
+        # enqueued; already-seen ones become duplicate edges for the
+        # post-hoc broken join
+        hashes = urlkit.hash64_array(urls_k)
+        dup = self.seen.contains_or_insert(hashes)
+        for j in np.flatnonzero(dup):
+            self.dup_edges.append((urls_k[j], parents_k[j]))
+        fresh = np.flatnonzero(~dup)
+        if len(fresh) == 0:
+            return schema.empty(schema.FRONTIER)
+        return _frontier_rows(
+            url=[urls_k[j] for j in fresh],
+            url_hash=hashes[fresh],
+            host=[urlkit.host_of(urls_k[j]) for j in fresh],
+            parent=[parents_k[j] for j in fresh],
+            depth=[cand_depths[kept_idx[j]] for j in fresh],
+            do_crawl=[cand_crawl[kept_idx[j]] for j in fresh],
+            root_path=[cand_roots[kept_idx[j]] for j in fresh],
+            attempt=[0] * len(fresh),
+            not_before=[0.0] * len(fresh),
+        )
+
+    def _extract_links_many(self, pages: list[dict]) -> list[list[dict]]:
+        """Extract links for each fetched page. Local path: direct kernel
+        calls; large rounds with Ray: map_batches over a Dataset of page
+        descriptors with the corpus broadcast once (the spans never leave
+        the object store per batch)."""
+        big = len(pages) >= self.opts.ray_threshold_rows
+        if self.use_ray and big:
+            return self._extract_links_ray(pages)
+        out = []
+        for page in pages:
+            spans = self.corpus.spans_of(page["doc_id"]) if page["doc_id"] else []
+            if page["is_css"]:
+                out.append(extract_css_doc_links(
+                    page["doc_id"], page["base_url"], spans, self.extractor.resolver))
+            else:
+                links, _ = self.extractor.extract_doc(
+                    page["doc_id"], page["base_url"], spans)
+                out.append(links)
+        return out
+
+    def _extract_links_ray(self, pages: list[dict]) -> list[list[dict]]:
+        import ray
+        import ray.data as rd
+        corpus_ref = ray.put(self.corpus)
+        check_css = self.opts.check_css
+
+        class _Extract:
+            def __init__(self):
+                self.corpus = ray.get(corpus_ref)
+                self.extractor = ExtractLinks(check_css=check_css)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                rows = []
+                for rec in batch.to_pylist():
+                    spans = self.corpus.spans_of(rec["doc_id"]) if rec["doc_id"] else []
+                    if rec["is_css"]:
+                        links = extract_css_doc_links(
+                            rec["doc_id"], rec["base_url"], spans,
+                            self.extractor.resolver)
+                    else:
+                        links, _ = self.extractor.extract_doc(
+                            rec["doc_id"], rec["base_url"], spans)
+                    for link in links:
+                        link["page_index"] = rec["page_index"]
+                        rows.append(link)
+                if not rows:
+                    return pa.table({"page_index": pa.array([], pa.int64()),
+                                     "payload": pa.array([], pa.string())})
+                import json as _json
+                return pa.table({
+                    "page_index": pa.array([r.pop("page_index") for r in rows], pa.int64()),
+                    "payload": pa.array([_json.dumps(r) for r in rows], pa.string()),
+                })
+
+        recs = [dict(p, page_index=i) for i, p in enumerate(pages)]
+        ds = rd.from_items(recs).map_batches(
+            _Extract, batch_format="pyarrow",
+            batch_size=self.opts.batch_size,
+            concurrency=min(self.opts.fetch_concurrency, max(1, len(pages) // 64 + 1)))
+        import json as _json
+        out: list[list[dict]] = [[] for _ in pages]
+        buckets: dict[int, list[tuple[int, dict]]] = {}
+        for batch in ds.iter_batches(batch_format="pyarrow"):
+            page_idx = batch["page_index"].to_pylist()
+            payloads = batch["payload"].to_pylist()
+            for pi, payload in zip(page_idx, payloads):
+                link = _json.loads(payload)
+                buckets.setdefault(pi, []).append((link["order"], link))
+        for pi, pairs in buckets.items():
+            pairs.sort(key=lambda t: t[0])
+            out[pi] = [link for _, link in pairs]
+        return out
+
+    # ------------------------------------------------------------------
+
+    def _validate_fragments(self, fetched: pa.Table, verdict: dict,
+                            round_no: int) -> None:
+        """Fragment validation at target-fetch time (src/index.ts:616-673,
+        :878-920): requested fragments anti-joined against the page's
+        fragment-target ids; misses → BROKEN ``url#frag`` rows with the
+        page's status and the page's own parent."""
+        states = verdict["state"]
+        is_html = verdict["should_recurse_html"]
+        has_body = fetched["has_body"].to_numpy(zero_copy_only=False)
+        ok_pages = np.flatnonzero((states == "OK") & is_html & has_body)
+        if len(ok_pages) == 0:
+            return
+        urls = fetched["url"].to_pylist()
+        parents = fetched["parent"].to_pylist()
+        statuses = fetched["status"].to_numpy(zero_copy_only=False)
+        body_docs = fetched["body_doc_id"].to_pylist()
+        for i in ok_pages:
+            url = urls[i]
+            wanted = self.pending_fragments.pop(url, None)
+            if not wanted:
+                continue
+            spans = self.corpus.spans_of(body_docs[i]) if body_docs[i] else []
+            # soft-404 heuristic (src/index.ts:630-637)
+            texts = [s.get("text") or "" for s in spans]
+            soft404 = any("noindex" in t for t in texts) and \
+                any("nofollow" in t for t in texts)
+            if soft404:
+                continue
+            present = {s["text"] for s in spans
+                       if s["kind"] == "fragment_target" and s["text"]}
+            missing = sorted(wanted - present)
+            if missing:
+                self._push_results(
+                    round_no,
+                    [f"{url}#{frag}" for frag in missing],
+                    [int(statuses[i])] * len(missing),
+                    ["BROKEN"] * len(missing),
+                    [parents[i]] * len(missing),
+                    failures=[
+                        f'[{{"error": "Fragment identifier \'#{frag}\' not found on page"}}]'
+                        for frag in missing],
+                )
+
+    # ------------------------------------------------------------------
+
+    def _duplicate_broken_join(self) -> None:
+        """Post-hoc join replacing the in-flight wait at
+        src/index.ts:840-875: every distinct (url, parent) duplicate edge
+        whose URL's frontier-level result is BROKEN re-reports with that
+        parent."""
+        if not self.dup_edges:
+            return
+        first: dict[str, tuple] = {}
+        for table in self.results_tables:
+            mask = table["frontier_level"].to_numpy(zero_copy_only=False)
+            if not mask.any():
+                continue
+            sub = table.filter(pa.array(mask))
+            for url, status, state, failure in zip(
+                    sub["url"].to_pylist(), sub["status"].to_pylist(),
+                    sub["state"].to_pylist(), sub["failure_details"].to_pylist()):
+                if url not in first:
+                    first[url] = (status, state, failure)
+        urls, statuses, failures, parents = [], [], [], []
+        for url, parent in self.dup_edges:
+            hit = first.get(url)
+            if hit and hit[1] == "BROKEN":
+                urls.append(url)
+                statuses.append(hit[0])
+                failures.append(hit[2])
+                parents.append(parent)
+        self._push_results(-1, urls, statuses, ["BROKEN"] * len(urls), parents,
+                           failures=failures)
+
+    def _final_results(self) -> pa.Table:
+        if not self.results_tables:
+            empty = schema.empty(schema.RESULTS)
+            return empty
+        merged = pa.concat_tables(self.results_tables)
+        return merged.drop_columns(["frontier_level"])
+
+    # ------------------------------------------------------------------
+    # checkpoint / resume
+    # ------------------------------------------------------------------
+
+    def _checkpoint(self, round_no: int, frontier: pa.Table) -> None:
+        pending = pa.table({
+            "target_url": pa.array(
+                [u for u, fs in self.pending_fragments.items() for _ in fs], pa.string()),
+            "fragment": pa.array(
+                [f for fs in self.pending_fragments.values() for f in fs], pa.string()),
+        })
+        dup = pa.table({
+            "url": pa.array([u for u, _ in self.dup_edges], pa.string()),
+            "parent": pa.array([p for _, p in self.dup_edges], pa.string()),
+        })
+        results = pa.concat_tables(self.results_tables) if self.results_tables \
+            else schema.empty(schema.RESULTS).append_column(
+                "frontier_level", pa.array([], pa.bool_()))
+        delay = pa.table({
+            "host": pa.array(list(self.delay_map), pa.string()),
+            "deadline": pa.array(list(self.delay_map.values()), pa.float64()),
+        })
+        ckpt.save_round(
+            self.opts.checkpoint_dir, self.run_id, round_no,
+            {"frontier": frontier, "pending_fragments": pending,
+             "dup_edges": dup, "results": results, "delay_map": delay},
+            self.seen.dump_tables(), dict(self.counters),
+            extra={"clock": self.clock.now()},
+        )
+
+    def _restore(self, checkpoint_dir: str):
+        last = ckpt.latest_round(checkpoint_dir)
+        if last is None:
+            raise ValueError(f"no checkpoint found under {checkpoint_dir}")
+        manifest, tables, seen_tables = ckpt.load_round(checkpoint_dir, last)
+        self.counters.update(manifest["counters"])
+        self.seen.restore_tables(seen_tables)
+        frontier = tables["frontier"]
+        pend = tables["pending_fragments"]
+        for url, frag in zip(pend["target_url"].to_pylist(), pend["fragment"].to_pylist()):
+            self.pending_fragments.setdefault(url, set()).add(frag)
+        dup = tables["dup_edges"]
+        self.dup_edges = list(zip(dup["url"].to_pylist(), dup["parent"].to_pylist()))
+        # rebuild the edge-seen set from results parents + dup edges
+        results = tables["results"]
+        self.results_tables = [results]
+        delay = tables["delay_map"]
+        self.delay_map = dict(zip(delay["host"].to_pylist(),
+                                  delay["deadline"].to_pylist()))
+        edge_keys = [f"{u}|{p}" for u, p in self.dup_edges]
+        for table in (results,):
+            edge_keys.extend(
+                f"{u}|{p}" for u, p in zip(table["url"].to_pylist(),
+                                           table["parent"].to_pylist()) if p)
+        if edge_keys:
+            self.edge_seen.contains_or_insert(urlkit.hash64_array(edge_keys))
+        if isinstance(self.clock, FakeClock):
+            self.clock.advance_to(manifest["extra"].get("clock", 0.0))
+        return frontier, manifest["round"]
+
+
+def check(options: CheckOptions, documents: pa.Table | None = None,
+          http_map: list[dict] | None = None, **kwargs) -> CrawlResult:
+    """Convenience one-shot scan (reference: src/index.ts:1116-1120)."""
+    return LinkChecker(options, documents, http_map, **kwargs).check()

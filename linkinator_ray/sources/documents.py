@@ -1,0 +1,139 @@
+"""Corpus source: the interleaved text+media documents table.
+
+The corpus plays the role of the reference's local static web server
+(/root/reference/src/server.ts:34-189): a URL on the corpus host
+resolves to a document row instead of a file on disk — mime typing by
+extension, ``index.html`` for directory paths, 301 redirect for
+extension-less directories, optional clean-URLs (``/about`` →
+``about.html``, server.ts:119-143) and directory listings
+(server.ts:172-184; listings are materialized as synthetic docs by the
+fixture generator).
+
+Storage is the Lance schema from BASELINE.json
+``(doc_id: string, spans: list<struct<kind,text,media_ref,offset>>)``;
+this sandbox has no ``lance`` package, so tables are written/read as
+Parquet with the identical Arrow schema — ``read_documents`` prefers
+Lance when importable.
+"""
+
+from __future__ import annotations
+
+import posixpath
+from urllib.parse import unquote, urlsplit
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from linkinator_ray import schema
+
+MIME_BY_EXT = {
+    ".html": "text/html", ".htm": "text/html", ".xhtml": "application/xhtml+xml",
+    ".md": "text/markdown", ".mdx": "text/markdown",
+    ".css": "text/css", ".js": "application/javascript",
+    ".json": "application/json", ".txt": "text/plain",
+    ".png": "image/png", ".jpg": "image/jpeg", ".jpeg": "image/jpeg",
+    ".gif": "image/gif", ".svg": "image/svg+xml", ".ico": "image/x-icon",
+    ".mp3": "audio/mpeg", ".mp4": "video/mp4", ".webm": "video/webm",
+    ".pdf": "application/pdf", ".xml": "application/xml",
+}
+DEFAULT_MIME = "application/octet-stream"
+
+
+def content_type_for(doc_id: str, markdown_as_html: bool = False) -> str:
+    ext = posixpath.splitext(doc_id)[1].lower()
+    mime = MIME_BY_EXT.get(ext, DEFAULT_MIME)
+    if markdown_as_html and mime == "text/markdown":
+        # the reference compiles .md/.mdx to HTML before serving
+        # (src/server.ts:147-165) when markdown mode is on
+        return "text/html"
+    return mime
+
+
+def read_documents(path: str, *, columns: list[str] | None = None):
+    """Read a documents table as a ray.data.Dataset (Lance preferred,
+    Parquet otherwise)."""
+    import ray.data as rd
+    try:
+        import lance  # noqa: F401
+        return rd.read_lance(path, columns=columns)
+    except ImportError:
+        return rd.read_parquet(path, columns=columns)
+
+
+def write_documents(table: pa.Table, path: str) -> None:
+    pq.write_table(table, path)
+
+
+class Resolution:
+    """Outcome of resolving a corpus URL path (one 'request')."""
+
+    __slots__ = ("status", "doc_id", "content_type", "location")
+
+    def __init__(self, status: int, doc_id: str = "", content_type: str = "",
+                 location: str = ""):
+        self.status = status
+        self.doc_id = doc_id
+        self.content_type = content_type
+        self.location = location
+
+
+class CorpusIndex:
+    """doc_id → row lookup + the static-server path rules.
+
+    Small corpora (fixtures, per-host shards) are held as a dict; the
+    at-scale path for a 100 TB corpus is a hash-join of the frontier
+    against the documents Dataset on doc_id (SURVEY.md §2.4 J4) — the
+    interface is the same, so the crawl driver can swap resolvers.
+    """
+
+    def __init__(self, documents: pa.Table, *, host: str = "corpus.test",
+                 clean_urls: bool = False, markdown: bool = False):
+        self.host = host
+        self.clean_urls = clean_urls
+        self.markdown = markdown
+        self._spans: dict[str, list] = {}
+        if documents is not None and documents.num_rows:
+            ids = documents["doc_id"].to_pylist()
+            spans = documents["spans"].to_pylist()
+            self._spans = dict(zip(ids, spans))
+        # directory prefixes, for the 301 dir redirect (server.ts:85-117)
+        self._dirs = set()
+        for doc_id in self._spans:
+            parts = doc_id.split("/")
+            for i in range(1, len(parts)):
+                self._dirs.add("/".join(parts[:i]))
+
+    def has(self, doc_id: str) -> bool:
+        return doc_id in self._spans
+
+    def spans_of(self, doc_id: str) -> list:
+        return self._spans.get(doc_id, [])
+
+    def doc_ids(self) -> list[str]:
+        return list(self._spans)
+
+    def resolve_url(self, url: str) -> Resolution | None:
+        """None if the URL is not on the corpus host; else a Resolution."""
+        parts = urlsplit(url)
+        if (parts.hostname or "").lower() != self.host:
+            return None
+        path = unquote(parts.path or "/")
+        return self.resolve_path(path)
+
+    def resolve_path(self, path: str) -> Resolution:
+        raw = path.lstrip("/")
+        if path.endswith("/") or raw == "":
+            raw = raw + "index.html"
+        if raw in self._spans:
+            return Resolution(200, raw, content_type_for(raw, self.markdown))
+        if self.clean_urls:
+            # /about → about.html (server.ts:119-143)
+            for suffix in (".html", ".htm"):
+                cand = raw + suffix
+                if cand in self._spans:
+                    return Resolution(200, cand, content_type_for(cand, self.markdown))
+        if raw in self._dirs:
+            # directory without trailing slash → 301 to path + '/'
+            # (server.ts:85-117)
+            return Resolution(301, location="/" + raw + "/")
+        return Resolution(404)

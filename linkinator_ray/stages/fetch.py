@@ -1,0 +1,426 @@
+"""Fetch stage: deterministic transport + host-sticky fetch actor pool.
+
+Re-expresses the reference's ``makeRequest`` + per-URL crawl state
+machine (/root/reference/src/index.ts:1185-1286 and :344-479) as a Ray
+actor pool. Each worker holds the transport (connection pool analogue),
+compiled skip rules, and per-(url, method) sequence counters; the driver
+routes each round's frontier to workers by ``hash(host) % K`` so one
+host's requests always hit the same worker — that affinity is what makes
+per-host politeness and scripted response sequences deterministic on a
+cluster (SURVEY.md §4 partitioning keys).
+
+The transport is a mock (FIXTURES.md ``http_map`` — the stand-in for
+undici's MockAgent in the reference tests) backed by the corpus resolver
+for on-corpus URLs. There is no network in this sandbox; a real
+aiohttp/urllib transport would slot in behind the same ``request``
+interface.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from email.utils import parsedate_to_datetime
+from urllib.parse import urljoin
+
+import numpy as np
+import pyarrow as pa
+
+from linkinator_ray import schema, urlkit
+from linkinator_ray.options import RedirectsMode
+from linkinator_ray.sources.documents import CorpusIndex
+
+REDIRECT_STATUSES = frozenset([301, 302, 303, 307, 308])
+SENSITIVE_HEADERS = frozenset(["authorization", "cookie", "proxy-authorization"])
+MAX_REDIRECTS = 20  # src/index.ts:1272-1275
+
+
+class TransportError(Exception):
+    pass
+
+
+class TResponse:
+    __slots__ = ("status", "headers", "content_type", "body_doc_id", "url",
+                 "redirect_skipped")
+
+    def __init__(self, status, headers=None, content_type="", body_doc_id="",
+                 url="", redirect_skipped=""):
+        self.status = status
+        self.headers = headers or {}
+        self.content_type = content_type
+        self.body_doc_id = body_doc_id  # '' = no body
+        self.url = url
+        self.redirect_skipped = redirect_skipped
+
+    @property
+    def has_body(self) -> bool:
+        return self.body_doc_id != ""
+
+
+def parse_retry_after(raw: str, now: float) -> float:
+    """seconds | HTTP-date | '30s'/'1m30s' → epoch seconds, or nan
+    (src/index.ts:993-1009)."""
+    try:
+        return now + float(raw)
+    except ValueError:
+        pass
+    try:
+        return parsedate_to_datetime(raw).timestamp()
+    except (ValueError, TypeError):
+        pass
+    import re
+    match = re.match(r"^(?:(\d+)m)?(\d+)s$", raw)
+    if match:
+        return now + int(match.group(1) or 0) * 60 + int(match.group(2))
+    return float("nan")
+
+
+class MockTransport:
+    """Deterministic single-hop HTTP: scripted http_map first, corpus
+    resolution second, 'unmocked' error otherwise. Sequence counters are
+    per (url, method) — host-sticky routing keeps them global in effect."""
+
+    def __init__(self, http_map: list[dict] | None = None,
+                 corpus: CorpusIndex | None = None,
+                 latency_s: float = 0.0, strict: bool = True):
+        self.corpus = corpus
+        self.latency_s = latency_s
+        self.strict = strict
+        self.calls: list[tuple[str, str, int]] = []  # (url, method, status)
+        self._counters: dict[tuple[str, str], int] = {}
+        self._map: dict[tuple[str, str], list[dict]] = {}
+        for entry in http_map or []:
+            # keys are stored normalized — the engine always fetches
+            # normalized fragmentless URLs
+            url = urlkit.normalize_url(entry["url"], keep_fragment=False)
+            key = (url, entry.get("method", "*"))
+            self._map.setdefault(key, []).append(dict(entry))
+        for entries in self._map.values():
+            entries.sort(key=lambda e: e.get("seq", -1))
+
+    def _match(self, url: str, method: str) -> dict | None:
+        for key in ((url, method), (url, "*")):
+            entries = self._map.get(key)
+            if not entries:
+                continue
+            seq = self._counters.get(key, 0)
+            self._counters[key] = seq + 1
+            exact = [e for e in entries if e.get("seq", -1) == seq]
+            if exact:
+                return exact[0]
+            always = [e for e in entries if e.get("seq", -1) == -1]
+            if always:
+                return always[0]
+            scripted = [e for e in entries if e.get("seq", -1) < seq]
+            if scripted:
+                return scripted[-1]  # past the script: repeat the last response
+            return entries[0]
+        return None
+
+    def request(self, url: str, method: str) -> TResponse:
+        if self.latency_s:
+            time.sleep(self.latency_s)
+        entry = self._match(url, method)
+        if entry is not None:
+            if entry.get("error"):
+                self.calls.append((url, method, 0))
+                raise TransportError(entry["error"])
+            headers = json.loads(entry["headers_json"]) if entry.get("headers_json") else {}
+            headers = {k.lower(): v for k, v in headers.items()}
+            if entry.get("retry_after"):
+                headers["retry-after"] = entry["retry_after"]
+            if entry.get("content_type"):
+                headers["content-type"] = entry["content_type"]
+            body = entry.get("body_doc_id", "") if method == "GET" else ""
+            self.calls.append((url, method, entry["status"]))
+            return TResponse(entry["status"], headers, entry.get("content_type", ""),
+                             body, url)
+        if self.corpus is not None:
+            res = self.corpus.resolve_url(url)
+            if res is not None:
+                self.calls.append((url, method, res.status))
+                if res.status == 301:
+                    return TResponse(301, {"location": res.location}, "", "", url)
+                if res.status == 200:
+                    body = res.doc_id if method == "GET" else ""
+                    return TResponse(200, {"content-type": res.content_type},
+                                     res.content_type, body, url)
+                return TResponse(res.status, {}, "", "", url)
+        self.calls.append((url, method, 0))
+        if self.strict:
+            raise TransportError(f"unmocked request: {method} {url}")
+        return TResponse(404, {}, "", "", url)
+
+
+class FetchWorker:
+    """One fetch worker: the per-URL request state machine of
+    src/index.ts:344-479 (HEAD→GET fallbacks, manual redirect loop with
+    per-hop skip rules, retry-after detection), batch in / batch out.
+
+    Instantiated directly (local mode) or as a Ray actor via
+    ``make_fetch_actors`` (distributed mode).
+    """
+
+    def __init__(self, transport: MockTransport, *,
+                 redirects: str = "allow",
+                 check_css: bool = False,
+                 check_fragments: bool = False,
+                 retry: bool = False,
+                 skip_patterns: list[str] | None = None,
+                 skip_fn=None,
+                 headers: dict[str, str] | None = None):
+        import re
+        self.transport = transport
+        self.redirects = RedirectsMode(redirects)
+        self.check_css = check_css
+        self.check_fragments = check_fragments
+        self.retry = retry
+        self.skip_patterns = [re.compile(p) for p in (skip_patterns or [])]
+        self.skip_fn = skip_fn
+        self.headers = headers or {}
+
+    # -- skip rules (src/index.ts:929-955) --------------------------------
+
+    def has_skip_rules(self) -> bool:
+        return bool(self.skip_patterns) or self.skip_fn is not None
+
+    def should_skip(self, href: str) -> bool:
+        if not href.startswith(("http://", "https://")):
+            return True
+        if self.skip_fn is not None:
+            return bool(self.skip_fn(href))
+        return any(p.search(href) for p in self.skip_patterns)
+
+    # -- makeRequest with redirect handling (src/index.ts:1185-1286) ------
+
+    def make_request(self, method: str, url: str) -> TResponse:
+        manual = self.redirects == RedirectsMode.ERROR
+        per_hop_skip = not manual and self.has_skip_rules()
+        current = url
+        headers = dict(self.headers)
+        hops = 0
+        while True:
+            resp = self.transport.request(current, method)
+            resp.url = current
+            location = resp.headers.get("location", "")
+            if manual or resp.status not in REDIRECT_STATUSES or not location:
+                return resp
+            target = urlkit.normalize_url(urljoin(current, location), keep_fragment=True)
+            if per_hop_skip and self.should_skip(target):
+                resp.redirect_skipped = target
+                resp.body_doc_id = ""
+                return resp
+            if hops >= MAX_REDIRECTS:
+                raise TransportError("redirect count exceeded")
+            if urlkit.host_of(current) != urlkit.host_of(target):
+                headers = {k: v for k, v in headers.items()
+                           if k.lower() not in SENSITIVE_HEADERS}
+            current = target
+            hops += 1
+
+    # -- the per-URL state machine ----------------------------------------
+
+    @staticmethod
+    def _is_html(resp: TResponse) -> bool:
+        ct = resp.headers.get("content-type", "")
+        return "text/html" in ct or "application/xhtml+xml" in ct
+
+    @staticmethod
+    def _is_css(resp: TResponse) -> bool:
+        return "text/css" in resp.headers.get("content-type", "")
+
+    def fetch_one(self, url: str, do_crawl: bool, now: float,
+                  has_pending_fragments: bool) -> dict:
+        failures: list[str] = []
+        response: TResponse | None = None
+        out = {
+            "status": 0, "final_url": "", "has_body": False, "body_doc_id": "",
+            "content_type": "", "has_location": False, "retry_after_epoch": 0.0,
+            "cf_mitigated": False, "redirect_skipped": "", "error_details": "",
+        }
+
+        def retry_after_of(resp: TResponse) -> float:
+            # 429 + parseable retry-after while retry enabled
+            # (src/index.ts:1019-1032)
+            if not self.retry or resp.status != 429:
+                return 0.0
+            raw = resp.headers.get("retry-after", "")
+            if not raw:
+                return 0.0
+            epoch = parse_retry_after(raw, now)
+            return 0.0 if epoch != epoch else epoch  # nan → no retry
+
+        def finish(resp: TResponse | None) -> dict:
+            if resp is not None:
+                out["status"] = resp.status
+                out["final_url"] = resp.url
+                out["has_body"] = resp.has_body
+                out["body_doc_id"] = resp.body_doc_id
+                out["content_type"] = resp.headers.get("content-type", "")
+                out["has_location"] = "location" in resp.headers
+                out["cf_mitigated"] = bool(resp.headers.get("cf-mitigated"))
+            if failures:
+                out["error_details"] = json.dumps(failures)
+            return out
+
+        try:
+            response = self.make_request("GET" if do_crawl else "HEAD", url)
+            if response.redirect_skipped:
+                out["redirect_skipped"] = response.redirect_skipped
+                return finish(response)
+            ra = retry_after_of(response)
+            if ra:
+                out["retry_after_epoch"] = ra
+                return finish(response)
+            if response.status == 405:  # server dislikes HEAD → GET
+                response = self.make_request("GET", url)
+                if response.redirect_skipped:
+                    out["redirect_skipped"] = response.redirect_skipped
+                    return finish(response)
+                ra = retry_after_of(response)
+                if ra:
+                    out["retry_after_epoch"] = ra
+                    return finish(response)
+        except TransportError as exc:
+            failures.append(str(exc))
+            response = None
+
+        try:
+            # last-gasp GET for non-crawl targets (src/index.ts:396-417)
+            if (response is None or not (200 <= response.status < 300)) and not do_crawl:
+                response = self.make_request("GET", url)
+                if response.redirect_skipped:
+                    out["redirect_skipped"] = response.redirect_skipped
+                    return finish(response)
+                ra = retry_after_of(response)
+                if ra:
+                    out["retry_after_epoch"] = ra
+                    return finish(response)
+        except TransportError as exc:
+            failures.append(str(exc))
+
+        should_recurse = False
+        if response is not None:
+            should_recurse = self._is_html(response) or (
+                self._is_css(response) and self.check_css)
+
+        # CSS body re-GET (src/index.ts:426-448)
+        if (should_recurse and response is not None and self._is_css(response)
+                and not response.has_body and do_crawl and self.check_css):
+            try:
+                response = self.make_request("GET", url)
+                if response.redirect_skipped:
+                    out["redirect_skipped"] = response.redirect_skipped
+                    return finish(response)
+            except TransportError as exc:
+                failures.append(str(exc))
+
+        # fragment body re-GET (src/index.ts:450-473)
+        if (self.check_fragments and response is not None
+                and self._is_html(response) and not response.has_body
+                and has_pending_fragments):
+            try:
+                response = self.make_request("GET", url)
+                if response.redirect_skipped:
+                    out["redirect_skipped"] = response.redirect_skipped
+                    return finish(response)
+            except TransportError as exc:
+                failures.append(str(exc))
+
+        return finish(response)
+
+    def fetch_batch(self, batch: pa.Table, pending_fragment_urls: list[str],
+                    now: float) -> pa.Table:
+        pending = set(pending_fragment_urls)
+        urls = batch["url"].to_pylist()
+        do_crawls = batch["do_crawl"].to_pylist()
+        rows = []
+        for i, url in enumerate(urls):
+            result = self.fetch_one(url, do_crawls[i], now, url in pending)
+            rows.append(result)
+        cols = {name: [r[name] for r in rows] for name in rows[0]} if rows else {}
+        carried = {name: batch[name].to_pylist() for name in
+                   ("url", "url_hash", "host", "parent", "depth", "do_crawl",
+                    "root_path", "attempt")}
+        carried.update(cols)
+        return schema.table(schema.FETCH_RESULTS, **carried) if rows \
+            else schema.empty(schema.FETCH_RESULTS)
+
+    def call_log(self) -> list[tuple[str, str, int]]:
+        return list(self.transport.calls)
+
+
+class FetchPool:
+    """Host-sticky pool facade.
+
+    local mode: one in-process worker.
+    ray mode: K FetchWorker actors; each round's frontier is split by
+    ``hash(host) % K`` and dispatched as one Arrow batch per actor (the
+    groupby('host')-shaped exchange of SURVEY.md §4, realized as explicit
+    routing because politeness and scripted sequences need key affinity).
+    """
+
+    def __init__(self, worker_kwargs: dict, transport_blob: dict,
+                 use_ray: bool = False, num_actors: int = 8):
+        self.use_ray = use_ray
+        self.num_actors = num_actors if use_ray else 1
+        if use_ray:
+            import ray
+            actor_cls = ray.remote(num_cpus=1)(_RemoteFetchWorker)
+            blob_ref = ray.put(transport_blob)
+            self._actors = [actor_cls.remote(blob_ref, worker_kwargs)
+                            for _ in range(self.num_actors)]
+        else:
+            self._worker = FetchWorker(build_transport(transport_blob), **worker_kwargs)
+
+    def fetch(self, frontier: pa.Table, pending_fragment_urls: set[str],
+              now: float) -> pa.Table:
+        if frontier.num_rows == 0:
+            return schema.empty(schema.FETCH_RESULTS)
+        pending = [u for u in pending_fragment_urls]
+        if not self.use_ray:
+            return self._worker.fetch_batch(frontier, pending, now)
+        import ray
+        host_hash = urlkit.hash64_array(frontier["host"].to_pylist())
+        assignment = (host_hash % np.uint64(self.num_actors)).astype(np.int64)
+        futures = []
+        for a in range(self.num_actors):
+            idx = np.flatnonzero(assignment == a)
+            if len(idx):
+                piece = frontier.take(pa.array(idx))
+                futures.append(self._actors[a].fetch_batch.remote(piece, pending, now))
+        tables = ray.get(futures)
+        tables = [t for t in tables if t.num_rows]
+        return pa.concat_tables(tables) if tables else schema.empty(schema.FETCH_RESULTS)
+
+    def call_log(self) -> list[tuple[str, str, int]]:
+        if self.use_ray:
+            import ray
+            logs = ray.get([a.call_log.remote() for a in self._actors])
+            return [c for log in logs for c in log]
+        return self._worker.call_log()
+
+
+class _RemoteFetchWorker(FetchWorker):
+    """Ray-actor wrapper: rebuilds the transport from the broadcast blob
+    once per actor (state in __init__, work in fetch_batch)."""
+
+    def __init__(self, transport_blob: dict, worker_kwargs: dict):
+        super().__init__(build_transport(transport_blob), **worker_kwargs)
+
+
+def build_transport(blob: dict) -> MockTransport:
+    """Reconstruct a MockTransport from a plain-data blob (broadcastable
+    via ray.put — shipped to each fetch actor once, not per batch)."""
+    corpus = None
+    if blob.get("corpus_docs") is not None:
+        table = pa.Table.from_pydict(
+            {"doc_id": list(blob["corpus_docs"].keys()),
+             "spans": list(blob["corpus_docs"].values())},
+            schema=schema.DOCUMENTS)
+        corpus = CorpusIndex(table, host=blob.get("corpus_host", "corpus.test"),
+                             clean_urls=blob.get("clean_urls", False),
+                             markdown=blob.get("markdown", False))
+    return MockTransport(blob.get("http_map"), corpus,
+                         latency_s=blob.get("latency_s", 0.0),
+                         strict=blob.get("strict", True))

@@ -1,0 +1,91 @@
+"""Per-round checkpoint / resume with lineage (north_rule requirement).
+
+The reference has no crash recovery — a killed run loses everything
+(SURVEY.md §4). Here every BFS round writes an atomic checkpoint:
+frontier, seen-set shard snapshots, pending fragments, duplicate edges,
+results-so-far, counters, and a lineage manifest
+``{run_id, round, parent_round, row_counts, wall_clock}``. Writes go to
+a temp dir that is renamed into place, so a partially-written round is
+never picked up; resume loads the newest complete round and re-enters
+the loop.
+
+Layout (one dir per round — the partition unit; a multi-node run writes
+per-partition files under the same round dir):
+
+    {checkpoint_dir}/round_{k:06d}/
+        manifest.json
+        frontier.parquet  pending_fragments.parquet  dup_edges.parquet
+        results.parquet   seen_shard_{i:04d}.parquet
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write(table: pa.Table, path: str) -> None:
+    pq.write_table(table, path)
+
+
+def save_round(checkpoint_dir: str, run_id: str, round_no: int,
+               tables: dict[str, pa.Table], seen_tables: list[pa.Table],
+               counters: dict, extra: dict | None = None) -> str:
+    final_dir = os.path.join(checkpoint_dir, f"round_{round_no:06d}")
+    tmp_dir = final_dir + ".tmp"
+    if os.path.exists(tmp_dir):
+        shutil.rmtree(tmp_dir)
+    os.makedirs(tmp_dir, exist_ok=True)
+    row_counts = {}
+    for name, table in tables.items():
+        _write(table, os.path.join(tmp_dir, f"{name}.parquet"))
+        row_counts[name] = table.num_rows
+    for i, table in enumerate(seen_tables):
+        _write(table, os.path.join(tmp_dir, f"seen_shard_{i:04d}.parquet"))
+    manifest = {
+        "run_id": run_id,
+        "round": round_no,
+        "parent_round": round_no - 1,
+        "row_counts": row_counts,
+        "num_seen_shards": len(seen_tables),
+        "wall_clock": time.time(),
+        "counters": counters,
+        "extra": extra or {},
+    }
+    with open(os.path.join(tmp_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f)
+    if os.path.exists(final_dir):
+        shutil.rmtree(final_dir)
+    os.replace(tmp_dir, final_dir)
+    return final_dir
+
+
+def latest_round(checkpoint_dir: str) -> int | None:
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    rounds = []
+    for name in os.listdir(checkpoint_dir):
+        if name.startswith("round_") and not name.endswith(".tmp"):
+            manifest = os.path.join(checkpoint_dir, name, "manifest.json")
+            if os.path.exists(manifest):
+                rounds.append(int(name.split("_")[1]))
+    return max(rounds) if rounds else None
+
+
+def load_round(checkpoint_dir: str, round_no: int):
+    round_dir = os.path.join(checkpoint_dir, f"round_{round_no:06d}")
+    with open(os.path.join(round_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    tables = {}
+    for name in manifest["row_counts"]:
+        tables[name] = pq.read_table(os.path.join(round_dir, f"{name}.parquet"))
+    seen_tables = [
+        pq.read_table(os.path.join(round_dir, f"seen_shard_{i:04d}.parquet"))
+        for i in range(manifest["num_seen_shards"])
+    ]
+    return manifest, tables, seen_tables

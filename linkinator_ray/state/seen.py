@@ -1,0 +1,182 @@
+"""Sharded URL-seen set — the engine's global dedup structure.
+
+The reference keeps one in-heap ``Set<string>`` consulted before every
+enqueue (/root/reference/src/index.ts:261, :813-817). Here the set is
+sharded by ``url_hash % num_shards``; each shard is either an exact set
+(test mode, authoritative) or a cuckoo filter (scale mode, ~2 B/key at
+10^10 URLs — see state/cuckoo.py). Shards run as Ray actors in
+distributed mode so membership is consistent across fetch rounds, with
+the batched ``contains_or_insert`` RPC amortizing round-trips; the local
+mode uses the same class in-process.
+
+Checkpointing: each shard dumps to an Arrow-friendly blob per round
+(state/checkpoint.py) so a killed run resumes with the exact seen state.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from linkinator_ray.state.cuckoo import CuckooFilter
+
+
+class SeenShard:
+    """One shard. ``mode`` = 'exact' | 'cuckoo'."""
+
+    def __init__(self, shard_id: int = 0, mode: str = "exact",
+                 capacity: int = 1 << 20):
+        self.shard_id = shard_id
+        self.mode = mode
+        self._set: set[int] = set()
+        self._filter = CuckooFilter(capacity, seed=0x5EED ^ shard_id) if mode == "cuckoo" else None
+
+    def contains_or_insert(self, hashes: np.ndarray) -> np.ndarray:
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        if self._filter is not None:
+            return self._filter.contains_or_insert(hashes)
+        out = np.zeros(len(hashes), dtype=bool)
+        seen = self._set
+        for pos in range(len(hashes)):
+            key = int(hashes[pos])
+            if key in seen:
+                out[pos] = True
+            else:
+                seen.add(key)
+        return out
+
+    def contains(self, hashes: np.ndarray) -> np.ndarray:
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        if self._filter is not None:
+            return self._filter.contains(hashes)
+        return np.fromiter((int(h) in self._set for h in hashes), dtype=bool, count=len(hashes))
+
+    def size(self) -> int:
+        if self._filter is not None:
+            return self._filter.count
+        return len(self._set)
+
+    # -- checkpoint --------------------------------------------------------
+
+    def dump(self) -> dict:
+        if self._filter is not None:
+            blob = self._filter.dump()
+            blob["mode"] = "cuckoo"
+        else:
+            blob = {
+                "mode": "exact",
+                "keys": np.fromiter(self._set, dtype=np.uint64, count=len(self._set)),
+            }
+        blob["shard_id"] = self.shard_id
+        return blob
+
+    def restore(self, blob: dict) -> None:
+        if blob["mode"] == "cuckoo":
+            self.mode = "cuckoo"
+            self._filter = CuckooFilter.restore(blob, seed=0x5EED ^ self.shard_id)
+        else:
+            self.mode = "exact"
+            self._filter = None
+            self._set = set(int(k) for k in blob["keys"])
+
+
+class SeenSet:
+    """Driver-side facade over the shard pool.
+
+    In Ray mode the shards are ``ray.remote(SeenShard)`` actors and
+    ``contains_or_insert`` fans a batch out by ``hash % K`` in ONE call
+    per shard (a batched semi-join of the frontier against the seen
+    state — SURVEY.md §2.4 J3). Local mode holds plain objects.
+    """
+
+    def __init__(self, num_shards: int = 8, mode: str = "exact",
+                 use_ray: bool = False, capacity_per_shard: int = 1 << 20):
+        self.num_shards = num_shards
+        self.mode = mode
+        self.use_ray = use_ray
+        if use_ray:
+            import ray
+            actor_cls = ray.remote(num_cpus=0.25)(SeenShard)
+            self._shards = [
+                actor_cls.remote(i, mode, capacity_per_shard) for i in range(num_shards)
+            ]
+        else:
+            self._shards = [SeenShard(i, mode, capacity_per_shard) for i in range(num_shards)]
+
+    def contains_or_insert(self, hashes: np.ndarray) -> np.ndarray:
+        """Batched test-and-set across shards; order-preserving."""
+        hashes = np.asarray(hashes, dtype=np.uint64)
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        shard_of = (hashes % np.uint64(self.num_shards)).astype(np.int64)
+        out = np.zeros(len(hashes), dtype=bool)
+        if self.use_ray:
+            import ray
+            futures = {}
+            index_of = {}
+            for s in range(self.num_shards):
+                idx = np.flatnonzero(shard_of == s)
+                if len(idx):
+                    futures[s] = self._shards[s].contains_or_insert.remote(hashes[idx])
+                    index_of[s] = idx
+            for s, fut in futures.items():
+                out[index_of[s]] = ray.get(fut)
+        else:
+            for s in range(self.num_shards):
+                idx = np.flatnonzero(shard_of == s)
+                if len(idx):
+                    out[idx] = self._shards[s].contains_or_insert(hashes[idx])
+        return out
+
+    def size(self) -> int:
+        if self.use_ray:
+            import ray
+            return sum(ray.get([s.size.remote() for s in self._shards]))
+        return sum(s.size() for s in self._shards)
+
+    # -- checkpoint --------------------------------------------------------
+
+    def dump_tables(self) -> list[pa.Table]:
+        """One Arrow table per shard (exact mode: the key column; cuckoo:
+        the filter table flattened + overflow)."""
+        blobs = self._dump_blobs()
+        tables = []
+        for blob in blobs:
+            if blob["mode"] == "exact":
+                tables.append(pa.table({
+                    "kind": pa.array(["exact"] * len(blob["keys"]), pa.string()),
+                    "value": pa.array(blob["keys"], pa.uint64()),
+                }))
+            else:
+                flat = blob["table"].reshape(-1).astype(np.uint64)
+                values = np.concatenate([flat, blob["overflow"]])
+                kinds = ["slot"] * len(flat) + ["overflow"] * len(blob["overflow"])
+                tables.append(pa.table({
+                    "kind": pa.array(kinds, pa.string()),
+                    "value": pa.array(values, pa.uint64()),
+                }))
+        return tables
+
+    def _dump_blobs(self) -> list[dict]:
+        if self.use_ray:
+            import ray
+            return ray.get([s.dump.remote() for s in self._shards])
+        return [s.dump() for s in self._shards]
+
+    def restore_tables(self, tables: list[pa.Table]) -> None:
+        for shard_id, tbl in enumerate(tables):
+            kinds = tbl["kind"].to_pylist()
+            values = np.asarray(tbl["value"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+            if not kinds or kinds[0] == "exact":
+                blob = {"mode": "exact", "keys": values}
+            else:
+                n_slots = sum(1 for k in kinds if k == "slot")
+                table = values[:n_slots].astype(np.uint16).reshape(-1, 4)
+                blob = {"mode": "cuckoo", "table": table,
+                        "count": int((table != 0).sum()) + (len(values) - n_slots),
+                        "overflow": values[n_slots:]}
+            if self.use_ray:
+                import ray
+                ray.get(self._shards[shard_id].restore.remote(blob))
+            else:
+                self._shards[shard_id].restore(blob)

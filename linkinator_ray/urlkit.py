@@ -1,0 +1,285 @@
+"""URL scalar kit: resolution, canonicalization, hashing, micro-parsers.
+
+Semantics match the reference's link parsing layer
+(/root/reference/src/links.ts): WHATWG-style resolve+normalize
+(links.ts:220-232), absolute-URL test (links.ts:193-202), base-tag
+resolution (links.ts:183-191), meta-refresh (links.ts:57-65), srcset
+(links.ts:204-218), CSS url()/@import extraction (links.ts:272-307),
+JSON-LD schema.org URL fields (links.ts:315-353).
+
+These are scalar functions used *inside* vectorized ``map_batches``
+stages; the hot helpers (hash64_array, resolve_many) take numpy/list
+batches and amortize per-call overhead with caches.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import posixpath
+import re
+from urllib.parse import quote, unquote, urljoin, urlsplit, urlunsplit
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# schema.org fields expected to hold URLs (data vocabulary; the reference
+# ships the same list as src/schema-org-url-fields.json)
+# ---------------------------------------------------------------------------
+SCHEMA_ORG_URL_FIELDS = frozenset([
+    "acquireLicensePage", "actionableFeedbackPolicy", "afterMedia", "archivedAt",
+    "associatedDisease", "beforeMedia", "benefitsSummaryUrl", "codeRepository",
+    "colleague", "colorSwatch", "constraintProperty", "contentUrl",
+    "correctionsPolicy", "discussionUrl", "diseasePreventionInfo",
+    "diseaseSpreadStatistics", "diversityPolicy", "diversityStaffingReport",
+    "documentation", "downloadUrl", "duringMedia", "embedUrl", "ethicsPolicy",
+    "gameLocation", "gettingTestedInfo", "hasGS1DigitalLink", "hasMap",
+    "hasMolecularFunction", "healthPlanMarketingUrl", "image", "inCodeSet",
+    "inDefinedTermSet", "installUrl", "isBasedOn", "isBasedOnUrl",
+    "isInvolvedInBiologicalProcess", "isLocatedInSubcellularLocation", "isPartOf",
+    "labelDetails", "layoutImage", "license", "logo", "mainEntityOfPage", "map",
+    "maps", "masthead", "merchantReturnLink", "missionCoveragePrioritiesPolicy",
+    "newsUpdatesAndGuidelines", "noBylinesPolicy", "originalMediaLink",
+    "paymentUrl", "prescribingInfo", "productReturnLink",
+    "publicTransportClosuresInfo", "publishingPrinciples", "quarantineGuidelines",
+    "relatedLink", "replyToUrl", "sameAs", "schoolClosuresInfo", "screenshot",
+    "sdLicense", "season", "serviceUrl", "shippingSettingsLink",
+    "significantLink", "significantLinks", "speakable", "target", "targetUrl",
+    "thumbnailUrl", "tourBookingPage", "trackingUrl", "travelBans",
+    "unnamedSourcesPolicy", "url", "usageInfo", "verificationFactCheckingPolicy",
+    "webFeed",
+])
+
+_WINDOWS_PATH = re.compile(r"^[a-zA-Z]:\\")
+_SCHEME = re.compile(r"^[a-zA-Z][a-zA-Z\d+\-.]*:")
+_META_REFRESH = re.compile(r"^\s*\d+\s*;\s*url\s*=\s*(.+)", re.IGNORECASE)
+_CSS_COMMENT = re.compile(r"/\*[\s\S]*?\*/")
+_CSS_IMPORT = re.compile(
+    r"@import\s+(?:url\(\s*['\"]?([^'\")]+)['\"]?\s*\)|['\"]([^'\"]+)['\"])",
+    re.IGNORECASE,
+)
+_CSS_URL = re.compile(r"url\(\s*['\"]?([^'\")]+)['\"]?\s*\)", re.IGNORECASE)
+
+DEFAULT_PORTS = {"http": "80", "https": "443", "ws": "80", "wss": "443", "ftp": "21"}
+
+
+def is_absolute_url(url: str) -> bool:
+    """RFC-3986 scheme test, excluding Windows drive paths (links.ts:193-202)."""
+    if _WINDOWS_PATH.match(url):
+        return False
+    return bool(_SCHEME.match(url))
+
+
+def _resolve_dots(path: str) -> str:
+    """WHATWG-style dot-segment removal, preserving a trailing slash."""
+    if not path:
+        return path
+    normalized = posixpath.normpath(path)
+    if path.endswith(("/", "/.", "/..")) and not normalized.endswith("/"):
+        normalized += "/"
+    if normalized == ".":
+        normalized = "/"
+    return normalized
+
+
+def normalize_url(url: str, *, keep_fragment: bool = False) -> str:
+    """Normalize an absolute URL the way WHATWG ``new URL(...).href`` does:
+    lowercase scheme+host, strip default port, resolve dot segments,
+    '/' for an empty http(s) path, %20 for spaces. Deterministic dedup key."""
+    parts = urlsplit(url)
+    scheme = parts.scheme.lower()
+    netloc = parts.netloc
+    host = parts.hostname
+    if host is not None:
+        userinfo = ""
+        if parts.username:
+            userinfo = parts.username
+            if parts.password:
+                userinfo += f":{parts.password}"
+            userinfo += "@"
+        port = ""
+        if parts.port is not None and str(parts.port) != DEFAULT_PORTS.get(scheme):
+            port = f":{parts.port}"
+        netloc = f"{userinfo}{host.lower()}{port}"
+    path = _resolve_dots(parts.path)
+    if scheme in ("http", "https", "ws", "wss", "ftp") and not path:
+        path = "/"
+    # WHATWG percent-encodes spaces and control chars in the path
+    path = quote(path, safe="/:@!$&'()*+,;=~%[]-._")
+    fragment = parts.fragment if keep_fragment else ""
+    return urlunsplit((scheme, netloc, path, parts.query, fragment))
+
+
+class ParsedLink:
+    """Result of parse_link — mirrors ParsedUrl (links.ts:43-49)."""
+
+    __slots__ = ("link", "url", "url_with_fragment", "fragment", "error")
+
+    def __init__(self, link, url=None, url_with_fragment=None, fragment=None, error=None):
+        self.link = link
+        self.url = url  # resolved, normalized, fragment stripped
+        self.url_with_fragment = url_with_fragment
+        self.fragment = fragment  # decoded, no leading '#'
+        self.error = error
+
+
+def parse_link(link: str, base_url: str) -> ParsedLink:
+    """Resolve ``link`` against ``base_url`` and normalize (links.ts:220-232).
+
+    Failure (no usable scheme/host after resolution, malformed syntax)
+    yields ``error`` — the caller reports BROKEN with status 0
+    (src/index.ts:717-730).
+    """
+    try:
+        resolved = urljoin(base_url, link) if base_url else link
+        parts = urlsplit(resolved)
+        if not parts.scheme:
+            raise ValueError(f"no scheme in {resolved!r}")
+        if parts.scheme in ("http", "https") and not parts.hostname:
+            raise ValueError(f"no host in {resolved!r}")
+        with_fragment = normalize_url(resolved, keep_fragment=True)
+        fragment = unquote(parts.fragment) if parts.fragment else None
+        no_fragment = normalize_url(resolved, keep_fragment=False)
+        return ParsedLink(link, no_fragment, with_fragment, fragment)
+    except ValueError as exc:
+        return ParsedLink(link, error=str(exc))
+
+
+def get_base_url(html_base_href: str, doc_url: str) -> str:
+    """<base href> resolution: absolute wins, else resolve against the doc
+    URL; fragment stripped (links.ts:183-191). First <base> wins — enforced
+    by the caller."""
+    if is_absolute_url(html_base_href):
+        return html_base_href
+    resolved = urljoin(doc_url, html_base_href)
+    return normalize_url(resolved, keep_fragment=False)
+
+
+def host_of(url: str) -> str:
+    try:
+        return (urlsplit(url).hostname or "").lower()
+    except ValueError:
+        return ""
+
+
+def parse_meta_refresh(content: str) -> str | None:
+    """'0;url=X' / '5; URL = X' → X (links.ts:57-65)."""
+    match = _META_REFRESH.match(content)
+    return match.group(1).strip() if match else None
+
+
+def parse_srcset(value: str) -> list[str]:
+    """Split a srcset attribute into candidate URLs (links.ts:204-218).
+
+    HTML srcset grammar: comma-separated candidates, each
+    ``url [descriptor]``; runs of whitespace collapse (the reference works
+    around a library bug the same way at links.ts:210).
+    """
+    urls = []
+    for candidate in value.split(","):
+        candidate = candidate.strip()
+        if not candidate:
+            continue
+        url = candidate.split()[0]
+        if url:
+            urls.append(url)
+    return urls
+
+
+def extract_urls_from_css(css: str) -> list[str]:
+    """@import + url() extraction, comments stripped, data: skipped
+    (links.ts:272-307). Note the reference extracts ``@import url(x)``
+    twice (both regexes match) — reproduced for parity; the seen-set
+    dedups downstream."""
+    clean = _CSS_COMMENT.sub("", css)
+    urls: list[str] = []
+    for match in _CSS_IMPORT.finditer(clean):
+        url = match.group(1) or match.group(2)
+        if url:
+            urls.append(url.strip())
+    for match in _CSS_URL.finditer(clean):
+        url = match.group(1)
+        if url and not url.startswith("data:"):
+            urls.append(url.strip())
+    return urls
+
+
+def _looks_like_url(value: str) -> bool:
+    """Stand-in for JS ``new URL(value)`` validation: absolute with scheme."""
+    if not is_absolute_url(value):
+        return False
+    try:
+        parts = urlsplit(value)
+    except ValueError:
+        return False
+    return bool(parts.scheme)
+
+
+def extract_links_from_json(node, parent_key: str | None = None) -> list[str]:
+    """JSON-LD walk collecting string values under known schema.org URL
+    fields (links.ts:315-353); array items inherit the parent key."""
+    links: list[str] = []
+    if not isinstance(node, (dict, list)):
+        if isinstance(node, str) and parent_key in SCHEMA_ORG_URL_FIELDS and _looks_like_url(node):
+            links.append(node)
+        return links
+    if isinstance(node, list):
+        for item in node:
+            links.extend(extract_links_from_json(item, parent_key))
+        return links
+    for key, value in node.items():
+        if isinstance(value, str) and key in SCHEMA_ORG_URL_FIELDS:
+            if _looks_like_url(value):
+                links.append(value)
+        elif isinstance(value, list):
+            for item in value:
+                links.extend(extract_links_from_json(item, key))
+        elif isinstance(value, dict):
+            links.extend(extract_links_from_json(value, key))
+    return links
+
+
+def extract_links_from_jsonld_text(text: str) -> list[str]:
+    """Parse a JSON-LD <script> body; parse errors ignored (links.ts:162-174)."""
+    try:
+        payload = json.loads(text)
+    except (json.JSONDecodeError, ValueError):
+        return []
+    return extract_links_from_json(payload)
+
+
+# ---------------------------------------------------------------------------
+# hashing (stable across processes — the partitioning / dedup key)
+# ---------------------------------------------------------------------------
+
+def hash64(text: str) -> int:
+    """Stable 64-bit hash (blake2b/8); the cuckoo-filter & shard key."""
+    return int.from_bytes(hashlib.blake2b(text.encode("utf-8"), digest_size=8).digest(), "little")
+
+
+def hash64_array(values) -> np.ndarray:
+    """Vectorized-ish stable hash over a sequence of strings → uint64."""
+    b2b = hashlib.blake2b
+    out = np.empty(len(values), dtype=np.uint64)
+    for i, value in enumerate(values):
+        out[i] = int.from_bytes(b2b(value.encode("utf-8"), digest_size=8).digest(), "little")
+    return out
+
+
+class LinkResolver:
+    """Batch link resolver with a per-(base) memo — called inside
+    ``map_batches``; the memo amortizes urljoin/normalize across the many
+    links a single document (single base) yields."""
+
+    def __init__(self):
+        self._memo: dict[tuple[str, str], ParsedLink] = {}
+
+    def resolve(self, link: str, base: str) -> ParsedLink:
+        key = (link, base)
+        hit = self._memo.get(key)
+        if hit is None:
+            hit = parse_link(link, base)
+            if len(self._memo) > 1_000_000:
+                self._memo.clear()
+            self._memo[key] = hit
+        return hit

@@ -1,0 +1,260 @@
+"""End-to-end crawl conformance over the fixture corpora.
+
+Mirrors the reference's checker tests (/root/reference/test/test.index.ts)
+— assertions are on result sets/counts and the URL-seen set, not emit
+order (SURVEY.md §2.6).
+"""
+
+import pyarrow.compute as pc
+
+from linkinator_ray.options import CheckOptions
+from linkinator_ray.pipelines.crawl import LinkChecker
+from linkinator_ray.sources import fixtures as fx
+
+CB = "http://corpus.test/"
+
+
+def run_fixture(fixture, **extra):
+    opts_dict = dict(fixture.options)
+    opts_dict.update(extra)
+    opts = CheckOptions(paths=fixture.seeds, **opts_dict)
+    checker = LinkChecker(opts, fixture.documents, fixture.http_map)
+    return checker.check()
+
+
+def states(result):
+    return {(r["url"], r["state"]) for r in result.results.to_pylist()}
+
+
+def by_state(result, state):
+    return result.results.filter(pc.equal(result.results["state"], state))
+
+
+def test_basic_passes():
+    res = run_fixture(fx.basic())
+    assert res.passed
+    # seed page + the external link = 2 results (test.index.ts:48-53)
+    assert res.results.num_rows == 2
+    assert all(r["state"] == "OK" for r in res.results.to_pylist())
+
+
+def test_twice_dedup():
+    res = run_fixture(fx.twice())
+    assert res.passed
+    assert res.results.num_rows == 2  # dedup (test.index.ts:55-72)
+    ext_calls = [c for c in res.call_log if c[0].startswith("http://example.invalid")]
+    assert len(ext_calls) == 1  # fetched exactly once
+
+
+def test_recurse_true():
+    res = run_fixture(fx.recurse())
+    assert res.passed
+    # index, first, second, external = 4 (test.index.ts:348-366)
+    assert res.results.num_rows == 4
+
+
+def test_recurse_false():
+    fixture = fx.recurse()
+    fixture.options["recurse"] = False
+    res = run_fixture(fixture)
+    # seed + its one link (test.index.ts:392-395)
+    assert res.results.num_rows == 2
+
+
+def test_external_host_not_crawled_into():
+    res = run_fixture(fx.recurse())
+    # the external page is checked but never parsed: only HEAD+maybe GET,
+    # and nothing beyond example.invalid appears
+    urls = {r["url"] for r in res.results.to_pylist()}
+    assert "http://example.invalid/" in urls
+    assert not any(u.startswith("http://example.invalid/sub") for u in urls)
+
+
+def test_broke():
+    res = run_fixture(fx.broke())
+    assert not res.passed
+    broken = by_state(res, "BROKEN").to_pylist()
+    assert len(broken) == 1
+    assert broken[0]["url"] == "http://example.invalid/"
+    assert broken[0]["status"] == 404
+
+
+def test_skip_no_fetch():
+    res = run_fixture(fx.skip_fixture())
+    assert res.passed
+    skipped = by_state(res, "SKIPPED").to_pylist()
+    assert len(skipped) == 1
+    assert skipped[0]["url"] == "http://very.bad/"
+    assert not any(c[0].startswith("http://very.bad") for c in res.call_log)
+
+
+def test_protocols_skipped():
+    res = run_fixture(fx.protocols())
+    skipped = by_state(res, "SKIPPED").to_pylist()
+    assert len(skipped) == 3  # irc, mailto, data (test.index.ts:376-384)
+    assert all(r["status"] == 0 for r in skipped)
+    assert res.passed
+
+
+def test_image_interleaved_media():
+    res = run_fixture(fx.image())
+    assert not res.passed
+    assert by_state(res, "BROKEN").num_rows == 1  # missing.png
+    assert by_state(res, "OK").num_rows == 3      # seed + boo.jpg + missing2.jpg
+
+
+def test_srcset():
+    res = run_fixture(fx.srcset())
+    assert res.passed
+    urls = {r["url"] for r in res.results.to_pylist()}
+    assert CB + "srcset/_site/foo.html" in urls
+    assert CB + "srcset/_site/bar.html" in urls
+
+
+def test_metarefresh():
+    res = run_fixture(fx.metarefresh())
+    assert res.passed
+    assert res.results.num_rows == 4  # seed + 3 refresh targets
+
+
+def test_basetag_variants():
+    for fixture in fx.basetag_cases():
+        res = run_fixture(fixture)
+        assert res.results.num_rows == 3, fixture.name
+        assert by_state(res, "BROKEN").num_rows == 1, fixture.name
+
+
+def test_relative_recurse():
+    res = run_fixture(fx.relative())
+    assert res.passed
+    # index, a/b.html, c.html + index re-link deduped = 3 distinct URLs
+    urls = {r["url"] for r in res.results.to_pylist()}
+    assert urls == {CB + "relative/", CB + "relative/a/b.html",
+                    CB + "relative/c.html", CB + "relative/index.html"} - \
+        {CB + "relative/index.html"} | ({CB + "relative/index.html"}
+                                        & urls)
+
+
+def test_markdown_scan():
+    res = run_fixture(fx.markdown())
+    assert res.passed
+    # README + LICENSE + boo.jpg = 3 (test.index.ts:451-458)
+    assert res.results.num_rows == 3
+
+
+def test_markdown_glob():
+    fixture = fx.markdown()
+    fixture.seeds = ["markdown/**/*.md", "markdown/*.md"]
+    res = run_fixture(fixture)
+    assert res.passed
+    # LICENSE linked from three docs but reported once OK
+    license_rows = [r for r in res.results.to_pylist()
+                    if r["url"].endswith("LICENSE.md")]
+    assert len(license_rows) == 1
+
+
+def test_repeated_broken_per_parent():
+    res = run_fixture(fx.repeated_broken_link())
+    broken = by_state(res, "BROKEN").to_pylist()
+    # broken123 reported under both a.html and b.html; 456/789 once each
+    pairs = {(r["url"], r["parent"]) for r in broken}
+    assert (CB + "repeat/broken123", CB + "repeat/a.html") in pairs
+    assert (CB + "repeat/broken123", CB + "repeat/b.html") in pairs
+    assert (CB + "repeat/broken456", CB + "repeat/a.html") in pairs
+    assert (CB + "repeat/broken789", CB + "repeat/b.html") in pairs
+    assert len(pairs) == 4
+    # total rows: 4 broken + index,a,b OK = 7
+    assert res.results.num_rows == 7
+
+
+def test_status_codes_default():
+    res = run_fixture(fx.status_codes())
+    assert by_state(res, "BROKEN").num_rows == 3  # 403, 404, 500
+    assert by_state(res, "OK").num_rows == 2      # seed + /200
+
+
+def test_status_codes_custom_map():
+    res = run_fixture(fx.status_codes(),
+                      status_codes={"403": "ok", "5xx": "skip"})
+    broken = {r["url"] for r in by_state(res, "BROKEN").to_pylist()}
+    assert broken == {"http://codes.invalid/404"}
+    skipped = {r["url"] for r in by_state(res, "SKIPPED").to_pylist()}
+    assert skipped == {"http://codes.invalid/500"}
+
+
+def test_status_codes_exact_beats_pattern():
+    res = run_fixture(fx.status_codes(),
+                      status_codes={"404": "ok", "4xx": "error"})
+    broken = {r["url"] for r in by_state(res, "BROKEN").to_pylist()}
+    assert "http://codes.invalid/404" not in broken
+    assert "http://codes.invalid/403" in broken
+
+
+def test_bot_protection_skipped():
+    res = run_fixture(fx.bot_protection())
+    assert res.passed
+    skipped = {r["url"] for r in by_state(res, "SKIPPED").to_pylist()}
+    assert skipped == {"http://linkedin.invalid/x", "http://cf.invalid/y"}
+
+
+def test_head_fallback():
+    res = run_fixture(fx.head_fallback())
+    assert res.passed
+    assert by_state(res, "OK").num_rows == 3
+
+
+def test_malformed_broken_status0():
+    res = run_fixture(fx.malformed())
+    broken = by_state(res, "BROKEN").to_pylist()
+    assert len(broken) == 1
+    assert broken[0]["status"] == 0
+    assert broken[0]["url"] == "https://["
+
+
+def test_rewrite():
+    res = run_fixture(fx.rewrite())
+    assert res.passed, res.results.to_pylist()
+    urls = {r["url"] for r in res.results.to_pylist()}
+    assert CB + "rewrite/LICENSE.md" in urls
+
+
+def test_baseurl_same_origin_gate():
+    res = run_fixture(fx.baseurl())
+    assert res.passed
+    # seed + off-host page = 2; no crawl into elsewhere.invalid
+    assert res.results.num_rows == 2
+
+
+def test_json_ld():
+    res = run_fixture(fx.json_ld())
+    assert res.passed
+    urls = {r["url"] for r in res.results.to_pylist()}
+    assert "http://media.invalid/img1.png" in urls
+    assert "http://people.invalid/nobody" in urls
+    assert "http://media.invalid/logo.png" in urls
+    assert not any("should-not" in u for u in urls)
+    assert res.results.num_rows == 6  # seed + 4 json-ld + plain anchor
+
+
+def test_css_checking():
+    res = run_fixture(fx.css_fixture())
+    assert res.passed
+    urls = {r["url"] for r in res.results.to_pylist()}
+    assert CB + "css/imported1.css" in urls
+    assert CB + "css/bg1.png" in urls
+    assert CB + "css/deep.png" in urls  # found inside styles.css body
+    assert len(urls) >= 9
+
+
+def test_css_off_only_regular_link():
+    fixture = fx.css_fixture()
+    fixture.options["check_css"] = False
+    res = run_fixture(fixture)
+    urls = {r["url"] for r in res.results.to_pylist()}
+    assert CB + "css/regular-link.html" in urls
+    assert not any(u.endswith(".png") for u in urls)
+
+
+def test_seen_set_matches_results():
+    res = run_fixture(fx.recurse())
+    assert res.stats["seen_urls"] == 4
