@@ -2,15 +2,15 @@
 
 Replaces the reference's in-heap ``Set<string>`` URL cache
 (/root/reference/src/index.ts:261) at 10^10-URL scale: ~2 bytes/key at a
-~0.03% false-positive rate (16-bit fingerprints, 4-slot buckets, 95%
-load). A false positive silently skips a URL (it is believed seen); the
-engine's exact mode (state/seen.py) is authoritative for conformance
-tests, and each shard can carry an exact backing set when
-``track_exact`` is on.
+~0.1% false-positive rate (16-bit fingerprints, 4-slot buckets). A false
+positive silently skips a URL (it is believed seen); the engine's exact
+mode (state/seen.py) is authoritative for conformance tests.
 
 Standard cuckoo-filter construction (Fan et al., "Cuckoo Filter:
 Practically Better Than Bloom", CoNEXT 2014): two candidate buckets per
-key, i2 = i1 XOR hash(fingerprint); eviction random walk on insert.
+key, i2 = i1 XOR H(fingerprint); eviction random walk on insert; a
+victim cache holds the homeless (bucket, fingerprint) pair when the
+walk fails, so the filter never has false negatives.
 """
 
 from __future__ import annotations
@@ -18,6 +18,8 @@ from __future__ import annotations
 import numpy as np
 
 _EMPTY = 0  # fingerprints are forced nonzero
+_MIX = 0x9E3779B97F4A7C15
+_U64 = 0xFFFFFFFFFFFFFFFF
 
 
 class CuckooFilter:
@@ -30,7 +32,7 @@ class CuckooFilter:
     MAX_KICKS = 500
 
     def __init__(self, capacity: int, seed: int = 0x5EED):
-        # buckets sized to next power of two ≥ capacity/4 (4 slots per bucket)
+        # buckets sized to next power of two ≥ capacity/4 (4 slots/bucket)
         n_buckets = 1
         while n_buckets * 4 < capacity:
             n_buckets *= 2
@@ -39,7 +41,9 @@ class CuckooFilter:
         self.table = np.zeros((n_buckets, 4), dtype=np.uint16)
         self.count = 0
         self._rng = np.random.default_rng(seed)
-        self._overflow: set[int] = set()  # keys that failed insertion post-eviction
+        # victim cache: (bucket_index, fingerprint) pairs that lost the
+        # eviction walk — checked on every membership probe
+        self._victims: set[tuple[int, int]] = set()
 
     # -- key → (fingerprint, bucket1, bucket2) -----------------------------
 
@@ -52,9 +56,15 @@ class CuckooFilter:
         return (keys & self.mask).astype(np.uint64)
 
     def _index2(self, index1: np.ndarray, fp: np.ndarray) -> np.ndarray:
-        # i2 = i1 xor H(fp); H = splitmix-style scramble of the fingerprint
-        h = fp.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        with np.errstate(over="ignore"):
+            h = fp.astype(np.uint64) * np.uint64(_MIX)
         return (index1 ^ h) & self.mask
+
+    def _alt(self, idx: int, fp: int) -> int:
+        return (idx ^ ((fp * _MIX) & _U64)) & int(self.mask)
+
+    def _is_victim(self, i1: int, i2: int, fp: int) -> bool:
+        return (i1, fp) in self._victims or (i2, fp) in self._victims
 
     # -- queries -----------------------------------------------------------
 
@@ -65,13 +75,13 @@ class CuckooFilter:
         i2 = self._index2(i1, fp)
         found = (self.table[i1] == fp[:, None]).any(axis=1)
         found |= (self.table[i2] == fp[:, None]).any(axis=1)
-        if self._overflow:
-            for pos, key in enumerate(keys):
-                if not found[pos] and int(key) in self._overflow:
+        if self._victims:
+            for pos in np.flatnonzero(~found):
+                if self._is_victim(int(i1[pos]), int(i2[pos]), int(fp[pos])):
                     found[pos] = True
         return found
 
-    def _insert_one(self, fp: int, i1: int, i2: int, key: int) -> None:
+    def _insert_one(self, fp: int, i1: int, i2: int) -> None:
         for idx in (i1, i2):
             row = self.table[idx]
             empty = np.flatnonzero(row == _EMPTY)
@@ -79,20 +89,22 @@ class CuckooFilter:
                 row[empty[0]] = fp
                 self.count += 1
                 return
-        # evict: random walk
+        # evict: random walk; the displaced fingerprint moves to its own
+        # alternate bucket, preserving membership
         idx = int(self._rng.choice((i1, i2)))
-        cur_fp = np.uint16(fp)
+        cur_fp = fp
         for _ in range(self.MAX_KICKS):
             slot = int(self._rng.integers(4))
-            cur_fp, self.table[idx, slot] = self.table[idx, slot], cur_fp
-            idx = int((np.uint64(idx) ^ (np.uint64(cur_fp) * np.uint64(0x9E3779B97F4A7C15))) & self.mask)
+            cur_fp, self.table[idx, slot] = int(self.table[idx, slot]), cur_fp
+            idx = self._alt(idx, cur_fp)
             row = self.table[idx]
             empty = np.flatnonzero(row == _EMPTY)
             if len(empty):
                 row[empty[0]] = cur_fp
                 self.count += 1
                 return
-        self._overflow.add(int(key))  # table saturated; stay correct, degrade memory
+        # saturated: park the homeless fingerprint in the victim cache
+        self._victims.add((idx, cur_fp))
         self.count += 1
 
     def contains_or_insert(self, keys: np.ndarray) -> np.ndarray:
@@ -103,29 +115,24 @@ class CuckooFilter:
         i1 = self._index1(keys)
         i2 = self._index2(i1, fp)
         out = np.zeros(len(keys), dtype=bool)
-        seen_batch: set[int] = set()
         for pos in range(len(keys)):
-            key = int(keys[pos])
             f, a, b = int(fp[pos]), int(i1[pos]), int(i2[pos])
-            present = (
-                (self.table[a] == f).any() or (self.table[b] == f).any()
-                or key in self._overflow
-            )
-            if present or key in seen_batch:
+            present = ((self.table[a] == f).any() or (self.table[b] == f).any()
+                       or self._is_victim(a, b, f))
+            if present:
                 out[pos] = True
             else:
-                self._insert_one(f, a, b, key)
-                seen_batch.add(key)
+                self._insert_one(f, a, b)
         return out
 
     # -- checkpoint --------------------------------------------------------
 
     def dump(self) -> dict:
-        return {
-            "table": self.table.copy(),
-            "count": self.count,
-            "overflow": np.fromiter(self._overflow, dtype=np.uint64, count=len(self._overflow)),
-        }
+        victims = np.fromiter(
+            ((idx << 16) | fp for idx, fp in self._victims),
+            dtype=np.uint64, count=len(self._victims))
+        return {"table": self.table.copy(), "count": self.count,
+                "victims": victims}
 
     @classmethod
     def restore(cls, blob: dict, seed: int = 0x5EED) -> "CuckooFilter":
@@ -133,5 +140,5 @@ class CuckooFilter:
         filt = cls(capacity=table.shape[0] * 4, seed=seed)
         filt.table = table.copy()
         filt.count = int(blob["count"])
-        filt._overflow = set(int(x) for x in blob["overflow"])
+        filt._victims = {(int(v) >> 16, int(v) & 0xFFFF) for v in blob["victims"]}
         return filt

@@ -149,8 +149,8 @@ class SeenSet:
                 }))
             else:
                 flat = blob["table"].reshape(-1).astype(np.uint64)
-                values = np.concatenate([flat, blob["overflow"]])
-                kinds = ["slot"] * len(flat) + ["overflow"] * len(blob["overflow"])
+                values = np.concatenate([flat, blob["victims"]])
+                kinds = ["slot"] * len(flat) + ["victim"] * len(blob["victims"])
                 tables.append(pa.table({
                     "kind": pa.array(kinds, pa.string()),
                     "value": pa.array(values, pa.uint64()),
@@ -174,7 +174,7 @@ class SeenSet:
                 table = values[:n_slots].astype(np.uint16).reshape(-1, 4)
                 blob = {"mode": "cuckoo", "table": table,
                         "count": int((table != 0).sum()) + (len(values) - n_slots),
-                        "overflow": values[n_slots:]}
+                        "victims": values[n_slots:]}
             if self.use_ray:
                 import ray
                 ray.get(self._shards[shard_id].restore.remote(blob))

@@ -1,0 +1,124 @@
+"""Seen-set shards, cuckoo filter, checkpoint/resume."""
+
+import numpy as np
+import pytest
+
+from linkinator_ray.options import CheckOptions
+from linkinator_ray.pipelines.crawl import LinkChecker
+from linkinator_ray.sources import fixtures as fx
+from linkinator_ray.state.cuckoo import CuckooFilter
+from linkinator_ray.state.seen import SeenSet, SeenShard
+
+
+class TestCuckooFilter:
+    def test_insert_and_contains(self):
+        filt = CuckooFilter(1024)
+        keys = np.random.default_rng(7).integers(0, 2**63, 500, dtype=np.uint64)
+        first = filt.contains_or_insert(keys)
+        assert not first.any()  # all new
+        again = filt.contains_or_insert(keys)
+        assert again.all()  # all present now
+
+    def test_within_batch_dups(self):
+        filt = CuckooFilter(64)
+        keys = np.array([1, 2, 1, 3, 2], dtype=np.uint64)
+        out = filt.contains_or_insert(keys)
+        assert out.tolist() == [False, False, True, False, True]
+
+    def test_no_false_negatives_at_high_load(self):
+        filt = CuckooFilter(256)
+        keys = np.random.default_rng(3).integers(0, 2**63, 300, dtype=np.uint64)
+        filt.contains_or_insert(keys)  # overfull → overflow set engages
+        assert filt.contains(keys).all()
+
+    def test_false_positive_rate_reasonable(self):
+        filt = CuckooFilter(1 << 16)
+        rng = np.random.default_rng(11)
+        inserted = rng.integers(0, 2**63, 40_000, dtype=np.uint64)
+        filt.contains_or_insert(inserted)
+        probes = rng.integers(0, 2**63, 40_000, dtype=np.uint64)
+        fresh = probes[~np.isin(probes, inserted)]
+        fp = filt.contains(fresh).mean()
+        assert fp < 0.01, fp
+
+    def test_dump_restore(self):
+        filt = CuckooFilter(512)
+        keys = np.arange(100, dtype=np.uint64) * 7919
+        filt.contains_or_insert(keys)
+        clone = CuckooFilter.restore(filt.dump())
+        assert clone.contains(keys).all()
+
+
+class TestSeenSet:
+    @pytest.mark.parametrize("mode", ["exact", "cuckoo"])
+    def test_sharded_dedup(self, mode):
+        seen = SeenSet(num_shards=4, mode=mode)
+        keys = np.random.default_rng(5).integers(0, 2**63, 1000, dtype=np.uint64)
+        assert not seen.contains_or_insert(keys).any()
+        assert seen.contains_or_insert(keys).all()
+        assert seen.size() == 1000
+
+    def test_order_preserved_across_shards(self):
+        seen = SeenSet(num_shards=8)
+        keys = np.array([10, 11, 10, 12, 11, 13], dtype=np.uint64)
+        out = seen.contains_or_insert(keys)
+        assert out.tolist() == [False, False, True, False, True, False]
+
+    def test_dump_restore_roundtrip(self):
+        seen = SeenSet(num_shards=3)
+        keys = np.arange(50, dtype=np.uint64) * 104729
+        seen.contains_or_insert(keys)
+        tables = seen.dump_tables()
+        fresh = SeenSet(num_shards=3)
+        fresh.restore_tables(tables)
+        assert fresh.contains_or_insert(keys).all()
+
+    def test_shard_exact_vs_cuckoo_equivalent(self):
+        keys = np.random.default_rng(9).integers(0, 2**63, 2000, dtype=np.uint64)
+        exact = SeenShard(0, "exact")
+        cuckoo = SeenShard(0, "cuckoo", capacity=1 << 14)
+        assert (exact.contains_or_insert(keys) == cuckoo.contains_or_insert(keys)).all()
+
+
+class TestCheckpointResume:
+    def test_resume_equivalence(self, tmp_path):
+        """Kill after round k, resume, same final result sets
+        (SURVEY.md §5 test 6)."""
+        fixture = fx.repeated_broken_link()
+        opts = dict(fixture.options)
+
+        full = LinkChecker(CheckOptions(paths=fixture.seeds, **opts),
+                           fixture.documents, fixture.http_map).check()
+
+        ckpt_dir = str(tmp_path / "ckpt")
+        opts_ck = dict(opts, checkpoint_dir=ckpt_dir, max_rounds=2)
+        partial = LinkChecker(CheckOptions(paths=fixture.seeds, **opts_ck),
+                              fixture.documents, fixture.http_map).check()
+        assert partial.results.num_rows < full.results.num_rows  # truly killed early
+
+        opts_res = dict(opts, checkpoint_dir=ckpt_dir)
+        resumed_checker = LinkChecker(CheckOptions(paths=fixture.seeds, **opts_res),
+                                      fixture.documents, fixture.http_map)
+        resumed = resumed_checker.check(resume_from=ckpt_dir)
+
+        def key_set(res):
+            return {(r["url"], r["state"], r["status"], r["parent"])
+                    for r in res.results.to_pylist()}
+        assert key_set(resumed) == key_set(full)
+        assert resumed.passed == full.passed
+
+    def test_manifest_lineage(self, tmp_path):
+        import json
+        import os
+        fixture = fx.recurse()
+        ckpt_dir = str(tmp_path / "ck")
+        opts = dict(fixture.options, checkpoint_dir=ckpt_dir)
+        LinkChecker(CheckOptions(paths=fixture.seeds, **opts),
+                    fixture.documents, fixture.http_map).check()
+        rounds = sorted(d for d in os.listdir(ckpt_dir) if d.startswith("round_"))
+        assert len(rounds) >= 2
+        with open(os.path.join(ckpt_dir, rounds[-1], "manifest.json")) as f:
+            manifest = json.load(f)
+        assert manifest["round"] == len(rounds)
+        assert manifest["parent_round"] == manifest["round"] - 1
+        assert "row_counts" in manifest and "counters" in manifest
