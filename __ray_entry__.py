@@ -1,16 +1,13 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+The driver calls ``ray.init`` itself before importing this module:
+nothing here (or in linkinator_ray) calls ``ray.init``/``ray.shutdown``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes the engine's operator surface over the testdata
+parquet tables; ``oracle_sql()`` provides the DuckDB equivalent for
+every SQL-expressible query (same column names — the driver hashes by
+sorted column name). Non-SQL-expressible ops (LSH signatures, stateful
+crawl internals) appear without an oracle → rows-only check.
 """
 
 from __future__ import annotations
@@ -20,25 +17,226 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline at sf0.001: full BFS crawl of the synthetic
+    link-graph corpus through the engine, returning the reachability
+    table (doc_id, status, state)."""
+    from linkinator_ray.pipelines import graph
+    return graph.crawl_reachability("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from linkinator_ray.pipelines import dedup, events, graph, multimodal, similarity, text
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def knn(sf_dir):
+        ds = similarity.knn_bruteforce(sf_dir, k=5, num_queries=4)
+        # cosine dropped from the compared output: float hashing is not
+        # portable across engines; rank order is the contract
+        return ds.select_columns(["query_id", "rank", "neighbor_id"])
+
+    def media_features_sql_cols(sf_dir):
+        ds = multimodal.media_features(sf_dir)
+        return ds.select_columns(
+            ["media_id", "kind", "n_bytes", "n_frames", "sampled_frames"]).sort("media_id")
+
+    def embedding_pairs(sf_dir):
+        table = dedup.dedup_embedding(sf_dir, threshold=0.95, limit=200)
+        return table.select(["vec_a", "vec_b"])
+
+    return {
+        # crawl engine over the deterministic link graph
+        "crawl_reachability": graph.crawl_reachability,
+        "crawl_summary": graph.crawl_summary,
+        "extract_edges": graph.extract_edges,
+        # text analysis
+        "doc_stats": text.doc_stats,
+        "token_count_by_lang": text.token_count_by_lang,
+        "fingerprint_md5": text.fingerprint_md5,
+        "lang_id": text.lang_id,                      # rows-only
+        "rolling_fingerprint": text.rolling_fingerprint,  # rows-only
+        # dedup family
+        "dedup_exact": dedup.dedup_exact,
+        "ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
+            sf, limit=100, ngram=1, threshold=0.5),
+        "dedup_embedding": embedding_pairs,
+        "dedup_minhash": lambda sf: dedup.dedup_minhash(sf, threshold=0.7),  # rows-only
+        "dedup_simhash": lambda sf: dedup.dedup_simhash(sf, max_hamming=3),  # rows-only
+        # similarity search
+        "knn_bruteforce": knn,
+        "knn_lsh": lambda sf: similarity.knn_lsh(sf, k=5, num_queries=4),  # rows-only
+        # streaming-shaped
+        "tumbling_window": lambda sf: events.tumbling_window(sf, 3600),
+        "sessionize": lambda sf: events.sessionize(sf, 1800),
+        # multimodal plumbing
+        "media_features": media_features_sql_cols,
+        "media_summary": multimodal.media_summary,
+    }
+
+
+# The synthetic link-graph rule shared by the Ray pipeline and the SQL
+# oracle (linkinator_ray/pipelines/graph.py): doc d → 2d+1, 2d+2 (< N),
+# (7d+3) % N (≠ d); docs with d % 13 == 7 are missing (404).
+_EDGES_CTE = """
+  nn AS (SELECT count(*) AS c FROM documents),
+  edges AS (
+    SELECT doc_id AS src, 2*doc_id+1 AS dst FROM documents, nn
+      WHERE 2*doc_id+1 < nn.c
+    UNION ALL
+    SELECT doc_id, 2*doc_id+2 FROM documents, nn WHERE 2*doc_id+2 < nn.c
+    UNION ALL
+    SELECT doc_id, (7*doc_id+3) % nn.c FROM documents, nn
+      WHERE (7*doc_id+3) % nn.c <> doc_id
+  )
+"""
+
+_REACH_CTE = _EDGES_CTE + """,
+  reach(doc) AS (
+    SELECT CAST(0 AS BIGINT)
+    UNION
+    SELECT e.dst FROM reach r JOIN edges e ON e.src = r.doc
+      WHERE e.src % 13 <> 7
+  )
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "crawl_reachability": f"""
+            WITH RECURSIVE {_REACH_CTE}
+            SELECT doc AS doc_id,
+                   CAST(CASE WHEN doc % 13 = 7 THEN 404 ELSE 200 END AS INTEGER) AS status,
+                   CASE WHEN doc % 13 = 7 THEN 'BROKEN' ELSE 'OK' END AS state
+            FROM reach ORDER BY doc_id
+        """,
+        "crawl_summary": f"""
+            WITH RECURSIVE {_REACH_CTE}
+            SELECT CASE WHEN doc % 13 = 7 THEN 'BROKEN' ELSE 'OK' END AS state,
+                   count(*) AS n_urls
+            FROM reach GROUP BY 1 ORDER BY 1
+        """,
+        "extract_edges": f"""
+            WITH {_EDGES_CTE}
+            SELECT DISTINCT src AS src_doc, dst AS dst_doc FROM edges
+            WHERE src % 13 <> 7
+            ORDER BY src_doc, dst_doc
+        """,
+        "doc_stats": r"""
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(1000000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                        // greatest(length(text), 1) AS BIGINT) AS alpha_ppm,
+                   CAST(1000000 * length(regexp_replace(text, '[^.,;:!?]', '', 'g'))
+                        // greatest(len(string_split_regex(trim(text), '\s+')), 1)
+                        AS BIGINT) AS punct_ppm
+            FROM documents
+        """,
+        "token_count_by_lang": r"""
+            SELECT lang,
+                   CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                       AS total_tokens,
+                   count(*) AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "fingerprint_md5": """
+            SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS keeper_doc_id, count(*) AS dup_count
+            FROM documents GROUP BY md5(text) ORDER BY keeper_doc_id
+        """,
+        "ngram_jaccard": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       list_distinct(string_split_regex(trim(text), '\s+')) AS words
+                FROM documents WHERE doc_id < 100
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   (1000000 * len(list_intersect(a.words, b.words)))
+                       // (len(a.words) + len(b.words)
+                           - len(list_intersect(a.words, b.words))) AS jaccard_ppm
+            FROM toks a JOIN toks b ON a.doc_id < b.doc_id
+            WHERE (1000000 * len(list_intersect(a.words, b.words)))
+                      // (len(a.words) + len(b.words)
+                          - len(list_intersect(a.words, b.words))) >= 500000
+            ORDER BY doc_a, doc_b
+        """,
+        "dedup_embedding": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings WHERE vec_id < 200
+            )
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+            ORDER BY vec_a, vec_b
+        """,
+        "knn_bruteforce": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 4
+            ), scored AS (
+                SELECT q.query_id, e.vec_id AS neighbor_id,
+                       list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+                FROM q CROSS JOIN embeddings e
+            )
+            SELECT query_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rank,
+                   neighbor_id
+            FROM scored
+            QUALIFY rank <= 5
+            ORDER BY query_id, rank
+        """,
+        "tumbling_window": """
+            SELECT event_type,
+                   (epoch_us(ts) // 3600000000) * 3600 AS window_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "sessionize": """
+            WITH gaps AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch_us(ts) // 1000000
+                                 - epoch_us(lag(ts) OVER w) // 1000000 > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), sess AS (
+                SELECT user_id,
+                       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess_id
+                FROM gaps
+            ), sizes AS (
+                SELECT user_id, sess_id, count(*) AS sz
+                FROM sess GROUP BY user_id, sess_id
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(max(sz) AS BIGINT) AS max_session_events,
+                   CAST(sum(sz) AS BIGINT) AS n_events
+            FROM sizes GROUP BY user_id ORDER BY user_id
+        """,
+        "media_features": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(32 * (1 + doc_id % 4) AS BIGINT) AS n_bytes,
+                   CAST(CASE WHEN doc_id % 3 = 2
+                             THEN (32 * (1 + doc_id % 4)) // 32
+                             ELSE 1 END AS BIGINT) AS n_frames,
+                   CAST(greatest(1, (CASE WHEN doc_id % 3 = 2
+                             THEN (32 * (1 + doc_id % 4)) // 32
+                             ELSE 1 END) // 4) AS BIGINT) AS sampled_frames
+            FROM documents ORDER BY media_id
+        """,
+        "media_summary": """
+            SELECT CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   count(*) AS n_items,
+                   CAST(sum(32 * (1 + doc_id % 4)) AS BIGINT) AS total_bytes
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+    }

@@ -1,0 +1,65 @@
+"""Stream-shaped operators over the ``events`` table.
+
+Ray Data has no event-time windows (ray_guide 'Streaming-shaped
+workloads'); windows are expressed as key-partitioned groupbys with
+in-group pandas over ts-sorted rows. Ordering assumption: correctness
+requires only per-key ordering, which map_groups + an in-group sort
+provides regardless of block order.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def read_events(sf_dir: str, columns=None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def tumbling_window(sf_dir: str, window_s: int = 3600):
+    """Per (event_type, window) count + sum(value): partial aggregation
+    per batch, then a small groupby merge."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch = batch["ts"].astype("int64") // 1_000_000
+        win = (epoch // window_s) * window_s
+        # sum in exact integer cents — float sums are order-dependent
+        # across a distributed merge, integer sums are not
+        g = pd.DataFrame({
+            "event_type": batch["event_type"], "window_start": win,
+            "cents": np.floor(batch["value"] * 100).astype("int64"),
+        }).groupby(["event_type", "window_start"], as_index=False).agg(
+            n=("cents", "size"), total=("cents", "sum"))
+        return g
+
+    partials = read_events(sf_dir, ["ts", "event_type", "value"]).map_batches(
+        partial, batch_format="pandas", batch_size=16384)
+    out = partials.groupby(["event_type", "window_start"]).aggregate(
+        Sum("n", alias_name="n_events"),
+        Sum("total", alias_name="sum_cents"))
+    return out.sort(["event_type", "window_start"])
+
+
+def sessionize(sf_dir: str, gap_s: int = 1800):
+    """Per-user session count + max session length, 30-min inactivity
+    gap. Per-user map_groups over ts-sorted events (in-group sort makes
+    the result independent of block order)."""
+
+    def per_user(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values("ts")
+        epoch = g["ts"].astype("int64") // 1_000_000
+        gaps = epoch.diff().fillna(0)
+        new_session = (gaps > gap_s).cumsum()
+        sizes = new_session.value_counts()
+        return pd.DataFrame({
+            "user_id": [g["user_id"].iloc[0]],
+            "n_sessions": [int(new_session.nunique())],
+            "max_session_events": [int(sizes.max())],
+            "n_events": [len(g)],
+        })
+
+    return read_events(sf_dir, ["ts", "user_id"]).groupby("user_id").map_groups(
+        per_user, batch_format="pandas").sort("user_id")

@@ -1,0 +1,152 @@
+"""Deterministic link graph over the testdata ``documents`` table.
+
+Bridges the crawl engine to the driver's DuckDB correctness gate: a
+synthetic corpus whose link structure is a pure function of doc_id, so
+BFS reachability, link extraction and status classification have exact
+recursive-CTE SQL oracles.
+
+Graph rule (N = row count of documents):
+  doc d links to 2d+1 and 2d+2 (when < N) and (7d+3) % N (when ≠ d);
+  docs with d % 13 == 7 are MISSING from the corpus (fetch → 404 →
+  BROKEN) and do not expand. Crawl seeds at doc 0, recursive,
+  same-origin.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from linkinator_ray import schema
+from linkinator_ray.options import CheckOptions
+from linkinator_ray.pipelines.crawl import LinkChecker
+from linkinator_ray.stages.extract import ExtractLinks
+
+_DOC_URL = re.compile(r"^http://corpus\.test/d/(\d+)\.html$")
+
+
+def _doc_ids(sf_dir: str) -> np.ndarray:
+    table = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return np.sort(table["doc_id"].to_numpy())
+
+
+def targets_of(d: int, n: int) -> list[int]:
+    out = []
+    if 2 * d + 1 < n:
+        out.append(2 * d + 1)
+    if 2 * d + 2 < n:
+        out.append(2 * d + 2)
+    t3 = (7 * d + 3) % n
+    if t3 != d:
+        out.append(t3)
+    return out
+
+
+def synth_corpus(sf_dir: str) -> pa.Table:
+    """documents(doc_id int64) → spans corpus table (present docs only).
+
+    Includes a root ``index.html`` linking to doc 0: recursion in the
+    engine (as in the reference, src/index.ts:786-798) only descends
+    into URLs under the seed's rootPath, so the crawl seeds at the site
+    root and reaches every /d/*.html page from there."""
+    ids = _doc_ids(sf_dir)
+    n = len(ids)
+    doc_ids = ["index.html"]
+    spans_col = [[{"kind": "anchor", "text": "root", "media_ref": "/d/0.html",
+                   "offset": 0}]]
+    for d in ids:
+        d = int(d)
+        if d % 13 == 7:
+            continue  # missing page
+        spans = [
+            {"kind": "anchor", "text": f"to-{t}", "media_ref": f"/d/{t}.html",
+             "offset": i * 10}
+            for i, t in enumerate(targets_of(d, n))
+        ]
+        doc_ids.append(f"d/{d}.html")
+        spans_col.append(spans)
+    return pa.Table.from_pydict({"doc_id": doc_ids, "spans": spans_col},
+                                schema=schema.DOCUMENTS)
+
+
+def crawl_links(sf_dir: str, **checker_kwargs):
+    """Full engine crawl of the synthetic corpus. Returns the CrawlResult."""
+    corpus = synth_corpus(sf_dir)
+    opts = CheckOptions(paths=[""], recurse=True,
+                        **checker_kwargs.pop("options", {}))
+    checker = LinkChecker(opts, corpus, http_map=[], **checker_kwargs)
+    return checker.check()
+
+
+def crawl_reachability(sf_dir: str) -> pa.Table:
+    """Distinct (doc_id, status, state) over every URL the BFS checked.
+
+    Oracle: recursive CTE over the arithmetic edge rule (see
+    __ray_entry__.oracle_sql)."""
+    result = crawl_links(sf_dir)
+    rows = {}
+    for r in result.results.to_pylist():
+        m = _DOC_URL.match(r["url"])
+        if not m:
+            continue
+        rows[int(m.group(1))] = (r["status"], r["state"])
+    ids = sorted(rows)
+    return pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "status": pa.array([rows[i][0] for i in ids], pa.int32()),
+        "state": pa.array([rows[i][1] for i in ids], pa.string()),
+    })
+
+
+def crawl_summary(sf_dir: str) -> pa.Table:
+    """State → distinct-URL counts of the reachability crawl."""
+    reach = crawl_reachability(sf_dir)
+    states = reach["state"].to_pylist()
+    counts = {}
+    for s in states:
+        counts[s] = counts.get(s, 0) + 1
+    keys = sorted(counts)
+    return pa.table({
+        "state": pa.array(keys, pa.string()),
+        "n_urls": pa.array([counts[k] for k in keys], pa.int64()),
+    })
+
+
+def extract_links_dataset(sf_dir: str):
+    """The extraction stage as a proper ray.data pipeline over the
+    synthetic corpus: documents → map_batches(ExtractLinks) → distinct
+    (src_doc, dst_doc) edges, sorted. Exercises the zero-copy span
+    explode + resolve kernel end to end."""
+    import ray.data as rd
+    corpus = synth_corpus(sf_dir)
+    links = rd.from_arrow(corpus).map_batches(
+        ExtractLinks, batch_format="pyarrow", batch_size=2048,
+        concurrency=4)
+
+    def to_edges(batch: pa.Table) -> pa.Table:
+        src, dst = [], []
+        for d, u in zip(batch["doc_id"].to_pylist(), batch["url"].to_pylist()):
+            m = _DOC_URL.match(u)
+            if not d.startswith("d/") or not m:
+                continue  # the synthetic root index page
+            src.append(int(d.split("/")[1].split(".")[0]))
+            dst.append(int(m.group(1)))
+        return pa.table({"src_doc": pa.array(src, pa.int64()),
+                         "dst_doc": pa.array(dst, pa.int64())})
+
+    return links.map_batches(to_edges, batch_format="pyarrow")
+
+
+def extract_edges(sf_dir: str):
+    """Distinct sorted (src_doc, dst_doc) via the Ray extraction pipeline
+    — distinct expressed as a Dataset groupby (a hash shuffle on the
+    edge key), the at-scale shape for edge dedup (SURVEY.md §2.5 D2)."""
+    from ray.data.aggregate import Count
+    edges = extract_links_dataset(sf_dir)
+    distinct = edges.groupby(["src_doc", "dst_doc"]).aggregate(
+        Count(alias_name="n"))
+    return distinct.select_columns(["src_doc", "dst_doc"]).sort(
+        ["src_doc", "dst_doc"])

@@ -1,0 +1,115 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are carried as Arrow ``binary`` columns with
+typed metadata columns alongside; decode / feature-extract stages are
+actor-pool ``map_batches`` classes. The actual codec work is STUBBED
+(no image/audio libraries in this container): ``MediaDecoder`` computes
+deterministic fake features, and ``decode_real`` raises
+NotImplementedError behind an import-try — the Ray-side plumbing
+(schemas, batch sizing for wide binary rows, actor signature, output
+layout) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MEDIA_SCHEMA = pa.schema([
+    ("media_id", pa.int64()),
+    ("kind", pa.string()),          # image | audio | video
+    ("payload", pa.binary()),       # opaque encoded bytes
+    ("declared_w", pa.int32()),
+    ("declared_h", pa.int32()),
+])
+
+
+def synthesize_media(sf_dir: str):
+    """Derive a deterministic media table from ``documents``: payload
+    bytes and declared dimensions are pure functions of doc_id, so an
+    SQL oracle can reproduce the metadata exactly."""
+    import ray.data as rd
+
+    def kernel(batch: pd.DataFrame) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        kinds = np.where(ids % 3 == 0, "image",
+                         np.where(ids % 3 == 1, "audio", "video"))
+        payloads = [hashlib.blake2b(f"media-{i}".encode(),
+                                    digest_size=32).digest() * int(1 + i % 4)
+                    for i in ids]
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "kind": pa.array(kinds.tolist(), pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "declared_w": pa.array(((ids * 7919) % 1280 + 16).astype(np.int32)),
+            "declared_h": pa.array(((ids * 104729) % 720 + 16).astype(np.int32)),
+        })
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                           columns=["doc_id"]).map_batches(
+        kernel, batch_format="pandas", batch_size=2048)
+
+
+def decode_real(payload: bytes, kind: str):
+    """The real decode path — gated on libraries this container lacks."""
+    try:
+        import PIL.Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "media decode requires an image/audio library not present in "
+            "this environment; MediaDecoder uses the deterministic stub"
+        ) from exc
+
+
+class MediaDecoder:
+    """Actor-pool decode/feature stage.
+
+    __init__ = codec setup, once per actor (here: stub registration).
+    __call__ = per-batch feature extraction over binary payloads. Small
+    ``batch_size`` is the right physical shape for wide binary rows
+    (ray_guide 'Memory-aware').
+    """
+
+    def __init__(self, frame_sample_rate: int = 4):
+        self.frame_sample_rate = frame_sample_rate
+        self.codec = "stub-v1"  # real impl: load codec/model here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        n_bytes = np.array([len(p) for p in payloads], dtype=np.int64)
+        checksum = np.array(
+            [int.from_bytes(hashlib.blake2b(p, digest_size=8).digest(), "little")
+             for p in payloads], dtype=np.uint64)
+        # stubbed 'decoded' features — deterministic functions of payload
+        n_frames = np.where(np.asarray(kinds) == "video",
+                            (n_bytes // 32), 1).astype(np.int64)
+        sampled = np.maximum(1, n_frames // self.frame_sample_rate)
+        return pa.table({
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "n_bytes": pa.array(n_bytes),
+            "checksum": pa.array(checksum, pa.uint64()),
+            "n_frames": pa.array(n_frames),
+            "sampled_frames": pa.array(sampled),
+        })
+
+
+def media_features(sf_dir: str):
+    """synthesize → actor-pool decode/feature stage → features table."""
+    media = synthesize_media(sf_dir)
+    return media.map_batches(MediaDecoder, batch_format="pyarrow",
+                             batch_size=512, concurrency=4)
+
+
+def media_summary(sf_dir: str):
+    """Per-kind byte totals — SQL-checkable since payload size is a
+    deterministic function of media_id."""
+    from ray.data.aggregate import Count, Sum
+    out = media_features(sf_dir).groupby("kind").aggregate(
+        Count(alias_name="n_items"),
+        Sum("n_bytes", alias_name="total_bytes"))
+    return out.sort("kind")

@@ -1,0 +1,180 @@
+"""Text-analysis operators over the ``documents`` corpus table.
+
+Large-scale training-data pipeline stages (BASELINE round brief): token
+counting, quality scoring, language ID, document fingerprinting. All are
+``map_batches`` stages — stateless vectorized kernels or actor-pool
+classes whose setup (compiled regexes, stopword profiles) runs once per
+actor.
+
+The testdata ``documents`` table here is flat text
+``(doc_id:int64, text, lang, source, n_chars)``; these operators work on
+any table with a text column.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_WS = re.compile(r"\s+")
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic
+STOPWORDS = {
+    "en": {"the", "and", "of", "a", "to", "in", "is", "it", "that", "for"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "zu", "mit", "von", "nicht"},
+    "es": {"el", "la", "de", "que", "y", "en", "un", "es", "no", "por"},
+    "fr": {"le", "la", "de", "et", "un", "est", "en", "que", "pour", "dans"},
+    "zh": {"的", "是", "在", "了", "和", "有", "我", "不", "这", "人"},
+}
+
+
+def read_docs(sf_dir: str, columns: list[str] | None = None):
+    import ray.data as rd
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# token / quality stats — stateless vectorized kernel
+# ---------------------------------------------------------------------------
+
+def _stats_kernel(batch: pd.DataFrame) -> pd.DataFrame:
+    text = batch["text"].fillna("")
+    tokens = text.str.strip().str.split(_WS)
+    n_tokens = tokens.map(len).astype("int64")
+    n_chars = text.str.len().astype("int64")
+    alpha = text.str.count(r"[A-Za-z]").astype("int64")
+    punct = text.str.count(r"[.,;:!?]").astype("int64")
+    # ratios as exact parts-per-million integers so the DuckDB oracle
+    # hashes identically (float rounding is not portable)
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "n_tokens": n_tokens,
+        "n_chars": n_chars,
+        "alpha_ppm": (alpha * 1_000_000) // n_chars.clip(lower=1),
+        "punct_ppm": (punct * 1_000_000) // n_tokens.clip(lower=1),
+    })
+
+
+def doc_stats(sf_dir: str):
+    """Per-doc token/char counts + ratios (quality-score features)."""
+    return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _stats_kernel, batch_format="pandas", batch_size=8192)
+
+
+def token_count_by_lang(sf_dir: str):
+    """Σ tokens per language — partial aggregation inside map_batches,
+    tiny groupby after (the pre-aggregate pattern; ray_guide
+    'Aggregation at scale')."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        toks = batch["text"].fillna("").str.strip().str.split(_WS).map(len)
+        g = pd.DataFrame({"lang": batch["lang"], "t": toks}).groupby(
+            "lang", as_index=False).agg(tokens=("t", "sum"), docs=("t", "size"))
+        return g
+
+    partials = read_docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192)
+    out = partials.groupby("lang").aggregate(
+        Sum("tokens", alias_name="total_tokens"),
+        Sum("docs", alias_name="n_docs"))
+    return out.sort("lang")
+
+
+# ---------------------------------------------------------------------------
+# language ID — actor-pool stage (profiles built once per actor)
+# ---------------------------------------------------------------------------
+
+class LangId:
+    """Stopword-profile language classifier. Stateful setup in
+    ``__init__`` (once per actor), vectorized-ish scoring per batch."""
+
+    def __init__(self):
+        self.profiles = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+        self.token_re = re.compile(r"\w+", re.UNICODE)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds = []
+        confs = []
+        for text in batch["text"].fillna(""):
+            words = self.token_re.findall(text.lower())
+            # CJK shortcut: any profile char hit dominates
+            best, best_score = "en", 0.0
+            wordset = words[:200]
+            for lang, profile in self.profiles.items():
+                if lang == "zh":
+                    score = sum(ch in profile for ch in text[:400])
+                else:
+                    score = sum(w in profile for w in wordset)
+                if score > best_score:
+                    best, best_score = lang, float(score)
+            preds.append(best)
+            confs.append(best_score / max(1, len(wordset)))
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "predicted_lang": preds,
+                             "confidence": np.round(confs, 6)})
+
+
+def lang_id(sf_dir: str):
+    return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pandas", batch_size=4096, concurrency=4)
+
+
+# ---------------------------------------------------------------------------
+# fingerprints
+# ---------------------------------------------------------------------------
+
+def _md5_kernel(batch: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame({
+        "doc_id": batch["doc_id"],
+        "fingerprint": [hashlib.md5(t.encode("utf-8")).hexdigest()
+                        for t in batch["text"].fillna("")],
+    })
+
+
+def fingerprint_md5(sf_dir: str):
+    """Exact-dup key: md5 of the raw text (DuckDB-checkable)."""
+    return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _md5_kernel, batch_format="pandas", batch_size=8192)
+
+
+def rolling_fingerprint(sf_dir: str, window: int = 8):
+    """Rabin-Karp rolling-hash document fingerprint: min of rolling
+    window hashes over the token stream (winnowing-style; a content-
+    defined signature robust to local edits). Not SQL-expressible —
+    rows-only oracle."""
+
+    B = np.uint64(1000003)
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        fps = []
+        for text in batch["text"].fillna(""):
+            toks = _WS.split(text.strip())
+            hs = np.fromiter(
+                (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
+                                "little") for t in toks),
+                dtype=np.uint64, count=len(toks))
+            if len(hs) < window:
+                fps.append(int(hs.min()) if len(hs) else 0)
+                continue
+            with np.errstate(over="ignore"):
+                roll = np.zeros(len(hs) - window + 1, dtype=np.uint64)
+                acc = np.uint64(0)
+                for i in range(window):
+                    acc = acc * B + hs[i]
+                roll[0] = acc
+                pow_b = B ** np.uint64(window - 1)
+                for i in range(1, len(roll)):
+                    acc = (acc - hs[i - 1] * pow_b) * B + hs[i + window - 1]
+                    roll[i] = acc
+            fps.append(int(roll.min()))
+        return pd.DataFrame({"doc_id": batch["doc_id"],
+                             "rolling_fp": np.array(fps, dtype=np.uint64)})
+
+    return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        kernel, batch_format="pandas", batch_size=4096)
