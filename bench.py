@@ -1,0 +1,162 @@
+#!/usr/bin/env python
+"""Bench harness. Prints ONE JSON line:
+    {"metric": ..., "value": <headline sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N, ...}
+
+Headline: full BFS crawl of the deterministic multi-host synthetic
+corpus (mock transport — measures the engine: frontier rounds, seen-set
+actors, fetch pool, extraction, classification). Secondary: the
+training-data pipelines over $GRAFT_SF_DIR.
+
+``--scaling``: runs the headline crawl in two fresh processes at
+num_cpus=8 and 32 on the same corpus and reports throughput at both
+plus efficiency = (T32/T8)/4 — the sandbox realization of the
+N-vs-4N-nodes criterion (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SF = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else 0.0
+
+# crawl corpus scale (deterministic; independent of SF_DIR table sizes)
+CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "16"))
+CRAWL_DOCS_PER_HOST = int(os.environ.get("BENCH_CRAWL_DOCS", "4000"))
+
+
+def run_crawl(ncpu: int) -> dict:
+    from linkinator_ray.options import CheckOptions
+    from linkinator_ray.pipelines.crawl import LinkChecker
+    from linkinator_ray.sources.synth import synth_crawl_corpus
+
+    docs, seeds, expected_seen, _ = synth_crawl_corpus(
+        num_hosts=CRAWL_HOSTS, docs_per_host=CRAWL_DOCS_PER_HOST)
+    opts = CheckOptions(
+        paths=seeds, recurse=True,
+        fetch_concurrency=max(2, ncpu // 2),
+        seen_shards=max(4, ncpu // 4),
+        seen_filter="cuckoo",
+        batch_size=4096,
+    )
+    t0 = time.time()
+    checker = LinkChecker(opts, docs, [], multi_host=True, use_ray=True)
+    res = checker.check()
+    drain = time.time() - t0
+    assert res.stats["seen_urls"] == expected_seen, \
+        (res.stats["seen_urls"], expected_seen)
+    return {
+        "crawl_sec": round(drain, 3),
+        "urls_checked": res.stats["urls_checked"],
+        "urls_per_sec": round(res.stats["urls_checked"] / drain, 1),
+        "rounds": res.stats["rounds"],
+        "seen_urls": res.stats["seen_urls"],
+    }
+
+
+def consume(ds) -> int:
+    import pandas as pd
+    import pyarrow as pa
+    if isinstance(ds, (pd.DataFrame,)):
+        return len(ds)
+    if isinstance(ds, pa.Table):
+        return ds.num_rows
+    return ds.count()
+
+
+def run_queries() -> dict:
+    from linkinator_ray.pipelines import dedup, events, graph, similarity, text
+    timings = {}
+    jobs = {
+        "extract_edges": lambda: graph.extract_edges(SF_DIR),
+        "crawl_reachability": lambda: graph.crawl_reachability(SF_DIR),
+        "doc_stats": lambda: text.doc_stats(SF_DIR),
+        "token_count_by_lang": lambda: text.token_count_by_lang(SF_DIR),
+        "lang_id": lambda: text.lang_id(SF_DIR),
+        "dedup_exact": lambda: dedup.dedup_exact(SF_DIR),
+        "dedup_minhash": lambda: dedup.dedup_minhash(SF_DIR),
+        "dedup_simhash": lambda: dedup.dedup_simhash(SF_DIR),
+        "knn_bruteforce": lambda: similarity.knn_bruteforce(SF_DIR, k=5, num_queries=4),
+        "tumbling_window": lambda: events.tumbling_window(SF_DIR),
+        "sessionize": lambda: events.sessionize(SF_DIR),
+    }
+    for name, job in jobs.items():
+        t0 = time.time()
+        consume(job())
+        timings[name] = round(time.time() - t0, 3)
+    return timings
+
+
+def main() -> None:
+    import ray
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    crawl = run_crawl(NCPU)
+    queries = run_queries()
+    queries["crawl_synthetic"] = crawl["crawl_sec"]
+    out = {
+        "metric": "synthetic multi-host crawl drain time "
+                  f"({crawl['urls_checked']} URLs, {CRAWL_HOSTS} hosts)",
+        "value": crawl["crawl_sec"],
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF,
+        "num_cpus": NCPU,
+        "urls_per_sec": crawl["urls_per_sec"],
+        "rounds": crawl["rounds"],
+        "seen_urls": crawl["seen_urls"],
+    }
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+def scaling() -> None:
+    """Two fresh processes, num_cpus 8 then 32, same corpus."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   BENCH_CRAWL_ONLY="1")
+        out = subprocess.run(
+            [sys.executable, __file__, "--crawl-only"], env=env,
+            capture_output=True, text=True, check=True).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8 = results[8]["urls_per_sec"]
+    t32 = results[32]["urls_per_sec"]
+    eff = (t32 / t8) / (32 / 8)
+    print(json.dumps({
+        "urls_per_sec_8": t8, "urls_per_sec_32": t32,
+        "crawl_sec_8": results[8]["crawl_sec"],
+        "crawl_sec_32": results[32]["crawl_sec"],
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+def crawl_only() -> None:
+    import ray
+    ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    import ray.data
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    out = run_crawl(NCPU)
+    ray.shutdown()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif "--crawl-only" in sys.argv:
+        crawl_only()
+    else:
+        main()

@@ -68,7 +68,8 @@ class LinkChecker:
     def __init__(self, options: CheckOptions, documents: pa.Table | None = None,
                  http_map: list[dict] | None = None, clock: Clock | None = None,
                  corpus_host: str = "corpus.test", use_ray: bool | None = None,
-                 transport_latency_s: float = 0.0, jitter_seed: int = 42):
+                 transport_latency_s: float = 0.0, jitter_seed: int = 42,
+                 multi_host: bool = False):
         self.opts = options
         self.clock = clock or FakeClock()
         self.corpus_host = corpus_host
@@ -81,10 +82,12 @@ class LinkChecker:
             use_ray = options.execution == "ray"
         self.use_ray = use_ray
         self.transport_latency_s = transport_latency_s
+        self.multi_host = multi_host
 
         self.corpus = CorpusIndex(self.documents, host=corpus_host,
                                   clean_urls=options.clean_urls,
-                                  markdown=options.markdown)
+                                  markdown=options.markdown,
+                                  multi_host=multi_host)
         self.extractor = ExtractLinks(check_css=options.check_css,
                                       corpus_base=self.corpus_base)
         self._skip_patterns = options.compiled_skips()
@@ -105,6 +108,7 @@ class LinkChecker:
         }
         self.static_host = self.corpus_base  # requireHttps exemption + mapUrl
         self.run_id = uuid.uuid4().hex[:12]
+        self.timings = {"skip": 0.0, "fetch": 0.0, "process": 0.0}
 
     # ------------------------------------------------------------------
     # seed handling (processOptions, src/options.ts:54-191)
@@ -202,16 +206,16 @@ class LinkChecker:
     def check(self, resume_from: str | None = None) -> CrawlResult:
         opts = self.opts
         self.seen = SeenSet(opts.seen_shards, opts.seen_filter, use_ray=self.use_ray)
-        self.edge_seen = SeenSet(opts.seen_shards, "exact", use_ray=False)
+        # edge dedup is driver-local; one vectorized shard beats sharding
+        self.edge_seen = SeenSet(1, "exact", use_ray=False)
 
         transport_blob = {
             "http_map": self.http_map,
-            "corpus_docs": dict(zip(self.documents["doc_id"].to_pylist(),
-                                    self.documents["spans"].to_pylist()))
-            if self.documents.num_rows else {},
+            "documents": self.documents,
             "corpus_host": self.corpus_host,
             "clean_urls": opts.clean_urls,
             "markdown": opts.markdown,
+            "multi_host": self.multi_host,
             "latency_s": self.transport_latency_s,
             "strict": False,
         }
@@ -220,8 +224,13 @@ class LinkChecker:
             "check_css": opts.check_css,
             "check_fragments": opts.check_fragments,
             "retry": opts.retry,
+            "recurse": opts.recurse,
             "skip_patterns": opts.links_to_skip if not callable(opts.links_to_skip) else None,
             "skip_fn": opts.links_to_skip if callable(opts.links_to_skip) else None,
+            "frag_skip_patterns": opts.fragments_to_skip
+            if not callable(opts.fragments_to_skip) else None,
+            "frag_skip_fn": opts.fragments_to_skip
+            if callable(opts.fragments_to_skip) else None,
             "headers": opts.headers,
         }
         pool = FetchPool(worker_kwargs, transport_blob, use_ray=self.use_ray,
@@ -243,19 +252,28 @@ class LinkChecker:
             runnable = frontier.filter(pa.array(runnable_mask))
             deferred = [frontier.filter(pa.array(~runnable_mask))]
 
+            import time as _time
+            t0 = _time.perf_counter()
             runnable = self._apply_rewrites(runnable)
             live, skipped = self._skip_stage(runnable, round_no)
             live, gated = self._politeness_gate(live, now)
             deferred.extend(gated)
+            t1 = _time.perf_counter()
 
-            fetched = pool.fetch(live, set(self.pending_fragments), now)
+            output = pool.fetch(live, set(self.pending_fragments), now)
+            fetched = output["fetched"]
             self.counters["urls_checked"] += fetched.num_rows
+            t2 = _time.perf_counter()
 
             fetched, requeues = self._handle_retries(fetched, now)
             deferred.extend(requeues)
 
-            new_frontier = self._process_fetched(fetched, round_no)
+            new_frontier = self._process_fetched(fetched, output, round_no)
             deferred.append(new_frontier)
+            t3 = _time.perf_counter()
+            self.timings["skip"] += t1 - t0
+            self.timings["fetch"] += t2 - t1
+            self.timings["process"] += t3 - t2
 
             frontier = pa.concat_tables([t for t in deferred if t.num_rows]) \
                 if any(t.num_rows for t in deferred) else schema.empty(schema.FRONTIER)
@@ -272,7 +290,8 @@ class LinkChecker:
             passed=broken == 0,
             results=results,
             stats=dict(self.counters, broken=broken,
-                       seen_urls=self.seen.size()),
+                       seen_urls=self.seen.size(),
+                       timings={k: round(v, 3) for k, v in self.timings.items()}),
             call_log=pool.call_log(),
         )
 
@@ -418,8 +437,10 @@ class LinkChecker:
 
     # ------------------------------------------------------------------
 
-    def _process_fetched(self, fetched: pa.Table, round_no: int) -> pa.Table:
-        """Classify, extract, build the next frontier slice."""
+    def _process_fetched(self, fetched: pa.Table, output: dict,
+                         round_no: int) -> pa.Table:
+        """Classify, merge actor-side link results, run the dedup joins,
+        build the next frontier."""
         if fetched.num_rows == 0:
             return schema.empty(schema.FRONTIER)
 
@@ -451,230 +472,105 @@ class LinkChecker:
             failures=verdict["failure"].tolist(),
             frontier_level=[True] * len(urls))
 
-        # which rows recurse? (src/index.ts:419-424, :675-715)
         do_crawl = fetched["do_crawl"].to_numpy(zero_copy_only=False)
         has_body = fetched["has_body"].to_numpy(zero_copy_only=False)
-        recurse_html = do_crawl & verdict["should_recurse_html"] & has_body
-        recurse_css = (do_crawl & verdict["should_recurse_css"] & has_body
-                       & self.opts.check_css)
-        recurse = recurse_html | recurse_css
-        new_rows = self._extract_and_enqueue(fetched, recurse, recurse_css,
-                                             verdict, round_no)
+        recurse = do_crawl & has_body & (
+            verdict["should_recurse_html"]
+            | (verdict["should_recurse_css"] & self.opts.check_css))
+        self.counters["pages_crawled"] += int(recurse.sum())
+
+        # actor-side per-link results (parse errors, link-level skips)
+        link_results = output["link_results"]
+        if link_results.num_rows:
+            self._push_results(
+                round_no, link_results["url"].to_pylist(),
+                link_results["status"].to_pylist(),
+                link_results["state"].to_pylist(),
+                link_results["parent"].to_pylist())
+
+        # fragment accumulation (A7): merge actor-noted fragments
+        pend = output["pending_frags"]
+        if pend.num_rows:
+            for url, frag in zip(pend["target_url"].to_pylist(),
+                                 pend["fragment"].to_pylist()):
+                self.pending_fragments.setdefault(url, set()).add(frag)
+
+        new_rows = self._enqueue_candidates(output["candidates"])
 
         if self.opts.check_fragments:
-            self._validate_fragments(fetched, verdict, round_no)
+            self._validate_fragments(fetched, output["frag_targets"],
+                                     verdict, round_no)
         return new_rows
 
-    def _extract_and_enqueue(self, fetched: pa.Table, recurse: np.ndarray,
-                             recurse_css: np.ndarray, verdict: dict,
-                             round_no: int) -> pa.Table:
-        opts = self.opts
-        idx = np.flatnonzero(recurse)
-        if len(idx) == 0:
+    def _enqueue_candidates(self, cand: pa.Table) -> pa.Table:
+        """The two global joins of link discovery: edge dedup
+        (relationshipCache, src/index.ts:800-810) and the seen-set
+        anti-join (cache, :812-875). Everything per-link was already
+        prepared inside the fetch actors; this stage is pure batched
+        set-membership + an Arrow filter."""
+        if cand.num_rows == 0:
             return schema.empty(schema.FRONTIER)
-        self.counters["pages_crawled"] += len(idx)
-        urls = fetched["url"].to_pylist()
-        parents = fetched["parent"].to_pylist()
-        final_urls = fetched["final_url"].to_pylist()
-        body_docs = fetched["body_doc_id"].to_pylist()
-        roots = fetched["root_path"].to_pylist()
-        depths = fetched["depth"].to_pylist()
-
-        # extract links page by page (distributed via ray.data map_batches
-        # when the round is large — see _extract_links_many)
-        pages = []
-        for i in idx:
-            base = final_urls[i] or urls[i]
-            pages.append({
-                "page_url": urls[i], "base_url": base, "doc_id": body_docs[i],
-                "is_css": bool(recurse_css[i]), "root_path": roots[i],
-                "depth": depths[i], "page_parent": parents[i],
-            })
-        extracted = self._extract_links_many(pages)
-
-        # per-link handling (src/index.ts:717-876), batched per round
-        cand_urls: list[str] = []
-        cand_parents: list[str] = []
-        cand_crawl: list[bool] = []
-        cand_roots: list[str] = []
-        cand_depths: list[int] = []
-        for page, links in zip(pages, extracted):
-            page_url = page["page_url"]
-            root_path = page["root_path"]
-            root_host = urlkit.host_of(root_path)
-            for link in links:
-                if link["parse_error"]:
-                    # unparseable → BROKEN status 0 (src/index.ts:717-730)
-                    self._push_results(round_no, [link["raw_link"]], [0],
-                                       ["BROKEN"], [page_url])
-                    continue
-                url = link["url"]
-                url_with_fragment = link["url_with_fragment"] or url
-                # fragment-full skip rule (src/index.ts:732-752)
-                if (self._has_skip_rules()
-                        and url.startswith(("http://", "https://"))
-                        and self._should_skip(url_with_fragment)):
-                    self._push_results(round_no, [url_with_fragment], [None],
-                                       ["SKIPPED"], [page_url])
-                    continue
-                # fragment tracking (src/index.ts:754-784) — the URL is
-                # still checked even when its fragment is skipped
-                if opts.check_fragments and link["fragment"]:
-                    if self._should_skip_fragment(link["fragment"], url_with_fragment):
-                        self._push_results(round_no, [url_with_fragment], [None],
-                                           ["SKIPPED"], [page_url])
-                    else:
-                        self.pending_fragments.setdefault(url, set()).add(link["fragment"])
-                child_crawl = bool(
-                    opts.recurse and url.startswith(root_path)
-                    and urlkit.host_of(url) == root_host)
-                cand_urls.append(url)
-                cand_parents.append(page_url)
-                cand_crawl.append(child_crawl)
-                cand_roots.append(root_path)
-                cand_depths.append(page["depth"] + 1)
-
-        if not cand_urls:
+        edge_hash = np.asarray(
+            cand["edge_hash"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        edge_dup = self.edge_seen.contains_or_insert(edge_hash)
+        if edge_dup.any():
+            cand = cand.filter(pa.array(~edge_dup))
+        if cand.num_rows == 0:
             return schema.empty(schema.FRONTIER)
-
-        # edge dedup — relationshipCache (src/index.ts:800-810)
-        edge_keys = urlkit.hash64_array(
-            [f"{u}|{p}" for u, p in zip(cand_urls, cand_parents)])
-        edge_dup = self.edge_seen.contains_or_insert(edge_keys)
-        keep = ~edge_dup
-        if not keep.any():
+        url_hash = np.asarray(
+            cand["url_hash"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        dup = self.seen.contains_or_insert(url_hash)
+        if dup.any():
+            dup_rows = cand.filter(pa.array(dup))
+            self.dup_edges.extend(zip(dup_rows["url"].to_pylist(),
+                                      dup_rows["parent"].to_pylist()))
+            cand = cand.filter(pa.array(~dup))
+        if cand.num_rows == 0:
             return schema.empty(schema.FRONTIER)
-        kept_idx = np.flatnonzero(keep)
-        urls_k = [cand_urls[i] for i in kept_idx]
-        parents_k = [cand_parents[i] for i in kept_idx]
-
-        # seen-set anti-join (cache, src/index.ts:812-875): fresh URLs are
-        # enqueued; already-seen ones become duplicate edges for the
-        # post-hoc broken join
-        hashes = urlkit.hash64_array(urls_k)
-        dup = self.seen.contains_or_insert(hashes)
-        for j in np.flatnonzero(dup):
-            self.dup_edges.append((urls_k[j], parents_k[j]))
-        fresh = np.flatnonzero(~dup)
-        if len(fresh) == 0:
-            return schema.empty(schema.FRONTIER)
-        return _frontier_rows(
-            url=[urls_k[j] for j in fresh],
-            url_hash=hashes[fresh],
-            host=[urlkit.host_of(urls_k[j]) for j in fresh],
-            parent=[parents_k[j] for j in fresh],
-            depth=[cand_depths[kept_idx[j]] for j in fresh],
-            do_crawl=[cand_crawl[kept_idx[j]] for j in fresh],
-            root_path=[cand_roots[kept_idx[j]] for j in fresh],
-            attempt=[0] * len(fresh),
-            not_before=[0.0] * len(fresh),
-        )
-
-    def _extract_links_many(self, pages: list[dict]) -> list[list[dict]]:
-        """Extract links for each fetched page. Local path: direct kernel
-        calls; large rounds with Ray: map_batches over a Dataset of page
-        descriptors with the corpus broadcast once (the spans never leave
-        the object store per batch)."""
-        big = len(pages) >= self.opts.ray_threshold_rows
-        if self.use_ray and big:
-            return self._extract_links_ray(pages)
-        out = []
-        for page in pages:
-            spans = self.corpus.spans_of(page["doc_id"]) if page["doc_id"] else []
-            if page["is_css"]:
-                out.append(extract_css_doc_links(
-                    page["doc_id"], page["base_url"], spans, self.extractor.resolver))
-            else:
-                links, _ = self.extractor.extract_doc(
-                    page["doc_id"], page["base_url"], spans)
-                out.append(links)
-        return out
-
-    def _extract_links_ray(self, pages: list[dict]) -> list[list[dict]]:
-        import ray
-        import ray.data as rd
-        corpus_ref = ray.put(self.corpus)
-        check_css = self.opts.check_css
-
-        class _Extract:
-            def __init__(self):
-                self.corpus = ray.get(corpus_ref)
-                self.extractor = ExtractLinks(check_css=check_css)
-
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                rows = []
-                for rec in batch.to_pylist():
-                    spans = self.corpus.spans_of(rec["doc_id"]) if rec["doc_id"] else []
-                    if rec["is_css"]:
-                        links = extract_css_doc_links(
-                            rec["doc_id"], rec["base_url"], spans,
-                            self.extractor.resolver)
-                    else:
-                        links, _ = self.extractor.extract_doc(
-                            rec["doc_id"], rec["base_url"], spans)
-                    for link in links:
-                        link["page_index"] = rec["page_index"]
-                        rows.append(link)
-                if not rows:
-                    return pa.table({"page_index": pa.array([], pa.int64()),
-                                     "payload": pa.array([], pa.string())})
-                import json as _json
-                return pa.table({
-                    "page_index": pa.array([r.pop("page_index") for r in rows], pa.int64()),
-                    "payload": pa.array([_json.dumps(r) for r in rows], pa.string()),
-                })
-
-        recs = [dict(p, page_index=i) for i, p in enumerate(pages)]
-        ds = rd.from_items(recs).map_batches(
-            _Extract, batch_format="pyarrow",
-            batch_size=self.opts.batch_size,
-            concurrency=min(self.opts.fetch_concurrency, max(1, len(pages) // 64 + 1)))
-        import json as _json
-        out: list[list[dict]] = [[] for _ in pages]
-        buckets: dict[int, list[tuple[int, dict]]] = {}
-        for batch in ds.iter_batches(batch_format="pyarrow"):
-            page_idx = batch["page_index"].to_pylist()
-            payloads = batch["payload"].to_pylist()
-            for pi, payload in zip(page_idx, payloads):
-                link = _json.loads(payload)
-                buckets.setdefault(pi, []).append((link["order"], link))
-        for pi, pairs in buckets.items():
-            pairs.sort(key=lambda t: t[0])
-            out[pi] = [link for _, link in pairs]
-        return out
+        n = cand.num_rows
+        return pa.Table.from_arrays([
+            cand["url"].combine_chunks(),
+            cand["url_hash"].combine_chunks(),
+            cand["host"].combine_chunks(),
+            cand["parent"].combine_chunks(),
+            cand["depth"].combine_chunks(),
+            cand["do_crawl"].combine_chunks(),
+            cand["root_path"].combine_chunks(),
+            pa.array([0] * n, pa.int32()),
+            pa.array([0.0] * n, pa.float64()),
+        ], schema=schema.FRONTIER)
 
     # ------------------------------------------------------------------
 
-    def _validate_fragments(self, fetched: pa.Table, verdict: dict,
-                            round_no: int) -> None:
+    def _validate_fragments(self, fetched: pa.Table, frags: pa.Table,
+                            verdict: dict, round_no: int) -> None:
         """Fragment validation at target-fetch time (src/index.ts:616-673,
         :878-920): requested fragments anti-joined against the page's
-        fragment-target ids; misses → BROKEN ``url#frag`` rows with the
-        page's status and the page's own parent."""
+        fragment-target ids (extracted in the fetch actor); misses →
+        BROKEN ``url#frag`` rows with the page's status and the page's
+        own parent."""
         states = verdict["state"]
         is_html = verdict["should_recurse_html"]
         has_body = fetched["has_body"].to_numpy(zero_copy_only=False)
         ok_pages = np.flatnonzero((states == "OK") & is_html & has_body)
         if len(ok_pages) == 0:
             return
+        present_by_page: dict[str, set[str]] = {}
+        for page, frag in zip(frags["page_url"].to_pylist(),
+                              frags["fragment_id"].to_pylist()):
+            present_by_page.setdefault(page, set()).add(frag)
         urls = fetched["url"].to_pylist()
         parents = fetched["parent"].to_pylist()
         statuses = fetched["status"].to_numpy(zero_copy_only=False)
-        body_docs = fetched["body_doc_id"].to_pylist()
+        soft404s = fetched["soft404"].to_numpy(zero_copy_only=False)
         for i in ok_pages:
             url = urls[i]
             wanted = self.pending_fragments.pop(url, None)
             if not wanted:
                 continue
-            spans = self.corpus.spans_of(body_docs[i]) if body_docs[i] else []
-            # soft-404 heuristic (src/index.ts:630-637)
-            texts = [s.get("text") or "" for s in spans]
-            soft404 = any("noindex" in t for t in texts) and \
-                any("nofollow" in t for t in texts)
-            if soft404:
+            if soft404s[i]:  # soft-404 heuristic (src/index.ts:630-637)
                 continue
-            present = {s["text"] for s in spans
-                       if s["kind"] == "fragment_target" and s["text"]}
+            present = present_by_page.get(url, set())
             missing = sorted(wanted - present)
             if missing:
                 self._push_results(

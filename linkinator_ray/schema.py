@@ -132,6 +132,33 @@ FETCH_RESULTS = pa.schema([
     ("cf_mitigated", pa.bool_()),
     ("redirect_skipped", pa.string()),    # target URL whose skip rule fired mid-redirect
     ("error_details", pa.string()),       # JSON list of transport errors
+    ("soft404", pa.bool_()),              # page body looks like a soft 404 (M12)
+])
+
+# candidate child links, fully prepared in the fetch actor (hashes,
+# crawl gate, host) so the driver only runs the dedup joins
+CANDIDATES = pa.schema([
+    ("url", pa.string()),
+    ("url_hash", pa.uint64()),
+    ("edge_hash", pa.uint64()),       # hash64(url + '|' + parent)
+    ("host", pa.string()),
+    ("parent", pa.string()),
+    ("depth", pa.int32()),
+    ("do_crawl", pa.bool_()),
+    ("root_path", pa.string()),
+])
+
+# results decided inside the fetch actor (parse errors, link-level skips)
+LINK_RESULTS = pa.schema([
+    ("url", pa.string()),
+    ("status", pa.int32()),
+    ("state", pa.string()),
+    ("parent", pa.string()),
+])
+
+PENDING_FRAGS = pa.schema([
+    ("target_url", pa.string()),
+    ("fragment", pa.string()),
 ])
 
 # --- mock HTTP behavior (FIXTURES.md http_map; replaces undici MockAgent) --

@@ -87,50 +87,73 @@ class CorpusIndex:
     """
 
     def __init__(self, documents: pa.Table, *, host: str = "corpus.test",
-                 clean_urls: bool = False, markdown: bool = False):
+                 clean_urls: bool = False, markdown: bool = False,
+                 multi_host: bool = False):
         self.host = host
         self.clean_urls = clean_urls
         self.markdown = markdown
-        self._spans: dict[str, list] = {}
-        if documents is not None and documents.num_rows:
-            ids = documents["doc_id"].to_pylist()
-            spans = documents["spans"].to_pylist()
-            self._spans = dict(zip(ids, spans))
+        self.multi_host = multi_host  # doc_id carries "host/path"
+        # Spans stay in the Arrow table (zero-copy through the object
+        # store when broadcast to fetch actors) and materialize per doc
+        # on demand — each doc's body is read at most once per crawl.
+        if documents is None:
+            documents = schema.empty(schema.DOCUMENTS)
+        self._table = documents.combine_chunks()
+        self._spans_col = self._table["spans"].combine_chunks() \
+            if documents.num_rows else None
+        ids = documents["doc_id"].to_pylist() if documents.num_rows else []
+        self._index: dict[str, int] = {d: i for i, d in enumerate(ids)}
         # directory prefixes, for the 301 dir redirect (server.ts:85-117)
         self._dirs = set()
-        for doc_id in self._spans:
+        for doc_id in ids:
             parts = doc_id.split("/")
             for i in range(1, len(parts)):
                 self._dirs.add("/".join(parts[:i]))
+        self._hosts = {d.split("/", 1)[0] for d in ids} if multi_host else set()
 
     def has(self, doc_id: str) -> bool:
-        return doc_id in self._spans
+        return doc_id in self._index
 
     def spans_of(self, doc_id: str) -> list:
-        return self._spans.get(doc_id, [])
+        i = self._index.get(doc_id)
+        if i is None or self._spans_col is None:
+            return []
+        return self._spans_col[i].as_py() or []
 
     def doc_ids(self) -> list[str]:
-        return list(self._spans)
+        return list(self._index)
+
+    @property
+    def table(self) -> pa.Table:
+        return self._table
 
     def resolve_url(self, url: str) -> Resolution | None:
-        """None if the URL is not on the corpus host; else a Resolution."""
+        """None if the URL is not on the corpus host; else a Resolution.
+
+        In multi-host mode (scaled bench corpora) doc_ids are
+        "host/path" and any host whose docs are present resolves."""
         parts = urlsplit(url)
-        if (parts.hostname or "").lower() != self.host:
-            return None
+        hostname = (parts.hostname or "").lower()
         path = unquote(parts.path or "/")
+        if self.multi_host:
+            if hostname not in self._hosts:
+                return None
+            return self.resolve_path(hostname + "/" + path.lstrip("/"))
+        if hostname != self.host:
+            return None
         return self.resolve_path(path)
 
     def resolve_path(self, path: str) -> Resolution:
         raw = path.lstrip("/")
         if path.endswith("/") or raw == "":
             raw = raw + "index.html"
-        if raw in self._spans:
+        if raw in self._index:
             return Resolution(200, raw, content_type_for(raw, self.markdown))
         if self.clean_urls:
             # /about → about.html (server.ts:119-143)
             for suffix in (".html", ".htm"):
                 cand = raw + suffix
-                if cand in self._spans:
+                if cand in self._index:
                     return Resolution(200, cand, content_type_for(cand, self.markdown))
         if raw in self._dirs:
             # directory without trailing slash → 301 to path + '/'

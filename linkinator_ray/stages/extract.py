@@ -98,12 +98,17 @@ class ExtractLinks:
 
     # -- per-document extraction (the inner kernel) ------------------------
 
-    def extract_doc(self, doc_id: str, page_url: str, spans: list[dict]):
+    def extract_doc(self, doc_id: str, page_url: str, spans: list[dict],
+                    parent_url: str | None = None):
         """Extract (links, fragment_ids) from one document's span list.
 
+        ``page_url`` is the resolution base (the final response URL,
+        src/index.ts:690); ``parent_url`` the URL recorded as the links'
+        parent (the originally-checked URL) — defaults to page_url.
         Returns (list of link dicts, list of fragment ids). Span order is
         the emit order; ``order`` numbers emitted links densely.
         """
+        parent = parent_url or page_url
         spans = sorted(spans, key=lambda s: s["offset"])
         base = page_url
         base_set = False
@@ -115,7 +120,7 @@ class ExtractLinks:
             parsed = resolve(raw_link, base)
             out.append({
                 "doc_id": doc_id,
-                "parent_url": page_url,
+                "parent_url": parent,
                 "raw_link": raw_link,
                 "url": parsed.url or "",
                 "url_with_fragment": parsed.url_with_fragment or "",

@@ -166,8 +166,11 @@ class FetchWorker:
                  check_css: bool = False,
                  check_fragments: bool = False,
                  retry: bool = False,
+                 recurse: bool = False,
                  skip_patterns: list[str] | None = None,
                  skip_fn=None,
+                 frag_skip_patterns: list[str] | None = None,
+                 frag_skip_fn=None,
                  headers: dict[str, str] | None = None):
         import re
         self.transport = transport
@@ -175,8 +178,11 @@ class FetchWorker:
         self.check_css = check_css
         self.check_fragments = check_fragments
         self.retry = retry
+        self.recurse = recurse
         self.skip_patterns = [re.compile(p) for p in (skip_patterns or [])]
         self.skip_fn = skip_fn
+        self.frag_skip_patterns = [re.compile(p) for p in (frag_skip_patterns or [])]
+        self.frag_skip_fn = frag_skip_fn
         self.headers = headers or {}
 
     # -- skip rules (src/index.ts:929-955) --------------------------------
@@ -329,25 +335,174 @@ class FetchWorker:
 
         return finish(response)
 
+    # -- per-link handling, actor-side (src/index.ts:717-798) -------------
+
+    def _should_skip_fragment(self, fragment: str, url: str) -> bool:
+        if self.frag_skip_fn is not None:
+            return bool(self.frag_skip_fn(fragment, url))
+        return any(p.search(fragment) for p in self.frag_skip_patterns)
+
+    def _process_links(self, page_url: str, root_path: str, depth: int,
+                       links: list[dict], out: "_BatchAccumulator") -> None:
+        has_rules = self.has_skip_rules()
+        root_meta = out.root_meta.get(root_path)
+        if root_meta is None:
+            host = urlkit.host_of(root_path)
+            sep = root_path.find("://")
+            pinned = sep >= 0 and root_path.find("/", sep + 3) >= 0
+            root_meta = (host, pinned)
+            out.root_meta[root_path] = root_meta
+        root_host, root_pinned = root_meta
+        for link in links:
+            if link["parse_error"]:
+                # unparseable → BROKEN status 0 (src/index.ts:717-730)
+                out.link_results.append((link["raw_link"], 0, "BROKEN", page_url))
+                continue
+            url = link["url"]
+            wfrag = link["url_with_fragment"] or url
+            # fragment-full skip rule (src/index.ts:732-752)
+            if has_rules and url.startswith(("http://", "https://")) \
+                    and self.should_skip(wfrag):
+                out.link_results.append((wfrag, None, "SKIPPED", page_url))
+                continue
+            # fragment tracking (src/index.ts:754-784) — the URL is
+            # still checked even when its fragment is skipped
+            if self.check_fragments and link["fragment"]:
+                if self._should_skip_fragment(link["fragment"], wfrag):
+                    out.link_results.append((wfrag, None, "SKIPPED", page_url))
+                else:
+                    out.pending_frags.append((url, link["fragment"]))
+            child_crawl = False
+            if self.recurse and url.startswith(root_path):
+                child_crawl = root_pinned or \
+                    urlkit.host_of_normalized(url) == root_host
+            out.cand.append((url, f"{url}|{page_url}",
+                             page_url, depth + 1, child_crawl, root_path))
+
     def fetch_batch(self, batch: pa.Table, pending_fragment_urls: list[str],
-                    now: float) -> pa.Table:
+                    now: float) -> dict:
+        """Fetch + fused extraction + per-link prep, one RPC per round
+        per actor.
+
+        Fusing parse (and the per-link skip/crawl-gate/hash work) into
+        the fetch actor mirrors the reference (parsing happens inside the
+        crawl task, src/index.ts:675-715) and keeps the driver's round
+        work down to the two dedup joins — the part that must see global
+        state. Bodies never re-ship through the object store.
+
+        Returns dict of tables: fetched / candidates / link_results /
+        pending_frags / frag_targets.
+        """
+        from linkinator_ray.stages.extract import ExtractLinks, extract_css_doc_links
+        if not hasattr(self, "_extractor"):
+            self._extractor = ExtractLinks(check_css=self.check_css)
         pending = set(pending_fragment_urls)
         urls = batch["url"].to_pylist()
         do_crawls = batch["do_crawl"].to_pylist()
+        roots = batch["root_path"].to_pylist()
+        depths = batch["depth"].to_pylist()
+        corpus = self.transport.corpus
         rows = []
+        out = _BatchAccumulator()
         for i, url in enumerate(urls):
             result = self.fetch_one(url, do_crawls[i], now, url in pending)
+            result["soft404"] = False
             rows.append(result)
+            if result["redirect_skipped"] or result["retry_after_epoch"]:
+                continue
+            ct = result["content_type"]
+            body = result["body_doc_id"]
+            is_html = "text/html" in ct or "application/xhtml+xml" in ct
+            is_css = "text/css" in ct
+            eligible = bool(do_crawls[i] and body and
+                            (is_html or (is_css and self.check_css)))
+            need_frags = bool(self.check_fragments and body and is_html
+                              and (eligible or url in pending))
+            if not (eligible or need_frags):
+                continue
+            spans = corpus.spans_of(body) if corpus is not None else []
+            base = result["final_url"] or url
+            if eligible and is_css and not is_html:
+                links = extract_css_doc_links(body, base, spans,
+                                              self._extractor.resolver)
+                frags = []
+            else:
+                links, frags = self._extractor.extract_doc(
+                    body, base, spans, parent_url=url)
+            if eligible:
+                self._process_links(url, roots[i], depths[i], links, out)
+            if need_frags:
+                out.frag_targets.extend((url, f) for f in frags)
+                # soft-404 heuristic over the body text (src/index.ts:630-637)
+                texts = [s.get("text") or "" for s in spans]
+                result["soft404"] = (any("noindex" in t for t in texts)
+                                     and any("nofollow" in t for t in texts))
         cols = {name: [r[name] for r in rows] for name in rows[0]} if rows else {}
         carried = {name: batch[name].to_pylist() for name in
                    ("url", "url_hash", "host", "parent", "depth", "do_crawl",
                     "root_path", "attempt")}
         carried.update(cols)
-        return schema.table(schema.FETCH_RESULTS, **carried) if rows \
+        fetched = schema.table(schema.FETCH_RESULTS, **carried) if rows \
             else schema.empty(schema.FETCH_RESULTS)
+        return {
+            "fetched": fetched,
+            "candidates": out.candidates_table(),
+            "link_results": out.link_results_table(),
+            "pending_frags": out.pending_frags_table(),
+            "frag_targets": out.frag_targets_table(),
+        }
 
     def call_log(self) -> list[tuple[str, str, int]]:
         return list(self.transport.calls)
+
+
+class _BatchAccumulator:
+    """Per-fetch-batch collection of link-derived rows."""
+
+    def __init__(self):
+        self.cand: list[tuple] = []          # (url, edge_key, parent, depth, crawl, root)
+        self.link_results: list[tuple] = []  # (url, status, state, parent)
+        self.pending_frags: list[tuple] = []
+        self.frag_targets: list[tuple] = []
+        self.root_meta: dict[str, tuple] = {}
+
+    def candidates_table(self) -> pa.Table:
+        if not self.cand:
+            return schema.empty(schema.CANDIDATES)
+        urls = [c[0] for c in self.cand]
+        edge_keys = [c[1] for c in self.cand]
+        return pa.Table.from_arrays([
+            pa.array(urls, pa.string()),
+            pa.array(urlkit.hash64_array(urls), pa.uint64()),
+            pa.array(urlkit.hash64_array(edge_keys), pa.uint64()),
+            pa.array([urlkit.host_of_normalized(u) for u in urls], pa.string()),
+            pa.array([c[2] for c in self.cand], pa.string()),
+            pa.array([c[3] for c in self.cand], pa.int32()),
+            pa.array([c[4] for c in self.cand], pa.bool_()),
+            pa.array([c[5] for c in self.cand], pa.string()),
+        ], schema=schema.CANDIDATES)
+
+    def link_results_table(self) -> pa.Table:
+        if not self.link_results:
+            return schema.empty(schema.LINK_RESULTS)
+        return pa.Table.from_arrays([
+            pa.array([r[0] for r in self.link_results], pa.string()),
+            pa.array([r[1] for r in self.link_results], pa.int32()),
+            pa.array([r[2] for r in self.link_results], pa.string()),
+            pa.array([r[3] for r in self.link_results], pa.string()),
+        ], schema=schema.LINK_RESULTS)
+
+    def pending_frags_table(self) -> pa.Table:
+        return pa.Table.from_arrays([
+            pa.array([r[0] for r in self.pending_frags], pa.string()),
+            pa.array([r[1] for r in self.pending_frags], pa.string()),
+        ], schema=schema.PENDING_FRAGS)
+
+    def frag_targets_table(self) -> pa.Table:
+        return pa.Table.from_arrays([
+            pa.array([r[0] for r in self.frag_targets], pa.string()),
+            pa.array([r[1] for r in self.frag_targets], pa.string()),
+        ], schema=schema.FRAGMENT_TARGETS)
 
 
 class FetchPool:
@@ -361,9 +516,19 @@ class FetchPool:
     """
 
     def __init__(self, worker_kwargs: dict, transport_blob: dict,
-                 use_ray: bool = False, num_actors: int = 8):
+                 use_ray: bool = False, num_actors: int = 8,
+                 sticky_hosts: bool | None = None):
         self.use_ray = use_ray
         self.num_actors = num_actors if use_ray else 1
+        if sticky_hosts is None:
+            # host affinity is only semantically required when per-host
+            # state matters: scripted response sequences (mock seq
+            # counters) or retry/politeness token buckets. Otherwise
+            # balance by url_hash so a hot host doesn't straggle a round.
+            sticky_hosts = (
+                any(e.get("seq", -1) >= 0 for e in transport_blob.get("http_map") or [])
+                or worker_kwargs.get("retry", False))
+        self.sticky_hosts = sticky_hosts
         if use_ray:
             import ray
             actor_cls = ray.remote(num_cpus=1)(_RemoteFetchWorker)
@@ -373,25 +538,41 @@ class FetchPool:
         else:
             self._worker = FetchWorker(build_transport(transport_blob), **worker_kwargs)
 
+    EMPTY_KEYS = {
+        "fetched": "FETCH_RESULTS", "candidates": "CANDIDATES",
+        "link_results": "LINK_RESULTS", "pending_frags": "PENDING_FRAGS",
+        "frag_targets": "FRAGMENT_TARGETS",
+    }
+
+    def _empty(self) -> dict:
+        return {k: schema.empty(getattr(schema, s))
+                for k, s in self.EMPTY_KEYS.items()}
+
     def fetch(self, frontier: pa.Table, pending_fragment_urls: set[str],
-              now: float) -> pa.Table:
+              now: float) -> dict:
         if frontier.num_rows == 0:
-            return schema.empty(schema.FETCH_RESULTS)
+            return self._empty()
         pending = [u for u in pending_fragment_urls]
         if not self.use_ray:
             return self._worker.fetch_batch(frontier, pending, now)
         import ray
-        host_hash = urlkit.hash64_array(frontier["host"].to_pylist())
-        assignment = (host_hash % np.uint64(self.num_actors)).astype(np.int64)
+        if self.sticky_hosts:
+            key_hash = urlkit.hash64_array(frontier["host"].to_pylist())
+        else:
+            key_hash = np.asarray(
+                frontier["url_hash"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        assignment = (key_hash % np.uint64(self.num_actors)).astype(np.int64)
         futures = []
         for a in range(self.num_actors):
             idx = np.flatnonzero(assignment == a)
             if len(idx):
                 piece = frontier.take(pa.array(idx))
                 futures.append(self._actors[a].fetch_batch.remote(piece, pending, now))
-        tables = ray.get(futures)
-        tables = [t for t in tables if t.num_rows]
-        return pa.concat_tables(tables) if tables else schema.empty(schema.FETCH_RESULTS)
+        outputs = ray.get(futures)
+        if not outputs:
+            return self._empty()
+        return {key: pa.concat_tables([o[key] for o in outputs])
+                for key in self.EMPTY_KEYS}
 
     def call_log(self) -> list[tuple[str, str, int]]:
         if self.use_ray:
@@ -410,17 +591,18 @@ class _RemoteFetchWorker(FetchWorker):
 
 
 def build_transport(blob: dict) -> MockTransport:
-    """Reconstruct a MockTransport from a plain-data blob (broadcastable
-    via ray.put — shipped to each fetch actor once, not per batch)."""
+    """Reconstruct a MockTransport from a broadcast blob. The corpus
+    rides as the Arrow documents table — zero-copy through the object
+    store (cloudpickling a nested-python corpus costs minutes at 10^5+
+    docs; Arrow ships in milliseconds)."""
     corpus = None
-    if blob.get("corpus_docs") is not None:
-        table = pa.Table.from_pydict(
-            {"doc_id": list(blob["corpus_docs"].keys()),
-             "spans": list(blob["corpus_docs"].values())},
-            schema=schema.DOCUMENTS)
-        corpus = CorpusIndex(table, host=blob.get("corpus_host", "corpus.test"),
+    documents = blob.get("documents")
+    if documents is not None:
+        corpus = CorpusIndex(documents,
+                             host=blob.get("corpus_host", "corpus.test"),
                              clean_urls=blob.get("clean_urls", False),
-                             markdown=blob.get("markdown", False))
+                             markdown=blob.get("markdown", False),
+                             multi_host=blob.get("multi_host", False))
     return MockTransport(blob.get("http_map"), corpus,
                          latency_s=blob.get("latency_s", 0.0),
                          strict=blob.get("strict", True))

@@ -22,39 +22,59 @@ from linkinator_ray.state.cuckoo import CuckooFilter
 
 
 class SeenShard:
-    """One shard. ``mode`` = 'exact' | 'cuckoo'."""
+    """One shard. ``mode`` = 'exact' | 'cuckoo'.
+
+    Exact mode keeps a sorted uint64 key array: batched membership is a
+    vectorized searchsorted (no per-key Python), inserts are a sorted
+    merge — O(n log n) per batch but C-speed throughout.
+    """
 
     def __init__(self, shard_id: int = 0, mode: str = "exact",
                  capacity: int = 1 << 20):
         self.shard_id = shard_id
         self.mode = mode
-        self._set: set[int] = set()
+        self._keys = np.empty(0, dtype=np.uint64)  # sorted
         self._filter = CuckooFilter(capacity, seed=0x5EED ^ shard_id) if mode == "cuckoo" else None
 
     def contains_or_insert(self, hashes: np.ndarray) -> np.ndarray:
         hashes = np.asarray(hashes, dtype=np.uint64)
         if self._filter is not None:
             return self._filter.contains_or_insert(hashes)
-        out = np.zeros(len(hashes), dtype=bool)
-        seen = self._set
-        for pos in range(len(hashes)):
-            key = int(hashes[pos])
-            if key in seen:
-                out[pos] = True
-            else:
-                seen.add(key)
+        if len(hashes) == 0:
+            return np.zeros(0, dtype=bool)
+        # unique with first-occurrence index (original order)
+        uniq, first_idx, inverse = np.unique(hashes, return_index=True,
+                                             return_inverse=True)
+        pos = np.searchsorted(self._keys, uniq)
+        pos = np.minimum(pos, max(len(self._keys) - 1, 0))
+        known = (self._keys[pos] == uniq) if len(self._keys) else \
+            np.zeros(len(uniq), dtype=bool)
+        # a row is 'seen' if its key was known, or it's a within-batch dup
+        out = known[inverse]
+        is_first = np.zeros(len(hashes), dtype=bool)
+        is_first[first_idx] = True
+        out |= ~is_first
+        fresh = uniq[~known]
+        if len(fresh):
+            merged = np.concatenate([self._keys, fresh])
+            merged.sort(kind="mergesort")
+            self._keys = merged
         return out
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
         hashes = np.asarray(hashes, dtype=np.uint64)
         if self._filter is not None:
             return self._filter.contains(hashes)
-        return np.fromiter((int(h) in self._set for h in hashes), dtype=bool, count=len(hashes))
+        if len(self._keys) == 0 or len(hashes) == 0:
+            return np.zeros(len(hashes), dtype=bool)
+        pos = np.searchsorted(self._keys, hashes)
+        pos = np.minimum(pos, len(self._keys) - 1)
+        return self._keys[pos] == hashes
 
     def size(self) -> int:
         if self._filter is not None:
             return self._filter.count
-        return len(self._set)
+        return len(self._keys)
 
     # -- checkpoint --------------------------------------------------------
 
@@ -63,10 +83,7 @@ class SeenShard:
             blob = self._filter.dump()
             blob["mode"] = "cuckoo"
         else:
-            blob = {
-                "mode": "exact",
-                "keys": np.fromiter(self._set, dtype=np.uint64, count=len(self._set)),
-            }
+            blob = {"mode": "exact", "keys": self._keys.copy()}
         blob["shard_id"] = self.shard_id
         return blob
 
@@ -77,7 +94,9 @@ class SeenShard:
         else:
             self.mode = "exact"
             self._filter = None
-            self._set = set(int(k) for k in blob["keys"])
+            keys = np.asarray(blob["keys"], dtype=np.uint64).copy()
+            keys.sort()
+            self._keys = keys
 
 
 class SeenSet:
