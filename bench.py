@@ -29,27 +29,49 @@ SF = float(SF_DIR.rstrip("/").split("sf")[-1]) if "sf" in SF_DIR else 0.0
 # crawl corpus scale (deterministic; independent of SF_DIR table sizes)
 CRAWL_HOSTS = int(os.environ.get("BENCH_CRAWL_HOSTS", "16"))
 CRAWL_DOCS_PER_HOST = int(os.environ.get("BENCH_CRAWL_DOCS", "4000"))
+# deterministic per-request latency: a crawl is network-bound; this
+# models the wire so the scaling measurement reflects concurrent
+# connection capacity (BASELINE.md bench protocol). 0 = compute-only.
+CRAWL_LATENCY_MS = float(os.environ.get("BENCH_LATENCY_MS", "2.0"))
 
 
-def run_crawl(ncpu: int) -> dict:
+def _make_opts(ncpu: int, seeds):
     from linkinator_ray.options import CheckOptions
-    from linkinator_ray.pipelines.crawl import LinkChecker
-    from linkinator_ray.sources.synth import synth_crawl_corpus
-
-    docs, seeds, expected_seen, _ = synth_crawl_corpus(
-        num_hosts=CRAWL_HOSTS, docs_per_host=CRAWL_DOCS_PER_HOST)
-    opts = CheckOptions(
+    return CheckOptions(
         paths=seeds, recurse=True,
         fetch_concurrency=max(2, ncpu // 2),
         seen_shards=max(4, ncpu // 4),
         seen_filter="cuckoo",
         batch_size=4096,
     )
+
+
+def run_crawl(ncpu: int) -> dict:
+    from linkinator_ray.pipelines.crawl import LinkChecker
+    from linkinator_ray.sources.synth import synth_crawl_corpus
+
+    # warm-up: a small untimed crawl spawns+imports the worker
+    # processes (a production cluster's workers are warm; the first-ever
+    # actor round otherwise pays a ~60s import storm that measures the
+    # interpreter, not the engine)
+    wdocs, wseeds, _, _ = synth_crawl_corpus(num_hosts=4, docs_per_host=64)
+    LinkChecker(_make_opts(ncpu, wseeds), wdocs, [], multi_host=True,
+                use_ray=True).check()
+
+    docs, seeds, expected_seen, _ = synth_crawl_corpus(
+        num_hosts=CRAWL_HOSTS, docs_per_host=CRAWL_DOCS_PER_HOST)
     t0 = time.time()
-    checker = LinkChecker(opts, docs, [], multi_host=True, use_ray=True)
+    checker = LinkChecker(_make_opts(ncpu, seeds), docs, [],
+                          multi_host=True, use_ray=True,
+                          transport_latency_s=CRAWL_LATENCY_MS / 1000.0)
     res = checker.check()
     drain = time.time() - t0
-    assert res.stats["seen_urls"] == expected_seen, \
+    # cuckoo mode is probabilistic: a false positive silently skips a
+    # URL. Budget ~ n × fp_rate (16-bit fingerprints, 4-slot buckets
+    # ≈ 1.2e-4) — the exact mode used by the conformance tests is
+    # equality-checked instead.
+    fp_budget = int(expected_seen * 5e-4) + 4
+    assert expected_seen - fp_budget <= res.stats["seen_urls"] <= expected_seen, \
         (res.stats["seen_urls"], expected_seen)
     return {
         "crawl_sec": round(drain, 3),
@@ -57,6 +79,7 @@ def run_crawl(ncpu: int) -> dict:
         "urls_per_sec": round(res.stats["urls_checked"] / drain, 1),
         "rounds": res.stats["rounds"],
         "seen_urls": res.stats["seen_urls"],
+        "stage_sec": res.stats["timings"],
     }
 
 

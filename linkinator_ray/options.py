@@ -117,6 +117,7 @@ class CheckOptions:
     seen_shards: int = 8  # URL-seen set shard count
     seen_filter: str = "exact"  # 'exact' | 'cuckoo' (cuckoo at 10^10-URL scale)
     batch_size: int = 4096  # rows per Arrow batch in map_batches stages
+    pipelined: bool = False  # continuous-queue execution (no round barriers)
     max_rounds: int = 10_000  # BFS safety valve
     checkpoint_dir: str | None = None  # per-round frontier/seen/lineage checkpoints
     politeness_delay: float = 0.0  # min seconds between fetches to one host (token bucket)

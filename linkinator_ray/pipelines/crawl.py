@@ -98,7 +98,7 @@ class LinkChecker:
         self.seen = None          # SeenSet — built in check()
         self.edge_seen = None     # SeenSet over hash64(url + '|' + parent)
         self.results_tables: list[pa.Table] = []
-        self.dup_edges: list[tuple[str, str]] = []  # (url, parent) dup references
+        self.dup_edge_tables: list[pa.Table] = []   # (url, parent) dup references
         self.pending_fragments: dict[str, set[str]] = {}
         self.delay_map: dict[str, float] = {}       # host → retry-after deadline
         self.counters = {
@@ -232,6 +232,8 @@ class LinkChecker:
             "frag_skip_fn": opts.fragments_to_skip
             if callable(opts.fragments_to_skip) else None,
             "headers": opts.headers,
+            "classify_opts": opts,
+            "static_host": self.static_host,
         }
         pool = FetchPool(worker_kwargs, transport_blob, use_ray=self.use_ray,
                          num_actors=opts.fetch_concurrency)
@@ -242,6 +244,14 @@ class LinkChecker:
         else:
             frontier = self._seed_frontier()
 
+        if self.use_ray and opts.pipelined:
+            return self._run_pipelined(pool, frontier, round_no)
+        return self._run_rounds(pool, frontier, round_no)
+
+    def _run_rounds(self, pool, frontier: pa.Table, round_no: int) -> CrawlResult:
+        """Strict BFS rounds: deterministic depth ordering; each round is
+        a barrier. The conformance-test execution mode."""
+        opts = self.opts
         while frontier.num_rows and round_no < opts.max_rounds:
             now = self.clock.now()
             not_before = frontier["not_before"].to_numpy(zero_copy_only=False)
@@ -275,7 +285,8 @@ class LinkChecker:
             self.timings["fetch"] += t2 - t1
             self.timings["process"] += t3 - t2
 
-            frontier = pa.concat_tables([t for t in deferred if t.num_rows]) \
+            frontier = pa.concat_tables(
+                [t for t in deferred if t.num_rows]).combine_chunks() \
                 if any(t.num_rows for t in deferred) else schema.empty(schema.FRONTIER)
             round_no += 1
             self.counters["rounds"] = round_no
@@ -283,6 +294,9 @@ class LinkChecker:
             if opts.checkpoint_dir:
                 self._checkpoint(round_no, frontier)
 
+        return self._finish(pool)
+
+    def _finish(self, pool) -> CrawlResult:
         self._duplicate_broken_join()
         results = self._final_results()
         broken = results.filter(pc.equal(results["state"], "BROKEN")).num_rows
@@ -294,6 +308,139 @@ class LinkChecker:
                        timings={k: round(v, 3) for k, v in self.timings.items()}),
             call_log=pool.call_log(),
         )
+
+    # ------------------------------------------------------------------
+    # pipelined execution — the reference's continuous queue, Ray-shaped
+    # ------------------------------------------------------------------
+
+    def _run_pipelined(self, pool, frontier: pa.Table, start_round: int) -> CrawlResult:
+        """Continuous-queue execution (the reference's actual model,
+        src/queue.ts): per-actor work queues, at most one in-flight batch
+        per actor, completions processed as they arrive via ``ray.wait``.
+        No round barriers — a straggling actor never idles the fleet.
+
+        Semantics: identical final result/seen sets as the round mode
+        (order-insensitive contract, SURVEY.md §2.6); 'round' in the
+        output counts processed batches instead of BFS depths.
+        """
+        import ray
+        import time as _time
+        opts = self.opts
+        num_actors = pool.num_actors
+        queues: list[list[pa.Table]] = [[] for _ in range(num_actors)]
+        queued_rows = 0
+        deferred: list[pa.Table] = []  # rows with future not_before
+        inflight: dict = {}            # future -> actor index
+        batch_no = start_round
+
+        def route(table: pa.Table) -> None:
+            nonlocal queued_rows
+            if table.num_rows == 0:
+                return
+            if num_actors == 1:
+                queues[0].append(table)
+            else:
+                if pool.sticky_hosts:
+                    key = urlkit.hash64_array(table["host"].to_pylist())
+                else:
+                    key = np.asarray(table["url_hash"].to_numpy(zero_copy_only=False),
+                                     dtype=np.uint64)
+                assign = (key % np.uint64(num_actors)).astype(np.int64)
+                for a in range(num_actors):
+                    idx = np.flatnonzero(assign == a)
+                    if len(idx):
+                        queues[a].append(table.take(pa.array(idx)))
+            queued_rows += table.num_rows
+
+        def admit(table: pa.Table, now: float) -> None:
+            """Rewrite + skip + politeness classify, then route."""
+            table = self._apply_rewrites(table)
+            live, _ = self._skip_stage(table, batch_no)
+            live, gated = self._politeness_gate(live, now)
+            deferred.extend(t for t in gated if t.num_rows)
+            route(live)
+
+        def dispatch(now: float) -> None:
+            nonlocal queued_rows
+            busy = set(inflight.values())
+            for a in range(num_actors):
+                if a in busy or not queues[a]:
+                    continue
+                batch = pa.concat_tables(queues[a])
+                queues[a] = []
+                queued_rows -= batch.num_rows
+                if batch.num_rows > opts.batch_size * 4:
+                    head = batch.slice(0, opts.batch_size * 4)
+                    tail = batch.slice(opts.batch_size * 4)
+                    queues[a] = [tail]
+                    queued_rows += tail.num_rows
+                    batch = head
+                pend = list(self.pending_fragments)
+                fut = pool.submit(a, batch, pend, now)
+                inflight[fut] = a
+
+        admit(frontier, self.clock.now())
+        while True:
+            now = self.clock.now()
+            # wake deferred rows whose deadline passed
+            if deferred:
+                still = []
+                for t in deferred:
+                    nb = t["not_before"].to_numpy(zero_copy_only=False)
+                    ready = nb <= now
+                    if ready.any():
+                        route(t.filter(pa.array(ready)))
+                        t = t.filter(pa.array(~ready))
+                    if t.num_rows:
+                        still.append(t)
+                deferred = still
+            dispatch(now)
+            if not inflight:
+                if queued_rows:
+                    continue
+                if deferred:
+                    self.clock.advance_to(min(
+                        float(t["not_before"].to_numpy(zero_copy_only=False).min())
+                        for t in deferred))
+                    continue
+                break
+            t1 = _time.perf_counter()
+            done, rest = ray.wait(list(inflight.keys()), num_returns=1)
+            if rest:
+                # opportunistic drain: group everything already finished
+                # into ONE processing pass so tiny completions don't each
+                # pay the global-join overhead
+                more, _ = ray.wait(rest, num_returns=len(rest), timeout=0)
+                done += more
+            self.timings["fetch"] += _time.perf_counter() - t1
+            outputs = []
+            for fut in done:
+                inflight.pop(fut)
+                outputs.append(ray.get(fut))
+            output = outputs[0] if len(outputs) == 1 else {
+                key: pa.concat_tables([o[key] for o in outputs])
+                for key in outputs[0]
+            }
+            fetched = output["fetched"]
+            self.counters["urls_checked"] += fetched.num_rows
+            t2 = _time.perf_counter()
+            now = self.clock.now()
+            fetched, requeues = self._handle_retries(fetched, now)
+            deferred.extend(t for t in requeues if t.num_rows)
+            new_rows = self._process_fetched(fetched, output, batch_no)
+            t3 = _time.perf_counter()
+            self.timings["process"] += t3 - t2
+            if new_rows.num_rows:
+                admit(new_rows, now)
+            batch_no += 1
+            self.counters["rounds"] = batch_no
+            if opts.checkpoint_dir and batch_no % 32 == 0:
+                # checkpoint epoch: queued + deferred + inputs of inflight
+                snapshot = [t for q in queues for t in q] + deferred
+                snapshot = pa.concat_tables(snapshot) if snapshot \
+                    else schema.empty(schema.FRONTIER)
+                self._checkpoint(batch_no, snapshot)
+        return self._finish(pool)
 
     # ------------------------------------------------------------------
 
@@ -323,21 +470,26 @@ class LinkChecker:
         """Frontier-level skip classification (src/index.ts:320-323,
         :973-985): non-http(s) → SKIPPED status 0; skip rules → SKIPPED
         status null."""
-        urls = frontier["url"].to_pylist()
-        parents = frontier["parent"].to_pylist()
-        n = len(urls)
-        is_http = np.fromiter((u.startswith(("http://", "https://")) for u in urls), bool, n)
+        n = frontier.num_rows
+        url_col = frontier["url"]
+        is_http = pc.or_(pc.starts_with(url_col, "http://"),
+                         pc.starts_with(url_col, "https://")) \
+            .combine_chunks().to_numpy(zero_copy_only=False)
         if callable(self.opts.links_to_skip):
             fn = self.opts.links_to_skip
+            urls = frontier["url"].to_pylist()
             rule_skip = np.fromiter((bool(fn(u)) for u in urls), bool, n)
         elif self._skip_patterns:
             pats = self._skip_patterns
+            urls = frontier["url"].to_pylist()
             rule_skip = np.fromiter(
                 (any(p.search(u) for p in pats) for u in urls), bool, n)
         else:
             rule_skip = np.zeros(n, dtype=bool)
         skip_mask = ~is_http | (is_http & rule_skip)
         if skip_mask.any():
+            urls = frontier["url"].to_pylist()
+            parents = frontier["parent"].to_pylist()
             idx = np.flatnonzero(skip_mask)
             self._push_results(
                 round_no,
@@ -347,7 +499,9 @@ class LinkChecker:
                 [parents[i] for i in idx],
                 frontier_level=[True] * len(idx),
             )
-        live = frontier.filter(pa.array(~skip_mask))
+            live = frontier.filter(pa.array(~skip_mask))
+        else:
+            live = frontier
         return live, skip_mask.sum()
 
     def _politeness_gate(self, frontier: pa.Table, now: float):
@@ -414,10 +568,14 @@ class LinkChecker:
             requeues.append(requeue)
             self.counters["retries"] += len(hosts)
             fetched = fetched.filter(pa.array(~ra_mask))
-        status = fetched["status"].to_numpy(zero_copy_only=False).astype(np.int64)
         attempt = fetched["attempt"].to_numpy(zero_copy_only=False).astype(np.int64)
-        ra_left = fetched["retry_after_epoch"].to_numpy(zero_copy_only=False)
-        err_mask = classify_mod.should_retry_error_mask(status, attempt, ra_left, self.opts)
+        if "retry_error" in fetched.column_names:  # actor-side gate
+            err_mask = fetched["retry_error"].to_numpy(zero_copy_only=False)
+        else:
+            status = fetched["status"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ra_left = fetched["retry_after_epoch"].to_numpy(zero_copy_only=False)
+            err_mask = classify_mod.should_retry_error_mask(
+                status, attempt, ra_left, self.opts)
         if err_mask.any():
             rows = fetched.filter(pa.array(err_mask))
             attempts = attempt[err_mask]
@@ -459,34 +617,60 @@ class LinkChecker:
         if fetched.num_rows == 0:
             return schema.empty(schema.FRONTIER)
 
-        verdict = classify_mod.classify_batch(fetched, self.opts, self.static_host)
-        self.counters["warn_status"] += int(verdict["warn_status"].sum())
-        self.counters["warn_redirect"] += int(verdict["warn_redirect"].sum())
-        self.counters["warn_insecure"] += int(verdict["warn_insecure"].sum())
-
-        urls = fetched["url"].to_pylist()
-        parents = fetched["parent"].to_pylist()
-        statuses = fetched["status"].to_numpy(zero_copy_only=False)
-        self._push_results(
-            round_no, urls, statuses.tolist(), verdict["state"].tolist(), parents,
-            failures=verdict["failure"].tolist(),
-            frontier_level=[True] * len(urls))
+        if "state" in fetched.column_names:  # classified inside the actor
+            # results assemble straight from the actor-computed Arrow
+            # columns — no Python list round-trip on the hot path
+            n = fetched.num_rows
+            self.results_tables.append(pa.Table.from_arrays([
+                fetched["url"].combine_chunks(),
+                fetched["status"].combine_chunks(),
+                fetched["state"].combine_chunks(),
+                fetched["parent"].combine_chunks(),
+                fetched["failure"].combine_chunks(),
+                pa.array(np.full(n, round_no, dtype=np.int32)),
+                pa.array(np.ones(n, dtype=bool)),
+            ], names=["url", "status", "state", "parent", "failure_details",
+                      "round", "frontier_level"]))
+            self.counters["warn_status"] += int(pc.sum(fetched["warn_status"]).as_py() or 0)
+            self.counters["warn_redirect"] += int(pc.sum(fetched["warn_redirect"]).as_py() or 0)
+            self.counters["warn_insecure"] += int(pc.sum(fetched["warn_insecure"]).as_py() or 0)
+            recurse_html = fetched["recurse_html"].to_numpy(zero_copy_only=False)
+            recurse_css = fetched["recurse_css"].to_numpy(zero_copy_only=False)
+        else:
+            verdict = classify_mod.classify_batch(fetched, self.opts, self.static_host)
+            self.counters["warn_status"] += int(verdict["warn_status"].sum())
+            self.counters["warn_redirect"] += int(verdict["warn_redirect"].sum())
+            self.counters["warn_insecure"] += int(verdict["warn_insecure"].sum())
+            urls = fetched["url"].to_pylist()
+            parents = fetched["parent"].to_pylist()
+            statuses = fetched["status"].to_numpy(zero_copy_only=False)
+            self._push_results(
+                round_no, urls, statuses.tolist(), verdict["state"].tolist(),
+                parents, failures=verdict["failure"].tolist(),
+                frontier_level=[True] * len(urls))
+            recurse_html = verdict["should_recurse_html"]
+            recurse_css = verdict["should_recurse_css"]
 
         do_crawl = fetched["do_crawl"].to_numpy(zero_copy_only=False)
         has_body = fetched["has_body"].to_numpy(zero_copy_only=False)
         recurse = do_crawl & has_body & (
-            verdict["should_recurse_html"]
-            | (verdict["should_recurse_css"] & self.opts.check_css))
+            recurse_html | (recurse_css & self.opts.check_css))
         self.counters["pages_crawled"] += int(recurse.sum())
 
         # actor-side per-link results (parse errors, link-level skips)
         link_results = output["link_results"]
         if link_results.num_rows:
-            self._push_results(
-                round_no, link_results["url"].to_pylist(),
-                link_results["status"].to_pylist(),
-                link_results["state"].to_pylist(),
-                link_results["parent"].to_pylist())
+            n = link_results.num_rows
+            self.results_tables.append(pa.Table.from_arrays([
+                link_results["url"].combine_chunks(),
+                link_results["status"].combine_chunks(),
+                link_results["state"].combine_chunks(),
+                link_results["parent"].combine_chunks(),
+                pa.array([""] * n, pa.string()),
+                pa.array(np.full(n, round_no, dtype=np.int32)),
+                pa.array(np.zeros(n, dtype=bool)),
+            ], names=["url", "status", "state", "parent", "failure_details",
+                      "round", "frontier_level"]))
 
         # fragment accumulation (A7): merge actor-noted fragments
         pend = output["pending_frags"]
@@ -498,8 +682,10 @@ class LinkChecker:
         new_rows = self._enqueue_candidates(output["candidates"])
 
         if self.opts.check_fragments:
+            states = np.asarray(fetched["state"].to_pylist(), dtype=object) \
+                if "state" in fetched.column_names else verdict["state"]
             self._validate_fragments(fetched, output["frag_targets"],
-                                     verdict, round_no)
+                                     states, recurse_html, round_no)
         return new_rows
 
     def _enqueue_candidates(self, cand: pa.Table) -> pa.Table:
@@ -512,21 +698,23 @@ class LinkChecker:
             return schema.empty(schema.FRONTIER)
         edge_hash = np.asarray(
             cand["edge_hash"].to_numpy(zero_copy_only=False), dtype=np.uint64)
-        edge_dup = self.edge_seen.contains_or_insert(edge_hash)
-        if edge_dup.any():
-            cand = cand.filter(pa.array(~edge_dup))
-        if cand.num_rows == 0:
-            return schema.empty(schema.FRONTIER)
+        edge_fresh = ~self.edge_seen.contains_or_insert(edge_hash)
         url_hash = np.asarray(
             cand["url_hash"].to_numpy(zero_copy_only=False), dtype=np.uint64)
-        dup = self.seen.contains_or_insert(url_hash)
-        if dup.any():
-            dup_rows = cand.filter(pa.array(dup))
-            self.dup_edges.extend(zip(dup_rows["url"].to_pylist(),
-                                      dup_rows["parent"].to_pylist()))
-            cand = cand.filter(pa.array(~dup))
-        if cand.num_rows == 0:
+        # consult the seen shards only for edge-fresh rows; rows already
+        # edge-deduped must not re-insert their URL
+        url_dup = np.zeros(len(url_hash), dtype=bool)
+        fresh_idx = np.flatnonzero(edge_fresh)
+        if len(fresh_idx):
+            url_dup[fresh_idx] = self.seen.contains_or_insert(url_hash[fresh_idx])
+        dup_mask = edge_fresh & url_dup
+        if dup_mask.any():
+            self.dup_edge_tables.append(
+                cand.filter(pa.array(dup_mask)).select(["url", "parent"]))
+        keep = edge_fresh & ~url_dup
+        if not keep.any():
             return schema.empty(schema.FRONTIER)
+        cand = cand.filter(pa.array(keep))
         n = cand.num_rows
         return pa.Table.from_arrays([
             cand["url"].combine_chunks(),
@@ -536,21 +724,20 @@ class LinkChecker:
             cand["depth"].combine_chunks(),
             cand["do_crawl"].combine_chunks(),
             cand["root_path"].combine_chunks(),
-            pa.array([0] * n, pa.int32()),
-            pa.array([0.0] * n, pa.float64()),
+            pa.array(np.zeros(n, dtype=np.int32)),
+            pa.array(np.zeros(n, dtype=np.float64)),
         ], schema=schema.FRONTIER)
 
     # ------------------------------------------------------------------
 
     def _validate_fragments(self, fetched: pa.Table, frags: pa.Table,
-                            verdict: dict, round_no: int) -> None:
+                            states: np.ndarray, is_html: np.ndarray,
+                            round_no: int) -> None:
         """Fragment validation at target-fetch time (src/index.ts:616-673,
         :878-920): requested fragments anti-joined against the page's
         fragment-target ids (extracted in the fetch actor); misses →
         BROKEN ``url#frag`` rows with the page's status and the page's
         own parent."""
-        states = verdict["state"]
-        is_html = verdict["should_recurse_html"]
         has_body = fetched["has_body"].to_numpy(zero_copy_only=False)
         ok_pages = np.flatnonzero((states == "OK") & is_html & has_body)
         if len(ok_pages) == 0:
@@ -591,29 +778,33 @@ class LinkChecker:
         src/index.ts:840-875: every distinct (url, parent) duplicate edge
         whose URL's frontier-level result is BROKEN re-reports with that
         parent."""
-        if not self.dup_edges:
+        if not self.dup_edge_tables:
             return
-        first: dict[str, tuple] = {}
-        for table in self.results_tables:
-            mask = table["frontier_level"].to_numpy(zero_copy_only=False)
-            if not mask.any():
-                continue
-            sub = table.filter(pa.array(mask))
-            for url, status, state, failure in zip(
-                    sub["url"].to_pylist(), sub["status"].to_pylist(),
-                    sub["state"].to_pylist(), sub["failure_details"].to_pylist()):
-                if url not in first:
-                    first[url] = (status, state, failure)
-        urls, statuses, failures, parents = [], [], [], []
-        for url, parent in self.dup_edges:
-            hit = first.get(url)
-            if hit and hit[1] == "BROKEN":
-                urls.append(url)
-                statuses.append(hit[0])
-                failures.append(hit[2])
-                parents.append(parent)
-        self._push_results(-1, urls, statuses, ["BROKEN"] * len(urls), parents,
-                           failures=failures)
+        dup_edges = pa.concat_tables(self.dup_edge_tables).combine_chunks()
+        # frontier-level BROKEN rows (one per URL by construction) —
+        # an Arrow hash join stands in for the reference's in-flight
+        # await + re-emit
+        merged = pa.concat_tables(self.results_tables).combine_chunks()
+        broken_first = merged.filter(
+            pc.and_(merged["frontier_level"],
+                    pc.equal(merged["state"], "BROKEN"))) \
+            .select(["url", "status", "failure_details"])
+        if broken_first.num_rows == 0 or dup_edges.num_rows == 0:
+            return
+        joined = dup_edges.join(broken_first, keys=["url"], join_type="inner")
+        if joined.num_rows == 0:
+            return
+        n = joined.num_rows
+        self.results_tables.append(pa.Table.from_arrays([
+            joined["url"].combine_chunks(),
+            joined["status"].combine_chunks(),
+            pa.array(["BROKEN"] * n, pa.string()),
+            joined["parent"].combine_chunks(),
+            joined["failure_details"].combine_chunks(),
+            pa.array(np.full(n, -1, dtype=np.int32)),
+            pa.array(np.zeros(n, dtype=bool)),
+        ], names=["url", "status", "state", "parent", "failure_details",
+                  "round", "frontier_level"]))
 
     def _final_results(self) -> pa.Table:
         if not self.results_tables:
@@ -634,8 +825,10 @@ class LinkChecker:
                 [f for fs in self.pending_fragments.values() for f in fs], pa.string()),
         })
         dup = pa.table({
-            "url": pa.array([u for u, _ in self.dup_edges], pa.string()),
-            "parent": pa.array([p for _, p in self.dup_edges], pa.string()),
+            "url": pa.concat_arrays([t["url"].combine_chunks() for t in self.dup_edge_tables])
+            if self.dup_edge_tables else pa.array([], pa.string()),
+            "parent": pa.concat_arrays([t["parent"].combine_chunks() for t in self.dup_edge_tables])
+            if self.dup_edge_tables else pa.array([], pa.string()),
         })
         results = pa.concat_tables(self.results_tables) if self.results_tables \
             else schema.empty(schema.RESULTS).append_column(
@@ -664,14 +857,16 @@ class LinkChecker:
         for url, frag in zip(pend["target_url"].to_pylist(), pend["fragment"].to_pylist()):
             self.pending_fragments.setdefault(url, set()).add(frag)
         dup = tables["dup_edges"]
-        self.dup_edges = list(zip(dup["url"].to_pylist(), dup["parent"].to_pylist()))
+        if dup.num_rows:
+            self.dup_edge_tables = [dup]
         # rebuild the edge-seen set from results parents + dup edges
         results = tables["results"]
         self.results_tables = [results]
         delay = tables["delay_map"]
         self.delay_map = dict(zip(delay["host"].to_pylist(),
                                   delay["deadline"].to_pylist()))
-        edge_keys = [f"{u}|{p}" for u, p in self.dup_edges]
+        edge_keys = [f"{u}|{p}" for u, p in zip(dup["url"].to_pylist(),
+                                                dup["parent"].to_pylist())]
         for table in (results,):
             edge_keys.extend(
                 f"{u}|{p}" for u, p in zip(table["url"].to_pylist(),

@@ -131,7 +131,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
     rows = num_perms // bands
     docs = read_docs(sf_dir, ["doc_id", "text"])
     sigs = docs.map_batches(MinHasher, batch_format="pandas", batch_size=2048,
-                            concurrency=4,
+                            concurrency=(1, 4),
                             fn_constructor_kwargs={"num_perms": num_perms,
                                                    "ngram": ngram})
     banded = sigs.map_batches(
@@ -235,7 +235,7 @@ class SimHasher:
 
 def simhash_signatures(sf_dir: str):
     return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        SimHasher, batch_format="pandas", batch_size=2048, concurrency=4)
+        SimHasher, batch_format="pandas", batch_size=2048, concurrency=(1, 4))
 
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 3):

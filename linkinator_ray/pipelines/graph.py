@@ -124,7 +124,7 @@ def extract_links_dataset(sf_dir: str):
     corpus = synth_corpus(sf_dir)
     links = rd.from_arrow(corpus).map_batches(
         ExtractLinks, batch_format="pyarrow", batch_size=2048,
-        concurrency=4)
+        concurrency=(1, 4))
 
     def to_edges(batch: pa.Table) -> pa.Table:
         src, dst = [], []

@@ -102,7 +102,7 @@ def media_features(sf_dir: str):
     """synthesize → actor-pool decode/feature stage → features table."""
     media = synthesize_media(sf_dir)
     return media.map_batches(MediaDecoder, batch_format="pyarrow",
-                             batch_size=512, concurrency=4)
+                             batch_size=512, concurrency=(1, 4))
 
 
 def media_summary(sf_dir: str):

@@ -71,7 +71,7 @@ def knn_bruteforce(sf_dir: str, k: int = 5, num_queries: int = 4):
         queries_ref = queries
 
     partials = read_embeddings(sf_dir).map_batches(
-        _PartialTopK, batch_format="pandas", batch_size=4096, concurrency=4,
+        _PartialTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 4),
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k})
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
@@ -121,7 +121,7 @@ def knn_lsh(sf_dir: str, k: int = 5, num_queries: int = 4, n_planes: int = 6):
     qbuckets = bucketer.bucket_of(qmat)
 
     bucketed = read_embeddings(sf_dir).map_batches(
-        _LshBucketer, batch_format="pandas", batch_size=4096, concurrency=4,
+        _LshBucketer, batch_format="pandas", batch_size=4096, concurrency=(1, 4),
         fn_constructor_kwargs={"dim": qmat.shape[1], "n_planes": n_planes})
     wanted = set(qbuckets.tolist())
     cands = bucketed.filter(lambda row: row["bucket"] in wanted)

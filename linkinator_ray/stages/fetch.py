@@ -171,7 +171,8 @@ class FetchWorker:
                  skip_fn=None,
                  frag_skip_patterns: list[str] | None = None,
                  frag_skip_fn=None,
-                 headers: dict[str, str] | None = None):
+                 headers: dict[str, str] | None = None,
+                 classify_opts=None, static_host: str | None = None):
         import re
         self.transport = transport
         self.redirects = RedirectsMode(redirects)
@@ -184,6 +185,11 @@ class FetchWorker:
         self.frag_skip_patterns = [re.compile(p) for p in (frag_skip_patterns or [])]
         self.frag_skip_fn = frag_skip_fn
         self.headers = headers or {}
+        # when set, classification (M17-M20) runs inside the actor and
+        # the output table carries state/failure/warn columns — keeps the
+        # driver's serial round work down to the global joins
+        self.classify_opts = classify_opts
+        self.static_host = static_host
 
     # -- skip rules (src/index.ts:929-955) --------------------------------
 
@@ -444,6 +450,8 @@ class FetchWorker:
         carried.update(cols)
         fetched = schema.table(schema.FETCH_RESULTS, **carried) if rows \
             else schema.empty(schema.FETCH_RESULTS)
+        if self.classify_opts is not None and fetched.num_rows:
+            fetched = self._classify_in_actor(fetched)
         return {
             "fetched": fetched,
             "candidates": out.candidates_table(),
@@ -451,6 +459,33 @@ class FetchWorker:
             "pending_frags": out.pending_frags_table(),
             "frag_targets": out.frag_targets_table(),
         }
+
+    def _classify_in_actor(self, fetched: pa.Table) -> pa.Table:
+        """Run M17-M20 classification + the retryErrors gate inside the
+        actor; append state/failure/warn/retry_error columns."""
+        import numpy as np
+        from linkinator_ray.stages import classify as classify_mod
+        opts = self.classify_opts
+        verdict = classify_mod.classify_batch(fetched, opts, self.static_host)
+        status = fetched["status"].to_numpy(zero_copy_only=False).astype(np.int64)
+        attempt = fetched["attempt"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ra = fetched["retry_after_epoch"].to_numpy(zero_copy_only=False)
+        retry_err = classify_mod.should_retry_error_mask(status, attempt, ra, opts)
+        not_retrying = ~(retry_err | (ra > 0))
+        return (fetched
+                .append_column("state", pa.array(verdict["state"].tolist(), pa.string()))
+                .append_column("failure", pa.array(verdict["failure"].tolist(), pa.string()))
+                .append_column("warn_status",
+                               pa.array(verdict["warn_status"] & not_retrying))
+                .append_column("warn_redirect",
+                               pa.array(verdict["warn_redirect"] & not_retrying))
+                .append_column("warn_insecure",
+                               pa.array(verdict["warn_insecure"] & not_retrying))
+                .append_column("retry_error", pa.array(retry_err))
+                .append_column("recurse_html",
+                               pa.array(verdict["should_recurse_html"]))
+                .append_column("recurse_css",
+                               pa.array(verdict["should_recurse_css"])))
 
     def call_log(self) -> list[tuple[str, str, int]]:
         return list(self.transport.calls)
@@ -548,6 +583,12 @@ class FetchPool:
         return {k: schema.empty(getattr(schema, s))
                 for k, s in self.EMPTY_KEYS.items()}
 
+    def submit(self, actor_index: int, batch: pa.Table,
+               pending_fragment_urls: list[str], now: float):
+        """Async dispatch of one batch to one actor (pipelined mode)."""
+        return self._actors[actor_index].fetch_batch.remote(
+            batch, pending_fragment_urls, now)
+
     def fetch(self, frontier: pa.Table, pending_fragment_urls: set[str],
               now: float) -> dict:
         if frontier.num_rows == 0:
@@ -571,6 +612,8 @@ class FetchPool:
         outputs = ray.get(futures)
         if not outputs:
             return self._empty()
+        # per-round tables stay chunked (≤ K chunks — no pathology);
+        # only the cross-round frontier concat compacts
         return {key: pa.concat_tables([o[key] for o in outputs])
                 for key in self.EMPTY_KEYS}
 
@@ -587,6 +630,11 @@ class _RemoteFetchWorker(FetchWorker):
     once per actor (state in __init__, work in fetch_batch)."""
 
     def __init__(self, transport_blob: dict, worker_kwargs: dict):
+        # each actor gets ONE Arrow thread: pyarrow defaults its
+        # internal pool to os.cpu_count() per process, so K actors spawn
+        # K×ncpu threads and thrash the whole node
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
         super().__init__(build_transport(transport_blob), **worker_kwargs)
 
 

@@ -56,9 +56,9 @@ class SeenShard:
         out |= ~is_first
         fresh = uniq[~known]
         if len(fresh):
-            merged = np.concatenate([self._keys, fresh])
-            merged.sort(kind="mergesort")
-            self._keys = merged
+            # two sorted runs → O(n) positional insert, not a full re-sort
+            pos = np.searchsorted(self._keys, fresh)
+            self._keys = np.insert(self._keys, pos, fresh)
         return out
 
     def contains(self, hashes: np.ndarray) -> np.ndarray:
@@ -99,6 +99,13 @@ class SeenShard:
             self._keys = keys
 
 
+class _RemoteSeenShard(SeenShard):
+    def __init__(self, *args, **kwargs):
+        pa.set_cpu_count(1)  # keep actor-side Arrow pools single-threaded
+        pa.set_io_thread_count(1)
+        super().__init__(*args, **kwargs)
+
+
 class SeenSet:
     """Driver-side facade over the shard pool.
 
@@ -115,7 +122,7 @@ class SeenSet:
         self.use_ray = use_ray
         if use_ray:
             import ray
-            actor_cls = ray.remote(num_cpus=0.25)(SeenShard)
+            actor_cls = ray.remote(num_cpus=0.25)(_RemoteSeenShard)
             self._shards = [
                 actor_cls.remote(i, mode, capacity_per_shard) for i in range(num_shards)
             ]

@@ -123,6 +123,56 @@ class ParsedLink:
         self.error = error
 
 
+# fast-path guards: strings made ONLY of characters that normalize_url
+# preserves verbatim, with no dot segments / query / port / userinfo —
+# anything else falls through to the full resolver
+_SAFE_PATH = re.compile(r"^[A-Za-z0-9/:@!$&'()*+,;=~%\[\]\-._]*$")
+_SIMPLE_HOST = re.compile(r"^[a-z0-9\-.]+$")
+
+
+def _path_is_plain(path: str) -> bool:
+    if not _SAFE_PATH.match(path):
+        return False
+    if "//" in path:
+        return False
+    for seg in ("/../", "/./"):
+        if seg in path:
+            return False
+    return not (path.startswith(("../", "./")) or path.endswith(("/..", "/."))
+                or path in ("..", "."))
+
+
+def _fast_resolve(head: str, base: str) -> str | None:
+    """Resolve+normalize without urllib for the overwhelmingly common
+    shapes (plain absolute http(s), root-relative, relative path).
+    Returns None when unsure — the slow path is the semantic oracle
+    (property-tested equal in tests/test_urlkit.py)."""
+    if "?" in head or "?" in base:
+        return None
+    if head.startswith(("http://", "https://")):
+        sep = head.index("://") + 3
+        slash = head.find("/", sep)
+        host = head[sep:] if slash < 0 else head[sep:slash]
+        if not _SIMPLE_HOST.match(host):
+            return None
+        if slash < 0:
+            return head + "/"
+        path = head[slash:]
+        return head if _path_is_plain(path) else None
+    if not base.startswith(("http://", "https://")):
+        return None
+    bsep = base.index("://") + 3
+    bslash = base.find("/", bsep)
+    if bslash < 0 or not _SIMPLE_HOST.match(base[bsep:bslash]):
+        return None
+    if head.startswith("/"):
+        return base[:bslash] + head if _path_is_plain(head) else None
+    if not head or ":" in head or not _path_is_plain(head) or "#" in base:
+        return None
+    last = base.rfind("/")
+    return base[:last + 1] + head
+
+
 def parse_link(link: str, base_url: str) -> ParsedLink:
     """Resolve ``link`` against ``base_url`` and normalize (links.ts:220-232).
 
@@ -130,6 +180,16 @@ def parse_link(link: str, base_url: str) -> ParsedLink:
     yields ``error`` — the caller reports BROKEN with status 0
     (src/index.ts:717-730).
     """
+    # fast path (no urllib) for plain shapes — ~10× the slow resolver
+    hash_pos = link.find("#")
+    head = link if hash_pos < 0 else link[:hash_pos]
+    frag_raw = None if hash_pos < 0 else link[hash_pos + 1:]
+    if head and "#" not in head:
+        resolved = _fast_resolve(head, base_url)
+        if resolved is not None:
+            fragment = unquote(frag_raw) if frag_raw else None
+            with_fragment = resolved + (f"#{frag_raw}" if frag_raw else "")
+            return ParsedLink(link, resolved, with_fragment, fragment)
     try:
         resolved = urljoin(base_url, link) if base_url else link
         parts = urlsplit(resolved)

@@ -38,3 +38,40 @@ def test_ray_mode_retry(ray_session):
     # host-sticky routing keeps the 429→200 sequence deterministic
     one = [c for c in res.call_log if c[0] == "http://slow.invalid/1"]
     assert [c[2] for c in one] == [429, 200]
+
+
+def test_pipelined_matches_rounds(ray_session):
+    """Continuous-queue execution produces the same final sets as the
+    round-based mode."""
+    from linkinator_ray.sources.synth import synth_crawl_corpus
+    docs, seeds, expected_seen, _ = synth_crawl_corpus(num_hosts=3,
+                                                       docs_per_host=120)
+    base = dict(paths=seeds, recurse=True, fetch_concurrency=3, seen_shards=2)
+    rounds = LinkChecker(CheckOptions(**base), docs, [], multi_host=True,
+                         use_ray=True).check()
+    piped = LinkChecker(CheckOptions(**base, pipelined=True), docs, [],
+                        multi_host=True, use_ray=True).check()
+    assert rounds.stats["seen_urls"] == piped.stats["seen_urls"] == expected_seen
+    # the contract (SURVEY.md §2.6): per-URL state/status + BROKEN edges;
+    # the parent recorded for an OK row is discovery-order dependent in
+    # the reference too
+    def contract(res):
+        rows = res.results.to_pylist()
+        return ({(r["url"], r["state"], r["status"]) for r in rows},
+                {(r["url"], r["parent"]) for r in rows if r["state"] == "BROKEN"})
+    assert contract(rounds) == contract(piped)
+    assert rounds.passed == piped.passed
+
+
+def test_pipelined_fixture_parity(ray_session):
+    for builder in (fx.recurse, fx.repeated_broken_link):
+        fixture = builder()
+        opts = dict(fixture.options, fetch_concurrency=2, seen_shards=2)
+        rounds = LinkChecker(CheckOptions(paths=fixture.seeds, **opts),
+                             fixture.documents, fixture.http_map,
+                             use_ray=True).check()
+        piped = LinkChecker(CheckOptions(paths=fixture.seeds, **opts,
+                                         pipelined=True),
+                            fixture.documents, fixture.http_map,
+                            use_ray=True).check()
+        assert key_set(rounds) == key_set(piped), fixture.name

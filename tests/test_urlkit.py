@@ -145,3 +145,76 @@ class TestHash:
         assert arr.dtype == np.uint64
         assert arr[0] == arr[2] != arr[1]
         assert arr[0] == urlkit.hash64("a")
+
+
+class TestFastResolveEquivalence:
+    """The fast resolver must agree with the urllib-based slow path."""
+
+    CASES = [
+        ("page.html", "http://h.test/dir/index.html"),
+        ("sub/page.html", "http://h.test/dir/"),
+        ("/rooted/x.html", "http://h.test/dir/index.html"),
+        ("http://other.test/abs.html", "http://h.test/"),
+        ("https://other.test", "http://h.test/"),
+        ("http://other.test/a/b/c", "http://h.test/"),
+        ("page.html#frag", "http://h.test/"),
+        ("#onlyfrag", "http://h.test/page.html"),
+        ("page.html#", "http://h.test/"),
+        ("../up.html", "http://h.test/a/b/"),
+        ("./here.html", "http://h.test/a/"),
+        ("a//b.html", "http://h.test/"),
+        ("HTTP://UPPER.test/X", "http://h.test/"),
+        ("http://h.test:80/x", "http://h.test/"),
+        ("http://h.test:8080/x", "http://h.test/"),
+        ("with space.html", "http://h.test/"),
+        ("q.html?x=1", "http://h.test/"),
+        ("/a/../b", "http://h.test/"),
+        ("d17.html", "http://h3.test/"),
+        ("/d/412.html", "http://corpus.test/d/5.html"),
+        ("mailto:x@y.z", "http://h.test/"),
+        ("pct%20enc.html", "http://h.test/"),
+        ("http://user:pw@h.test/x", "http://h.test/"),
+    ]
+
+    def test_fixed_cases(self):
+        import linkinator_ray.urlkit as uk
+        for link, base in self.CASES:
+            fast = uk.parse_link(link, base)
+            # force the slow path by bypassing _fast_resolve
+            orig = uk._fast_resolve
+            uk._fast_resolve = lambda h, b: None
+            try:
+                slow = uk.parse_link(link, base)
+            finally:
+                uk._fast_resolve = orig
+            assert (fast.url, fast.url_with_fragment, fast.fragment,
+                    fast.error is None) == \
+                (slow.url, slow.url_with_fragment, slow.fragment,
+                 slow.error is None), (link, base)
+
+    def test_hypothesis_paths(self):
+        from hypothesis import given, settings, strategies as st
+        import linkinator_ray.urlkit as uk
+        seg = st.text(alphabet="abcZ09._-", min_size=1, max_size=5)
+        links = st.one_of(
+            st.builds(lambda a, b: f"{a}/{b}.html", seg, seg),
+            st.builds(lambda a: f"/{a}.html", seg),
+            st.builds(lambda a, b: f"http://{a.lower()}.test/{b}", seg, seg),
+            st.builds(lambda a, f: f"{a}.html#{f}", seg, seg),
+        )
+
+        @settings(max_examples=300, deadline=None)
+        @given(link=links)
+        def check(link):
+            base = "http://h.test/dir/page.html"
+            fast = uk.parse_link(link, base)
+            orig = uk._fast_resolve
+            uk._fast_resolve = lambda h, b: None
+            try:
+                slow = uk.parse_link(link, base)
+            finally:
+                uk._fast_resolve = orig
+            assert (fast.url, fast.url_with_fragment, fast.fragment) == \
+                (slow.url, slow.url_with_fragment, slow.fragment), link
+
+        check()
