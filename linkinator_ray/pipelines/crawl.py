@@ -92,6 +92,9 @@ class LinkChecker:
                                       corpus_base=self.corpus_base)
         self._skip_patterns = options.compiled_skips()
         self._frag_skip_patterns = options.compiled_fragment_skips()
+        from linkinator_ray.state.robots import RobotsCache
+        self.robots = RobotsCache.from_corpus(self.corpus, multi_host) \
+            if options.respect_robots else RobotsCache()
 
         # mutable crawl state (the Arrow/actor re-architecture of the
         # reference's six shared caches, src/index.ts:260-265)
@@ -486,6 +489,11 @@ class LinkChecker:
                 (any(p.search(u) for p in pats) for u in urls), bool, n)
         else:
             rule_skip = np.zeros(n, dtype=bool)
+        if self.robots.has_rules():
+            allowed = self.robots.allowed
+            urls = frontier["url"].to_pylist()
+            rule_skip |= np.fromiter(
+                (not allowed(u) for u in urls), bool, n)
         skip_mask = ~is_http | (is_http & rule_skip)
         if skip_mask.any():
             urls = frontier["url"].to_pylist()
