@@ -87,7 +87,8 @@ class LinkChecker:
         self.corpus = CorpusIndex(self.documents, host=corpus_host,
                                   clean_urls=options.clean_urls,
                                   markdown=options.markdown,
-                                  multi_host=multi_host)
+                                  multi_host=multi_host,
+                                  directory_listing=options.directory_listing)
         self.extractor = ExtractLinks(check_css=options.check_css,
                                       corpus_base=self.corpus_base)
         self._skip_patterns = options.compiled_skips()
@@ -219,6 +220,7 @@ class LinkChecker:
             "clean_urls": opts.clean_urls,
             "markdown": opts.markdown,
             "multi_host": self.multi_host,
+            "directory_listing": opts.directory_listing,
             "latency_s": self.transport_latency_s,
             "strict": False,
         }

@@ -86,12 +86,15 @@ class CorpusIndex:
     interface is the same, so the crawl driver can swap resolvers.
     """
 
+    LISTING_PREFIX = "\x00listing:"
+
     def __init__(self, documents: pa.Table, *, host: str = "corpus.test",
                  clean_urls: bool = False, markdown: bool = False,
-                 multi_host: bool = False):
+                 multi_host: bool = False, directory_listing: bool = False):
         self.host = host
         self.clean_urls = clean_urls
         self.markdown = markdown
+        self.directory_listing = directory_listing
         self.multi_host = multi_host  # doc_id carries "host/path"
         # Spans stay in the Arrow table (zero-copy through the object
         # store when broadcast to fetch actors) and materialize per doc
@@ -115,10 +118,32 @@ class CorpusIndex:
         return doc_id in self._index
 
     def spans_of(self, doc_id: str) -> list:
+        if doc_id.startswith(self.LISTING_PREFIX):
+            return self._listing_spans(doc_id[len(self.LISTING_PREFIX):])
         i = self._index.get(doc_id)
         if i is None or self._spans_col is None:
             return []
         return self._spans_col[i].as_py() or []
+
+    def _listing_spans(self, dir_prefix: str) -> list:
+        """Synthetic auto-index page: one anchor per direct child
+        (server.ts:172-184 renders <ul><li><a …> of dir contents)."""
+        prefix = dir_prefix + "/" if dir_prefix else ""
+        children = set()
+        for doc_id in self._index:
+            if not doc_id.startswith(prefix):
+                continue
+            rest = doc_id[len(prefix):]
+            children.add(rest.split("/", 1)[0] + ("/" if "/" in rest else ""))
+        for d in self._dirs:
+            if d.startswith(prefix) and d != dir_prefix:
+                rest = d[len(prefix):]
+                children.add(rest.split("/", 1)[0] + "/")
+        return [
+            {"kind": "anchor", "text": child, "media_ref": child,
+             "offset": i * 10}
+            for i, child in enumerate(sorted(children))
+        ]
 
     def doc_ids(self) -> list[str]:
         return list(self._index)
@@ -155,6 +180,13 @@ class CorpusIndex:
                 cand = raw + suffix
                 if cand in self._index:
                     return Resolution(200, cand, content_type_for(cand, self.markdown))
+        if self.directory_listing and raw.endswith("index.html"):
+            # auto-index for directories without index.html
+            # (server.ts:94-95, :172-184)
+            dir_prefix = raw[:-len("index.html")].rstrip("/")
+            if dir_prefix in self._dirs or dir_prefix == "":
+                return Resolution(200, self.LISTING_PREFIX + dir_prefix,
+                                  "text/html")
         if raw in self._dirs:
             # directory without trailing slash → 301 to path + '/'
             # (server.ts:85-117)

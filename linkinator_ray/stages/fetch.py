@@ -650,7 +650,8 @@ def build_transport(blob: dict) -> MockTransport:
                              host=blob.get("corpus_host", "corpus.test"),
                              clean_urls=blob.get("clean_urls", False),
                              markdown=blob.get("markdown", False),
-                             multi_host=blob.get("multi_host", False))
+                             multi_host=blob.get("multi_host", False),
+                             directory_listing=blob.get("directory_listing", False))
     return MockTransport(blob.get("http_map"), corpus,
                          latency_s=blob.get("latency_s", 0.0),
                          strict=blob.get("strict", True))

@@ -258,3 +258,31 @@ def test_css_off_only_regular_link():
 def test_seen_set_matches_results():
     res = run_fixture(fx.recurse())
     assert res.stats["seen_urls"] == 4
+
+
+def test_directory_listing():
+    """Auto-index pages for directories without index.html (S3,
+    server.ts:172-184)."""
+    fixture = fx.Fixture(
+        "dirlist",
+        fx.docs_table(
+            fx.doc("files/a.html", fx.span("text", "", "a")),
+            fx.doc("files/b.html", fx.span("text", "", "b")),
+            fx.doc("files/sub/c.html", fx.span("text", "", "c")),
+        ),
+        [], ["files/"], {"recurse": True, "directory_listing": True})
+    res = run_fixture(fixture)
+    assert res.passed, res.results.to_pylist()
+    urls = {r["url"] for r in res.results.to_pylist()}
+    assert CB + "files/a.html" in urls
+    assert CB + "files/b.html" in urls
+    assert CB + "files/sub/c.html" in urls  # via the sub/ listing
+
+
+def test_directory_listing_off_404():
+    fixture = fx.Fixture(
+        "dirlist-off",
+        fx.docs_table(fx.doc("files/a.html", fx.span("text", "", "a"))),
+        [], ["files/"], {"recurse": True})
+    res = run_fixture(fixture)
+    assert not res.passed  # files/ has no index.html → 404
