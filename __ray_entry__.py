@@ -36,7 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def media_features_sql_cols(sf_dir):
         ds = multimodal.media_features(sf_dir)
         return ds.select_columns(
-            ["media_id", "kind", "n_bytes", "n_frames", "sampled_frames"]).sort("media_id")
+            ["media_id", "kind", "n_bytes", "n_frames", "sampled_frames"])
 
     def embedding_pairs(sf_dir):
         table = dedup.dedup_embedding(sf_dir, threshold=0.95, limit=200)

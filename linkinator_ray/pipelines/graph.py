@@ -146,7 +146,14 @@ def extract_edges(sf_dir: str):
     edge key), the at-scale shape for edge dedup (SURVEY.md §2.5 D2)."""
     from ray.data.aggregate import Count
     edges = extract_links_dataset(sf_dir)
-    distinct = edges.groupby(["src_doc", "dst_doc"]).aggregate(
+    def _fanout(ds):
+        try:
+            import ray
+            n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+        except Exception:
+            n = 8
+        return ds.repartition(min(32, max(4, n)))
+
+    distinct = _fanout(edges).groupby(["src_doc", "dst_doc"]).aggregate(
         Count(alias_name="n"))
-    return distinct.select_columns(["src_doc", "dst_doc"]).sort(
-        ["src_doc", "dst_doc"])
+    return distinct.select_columns(["src_doc", "dst_doc"])  # unordered

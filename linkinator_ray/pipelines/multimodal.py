@@ -112,4 +112,4 @@ def media_summary(sf_dir: str):
     out = media_features(sf_dir).groupby("kind").aggregate(
         Count(alias_name="n_items"),
         Sum("n_bytes", alias_name="total_bytes"))
-    return out.sort("kind")
+    return out  # unordered; comparators sort

@@ -83,7 +83,7 @@ def knn_bruteforce(sf_dir: str, k: int = 5, num_queries: int = 4):
         return g[["query_id", "rank", "neighbor_id", "cosine"]]
 
     return partials.groupby("query_id").map_groups(
-        merge, batch_format="pandas").sort(["query_id", "rank"])
+        merge, batch_format="pandas")  # rank column carries the order
 
 
 # ---------------------------------------------------------------------------
