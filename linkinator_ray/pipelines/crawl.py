@@ -240,8 +240,12 @@ class LinkChecker:
             "classify_opts": opts,
             "static_host": self.static_host,
         }
+        # the reference's `concurrency` caps simultaneous connections
+        # (src/index.ts:256-258); here one fetch actor = one connection
+        # stream, so the pool never exceeds it
         pool = FetchPool(worker_kwargs, transport_blob, use_ray=self.use_ray,
-                         num_actors=opts.fetch_concurrency)
+                         num_actors=max(1, min(opts.fetch_concurrency,
+                                               opts.concurrency)))
 
         round_no = 0
         if resume_from is not None:
