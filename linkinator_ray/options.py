@@ -120,6 +120,8 @@ class CheckOptions:
     pipelined: bool = False  # continuous-queue execution (no round barriers)
     max_rounds: int = 10_000  # BFS safety valve
     checkpoint_dir: str | None = None  # per-round frontier/seen/lineage checkpoints
+    results_dir: str | None = None     # stream results out as parquet parts
+    results_flush_rows: int = 1_000_000  # spill threshold (rows held in driver)
     politeness_delay: float = 0.0  # min seconds between fetches to one host (token bucket)
     respect_robots: bool = False  # consult the robots cache actor
 

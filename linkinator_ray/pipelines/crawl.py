@@ -102,6 +102,9 @@ class LinkChecker:
         self.seen = None          # SeenSet — built in check()
         self.edge_seen = None     # SeenSet over hash64(url + '|' + parent)
         self.results_tables: list[pa.Table] = []
+        # frontier-level BROKEN rows retained across spills (J1 join input)
+        self.broken_first_tables: list[pa.Table] = []
+        self._spill_part = 0
         self.dup_edge_tables: list[pa.Table] = []   # (url, parent) dup references
         self.pending_fragments: dict[str, set[str]] = {}
         self.delay_map: dict[str, float] = {}       # host → retry-after deadline
@@ -299,21 +302,64 @@ class LinkChecker:
                 if any(t.num_rows for t in deferred) else schema.empty(schema.FRONTIER)
             round_no += 1
             self.counters["rounds"] = round_no
+            self._maybe_spill_results()
 
             if opts.checkpoint_dir:
                 self._checkpoint(round_no, frontier)
 
         return self._finish(pool)
 
+    def _maybe_spill_results(self) -> None:
+        """Streaming results sink (options.results_dir): when the driver
+        holds more than ``results_flush_rows`` result rows, write them to
+        an atomic parquet part and keep only the frontier-level BROKEN
+        rows (the duplicate-broken join's input). At 10^10 URLs the
+        results never accumulate in driver memory; output is partitioned
+        so a rerun diffs/resumes per part."""
+        opts = self.opts
+        if not opts.results_dir:
+            return
+        held = sum(t.num_rows for t in self.results_tables)
+        if held < opts.results_flush_rows:
+            return
+        import os
+        import pyarrow.parquet as pq
+        merged = pa.concat_tables(self.results_tables).combine_chunks()
+        self.broken_first_tables.append(merged.filter(
+            pc.and_(merged["frontier_level"],
+                    pc.equal(merged["state"], "BROKEN"))))
+        os.makedirs(opts.results_dir, exist_ok=True)
+        part = os.path.join(opts.results_dir,
+                            f"part_{self._spill_part:05d}.parquet")
+        pq.write_table(merged.drop_columns(["frontier_level"]), part + ".tmp")
+        os.replace(part + ".tmp", part)
+        self._spill_part += 1
+        self.counters["spilled_rows"] = \
+            self.counters.get("spilled_rows", 0) + merged.num_rows
+        self.counters["spilled_broken"] = \
+            self.counters.get("spilled_broken", 0) + merged.filter(
+                pc.equal(merged["state"], "BROKEN")).num_rows
+        self.results_tables = []
+
     def _finish(self, pool) -> CrawlResult:
         self._duplicate_broken_join()
+        if self.opts.results_dir and self.results_tables:
+            # flush the tail (including the J1 re-reports) so the parquet
+            # parts are the complete result record
+            self.opts.results_flush_rows = 0
+            self._maybe_spill_results()
         results = self._final_results()
-        broken = results.filter(pc.equal(results["state"], "BROKEN")).num_rows
+        # spilled rows were counted at spill time; in-memory rows (tail +
+        # J1 re-reports) are disjoint from the spilled parts
+        total_broken = results.filter(
+            pc.equal(results["state"], "BROKEN")).num_rows \
+            + self.counters.get("spilled_broken", 0)
         return CrawlResult(
-            passed=broken == 0,
+            passed=total_broken == 0,
             results=results,
-            stats=dict(self.counters, broken=broken,
+            stats=dict(self.counters, broken=total_broken,
                        seen_urls=self.seen.size(),
+                       results_dir=self.opts.results_dir,
                        timings={k: round(v, 3) for k, v in self.timings.items()}),
             call_log=pool.call_log(),
         )
@@ -443,6 +489,7 @@ class LinkChecker:
                 admit(new_rows, now)
             batch_no += 1
             self.counters["rounds"] = batch_no
+            self._maybe_spill_results()
             if opts.checkpoint_dir and batch_no % 32 == 0:
                 # checkpoint epoch: queued + deferred + inputs of inflight
                 snapshot = [t for q in queues for t in q] + deferred
@@ -797,8 +844,10 @@ class LinkChecker:
         dup_edges = pa.concat_tables(self.dup_edge_tables).combine_chunks()
         # frontier-level BROKEN rows (one per URL by construction) —
         # an Arrow hash join stands in for the reference's in-flight
-        # await + re-emit
-        merged = pa.concat_tables(self.results_tables).combine_chunks()
+        # await + re-emit; earlier spills retained their broken rows in
+        # broken_first_tables
+        merged = pa.concat_tables(
+            self.results_tables + self.broken_first_tables).combine_chunks()
         broken_first = merged.filter(
             pc.and_(merged["frontier_level"],
                     pc.equal(merged["state"], "BROKEN"))) \

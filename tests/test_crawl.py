@@ -286,3 +286,29 @@ def test_directory_listing_off_404():
         [], ["files/"], {"recurse": True})
     res = run_fixture(fixture)
     assert not res.passed  # files/ has no index.html → 404
+
+
+def test_results_streaming_sink(tmp_path):
+    """results_dir spills result rows to atomic parquet parts; the
+    reassembled record equals an unspilled run (minus row order)."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    fixture = fx.repeated_broken_link()
+    plain = run_fixture(fixture)
+
+    out_dir = str(tmp_path / "results")
+    fixture2 = fx.repeated_broken_link()
+    spilled = run_fixture(fixture2, results_dir=out_dir, results_flush_rows=2)
+    parts = sorted(os.listdir(out_dir))
+    assert len(parts) >= 2
+    tables = [pq.read_table(os.path.join(out_dir, p)) for p in parts]
+    if spilled.results.num_rows:
+        tables.append(spilled.results)
+    merged = pa.concat_tables(tables)
+    def key_set(t):
+        return {(r["url"], r["state"], r["status"], r["parent"])
+                for r in t.to_pylist()}
+    assert key_set(merged) == key_set(plain.results)
+    assert spilled.passed == plain.passed
+    assert spilled.stats["broken"] == plain.stats["broken"]
