@@ -63,8 +63,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_bruteforce": knn,
         "knn_lsh": lambda sf: similarity.knn_lsh(sf, k=5, num_queries=4),  # rows-only
+        "quality_filter": lambda sf: text.quality_filter(sf),
+        "top_tokens": lambda sf: text.top_tokens(sf, k=20),
         # streaming-shaped
         "tumbling_window": lambda sf: events.tumbling_window(sf, 3600),
+        "sliding_window": lambda sf: events.sliding_window(sf, 7200, 3600),
         "sessionize": lambda sf: events.sessionize(sf, 1800),
         # multimodal plumbing
         "media_features": media_features_sql_cols,
@@ -186,6 +189,39 @@ def oracle_sql() -> dict[str, str]:
             FROM scored
             QUALIFY rank <= 5
             ORDER BY query_id, rank
+        """,
+        "quality_filter": r"""
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                           AS n_tokens,
+                       CAST(1000000 * length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                            // greatest(length(text), 1) AS BIGINT) AS alpha_ppm
+                FROM documents
+            )
+            SELECT doc_id, n_tokens, alpha_ppm FROM s
+            WHERE n_tokens BETWEEN 20 AND 1000 AND alpha_ppm >= 500000
+        """,
+        "top_tokens": r"""
+            WITH tok AS (
+                SELECT doc_id, unnest(list_distinct(
+                    string_split_regex(trim(text), '\s+'))) AS token
+                FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+            FROM tok GROUP BY token
+            ORDER BY doc_freq DESC, token ASC LIMIT 20
+        """,
+        "sliding_window": """
+            WITH hits AS (
+                SELECT event_type,
+                       (epoch_us(ts) // 3600000000) * 3600 - h.h * 3600
+                           AS window_start
+                FROM events, (SELECT unnest([0, 1]) AS h) h
+            )
+            SELECT event_type, window_start,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM hits GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "tumbling_window": """
             SELECT event_type,

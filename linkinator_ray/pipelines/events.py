@@ -76,3 +76,29 @@ def sessionize(sf_dir: str, gap_s: int = 1800):
 
     return _fanout(read_events(sf_dir, ["ts", "user_id"])).groupby("user_id").map_groups(
         per_user, batch_format="pandas")  # unordered
+
+
+def sliding_window(sf_dir: str, window_s: int = 7200, step_s: int = 3600):
+    """Per (event_type, window) counts for overlapping windows
+    (window_s span, step_s hop): each event contributes to
+    window_s/step_s windows — emitted fan-out in the partial kernel,
+    merged by a small groupby."""
+    from ray.data.aggregate import Sum
+    hops = window_s // step_s
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        epoch = batch["ts"].astype("int64") // 1_000_000
+        frames = []
+        for h in range(hops):
+            start = ((epoch - h * step_s) // step_s) * step_s
+            frames.append(pd.DataFrame({
+                "event_type": batch["event_type"], "window_start": start}))
+        g = pd.concat(frames, ignore_index=True)
+        g["n"] = 1
+        return g.groupby(["event_type", "window_start"], as_index=False).agg(
+            n=("n", "sum"))
+
+    partials = read_events(sf_dir, ["ts", "event_type"]).map_batches(
+        partial, batch_format="pandas", batch_size=16384)
+    return _fanout(partials).groupby(["event_type", "window_start"]).aggregate(
+        Sum("n", alias_name="n_events"))

@@ -191,3 +191,43 @@ def rolling_fingerprint(sf_dir: str, window: int = 8):
 
     return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         kernel, batch_format="pandas", batch_size=4096)
+
+
+def quality_filter(sf_dir: str, min_tokens: int = 20, max_tokens: int = 1000,
+                   min_alpha_ppm: int = 500_000):
+    """Training-data quality gate: keep docs inside token-count bounds
+    with enough alphabetic content. Vectorized predicate inside
+    map_batches (ds.filter(row_fn) would be per-row Python)."""
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        stats = _stats_kernel(batch)
+        keep = ((stats["n_tokens"] >= min_tokens)
+                & (stats["n_tokens"] <= max_tokens)
+                & (stats["alpha_ppm"] >= min_alpha_ppm))
+        return stats.loc[keep, ["doc_id", "n_tokens", "alpha_ppm"]]
+
+    return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        kernel, batch_format="pandas", batch_size=8192)
+
+
+def top_tokens(sf_dir: str, k: int = 20):
+    """Global top-k tokens by document frequency: per-batch partial
+    counts (the combiner), small groupby merge, deterministic
+    (count desc, token asc) head."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        counts: dict[str, int] = {}
+        for text in batch["text"].fillna(""):
+            for tok in set(_WS.split(text.strip())) if text.strip() else ():
+                counts[tok] = counts.get(tok, 0) + 1
+        return pd.DataFrame({"token": list(counts), "n": list(counts.values())})
+
+    partials = read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pandas", batch_size=8192)
+    merged = _fanout(partials).groupby("token").aggregate(
+        Sum("n", alias_name="doc_freq"))
+    top = merged.to_pandas().sort_values(
+        ["doc_freq", "token"], ascending=[False, True]).head(k)
+    import pyarrow as _pa
+    return _pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)

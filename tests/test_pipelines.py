@@ -170,3 +170,29 @@ def test_rolling_fingerprint_edit_stability(ray_session, tmp_path):
     df = rolling_fingerprint(str(out)).to_pandas()
     fps = dict(zip(df["doc_id"], df["rolling_fp"]))
     assert fps[1] == fps[2]
+
+
+def test_quality_filter_bounds(ray_session):
+    from linkinator_ray.pipelines.text import quality_filter
+    df = quality_filter(SF, min_tokens=20, max_tokens=1000).to_pandas()
+    assert (df["n_tokens"] >= 20).all() and (df["n_tokens"] <= 1000).all()
+    assert (df["alpha_ppm"] >= 500_000).all()
+    assert 0 < len(df) <= 500
+
+
+def test_top_tokens_deterministic(ray_session):
+    from linkinator_ray.pipelines.text import top_tokens
+    a = top_tokens(SF, k=10).to_pylist()
+    b = top_tokens(SF, k=10).to_pylist()
+    assert a == b
+    assert len(a) == 10
+    freqs = [r["doc_freq"] for r in a]
+    assert freqs == sorted(freqs, reverse=True)
+
+
+def test_sliding_window_covers_tumbling(ray_session):
+    from linkinator_ray.pipelines.events import sliding_window, tumbling_window
+    slide = sliding_window(SF, 7200, 3600).to_pandas()
+    tumble = tumbling_window(SF, 3600).to_pandas()
+    # every event lands in exactly 2 sliding windows
+    assert slide["n_events"].sum() == 2 * tumble["n_events"].sum()
