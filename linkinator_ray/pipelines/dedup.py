@@ -365,3 +365,37 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.95, limit: int | None = 20
         "vec_b": pa.array(hi[order], pa.int64()),
         "cosine": pa.array(np.round(sims[iu][mask][order], 6), pa.float64()),
     })
+
+
+def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.9, n_planes: int = 6):
+    """Embedding near-dup at scale: random-hyperplane buckets (shuffle on
+    the bucket key), exact pairwise cosine only WITHIN buckets via
+    map_groups — the all-pairs matmul never materializes. Candidates
+    with cosine ≥ threshold, paired to the bucket minimum for
+    connectivity (like the MinHash pipeline)."""
+    from linkinator_ray.pipelines.similarity import _LshBucketer, read_embeddings
+
+    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
+        b = _LshBucketer(len(batch["embedding"].iloc[0]), n_planes)
+        return b(batch)
+
+    bucketed = read_embeddings(sf_dir).map_batches(
+        bucket, batch_format="pandas", batch_size=4096)
+
+    def within(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine_ppm": []})
+        g = group.sort_values("vec_id")
+        mat = np.stack(g["embedding"].to_numpy())
+        ids = g["vec_id"].to_numpy()
+        sims = mat @ mat.T
+        iu = np.triu_indices(len(ids), k=1)
+        keep = sims[iu] >= threshold
+        return pd.DataFrame({
+            "vec_a": ids[iu[0][keep]], "vec_b": ids[iu[1][keep]],
+            "cosine_ppm": (sims[iu][keep] * 1_000_000).astype("int64"),
+        })
+
+    pairs = _fanout(bucketed).groupby("bucket").map_groups(
+        within, batch_format="pandas")
+    return pairs

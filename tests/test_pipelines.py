@@ -196,3 +196,21 @@ def test_sliding_window_covers_tumbling(ray_session):
     tumble = tumbling_window(SF, 3600).to_pandas()
     # every event lands in exactly 2 sliding windows
     assert slide["n_events"].sum() == 2 * tumble["n_events"].sum()
+
+
+def test_dedup_embedding_lsh_finds_planted(ray_session, tmp_path):
+    """Plant a near-identical vector; the LSH-bucketed near-dup must
+    pair it with its source (same bucket by construction)."""
+    import pyarrow.parquet as pq
+    from linkinator_ray.pipelines.dedup import dedup_embedding_lsh
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((100, 64)).astype(np.float32)
+    dup = vecs[3] + rng.standard_normal(64).astype(np.float32) * 0.01
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist(), "label": 0}
+            for i in range(100)]
+    rows.append({"vec_id": 999, "embedding": dup.tolist(), "label": 0})
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(out / "embeddings.parquet"))
+    pairs = dedup_embedding_lsh(str(out), threshold=0.95).to_pandas()
+    assert ((pairs["vec_a"] == 3) & (pairs["vec_b"] == 999)).any()
