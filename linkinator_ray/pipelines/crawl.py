@@ -244,11 +244,14 @@ class LinkChecker:
             "static_host": self.static_host,
         }
         # the reference's `concurrency` caps simultaneous connections
-        # (src/index.ts:256-258); here one fetch actor = one connection
-        # stream, so the pool never exceeds it
+        # (src/index.ts:256-258): actors × per-actor connection threads
+        # never exceed it (FetchPool forces 1 thread when host-sticky
+        # ordering matters)
+        num_actors = max(1, min(opts.fetch_concurrency, opts.concurrency))
+        worker_kwargs["connections"] = max(
+            1, min(25, opts.concurrency // num_actors))
         pool = FetchPool(worker_kwargs, transport_blob, use_ray=self.use_ray,
-                         num_actors=max(1, min(opts.fetch_concurrency,
-                                               opts.concurrency)))
+                         num_actors=num_actors)
 
         round_no = 0
         if resume_from is not None:

@@ -172,9 +172,15 @@ class FetchWorker:
                  frag_skip_patterns: list[str] | None = None,
                  frag_skip_fn=None,
                  headers: dict[str, str] | None = None,
-                 classify_opts=None, static_host: str | None = None):
+                 classify_opts=None, static_host: str | None = None,
+                 connections: int = 1):
         import re
         self.transport = transport
+        # per-actor concurrent connection streams (the reference's
+        # `concurrency` is simultaneous connections, src/index.ts:256);
+        # >1 only when no scripted sequences / politeness stickiness
+        # depend on request ordering
+        self.connections = max(1, connections)
         self.redirects = RedirectsMode(redirects)
         self.check_css = check_css
         self.check_fragments = check_fragments
@@ -408,12 +414,28 @@ class FetchWorker:
         roots = batch["root_path"].to_pylist()
         depths = batch["depth"].to_pylist()
         corpus = self.transport.corpus
-        rows = []
         out = _BatchAccumulator()
-        for i, url in enumerate(urls):
-            result = self.fetch_one(url, do_crawls[i], now, url in pending)
-            result["soft404"] = False
-            rows.append(result)
+        if self.connections > 1 and len(urls) > 1:
+            # I/O-concurrent fetching: sleeps (wire latency) overlap
+            # across the thread pool; the GIL serializes the cheap
+            # per-row compute. Results keep row order.
+            from concurrent.futures import ThreadPoolExecutor
+            if not hasattr(self, "_pool"):
+                self._pool = ThreadPoolExecutor(self.connections)
+            rows = list(self._pool.map(
+                lambda i: self.fetch_one(urls[i], do_crawls[i], now,
+                                         urls[i] in pending),
+                range(len(urls))))
+            for result in rows:
+                result["soft404"] = False
+        else:
+            rows = []
+            for i, url in enumerate(urls):
+                result = self.fetch_one(url, do_crawls[i], now, url in pending)
+                result["soft404"] = False
+                rows.append(result)
+        for i, result in enumerate(rows):
+            url = urls[i]
             if result["redirect_skipped"] or result["retry_after_epoch"]:
                 continue
             ct = result["content_type"]
@@ -564,6 +586,10 @@ class FetchPool:
                 any(e.get("seq", -1) >= 0 for e in transport_blob.get("http_map") or [])
                 or worker_kwargs.get("retry", False))
         self.sticky_hosts = sticky_hosts
+        if sticky_hosts:
+            # scripted sequences / politeness ordering require serial
+            # per-host request streams
+            worker_kwargs = {**worker_kwargs, "connections": 1}
         if use_ray:
             import ray
             actor_cls = ray.remote(num_cpus=1)(_RemoteFetchWorker)
