@@ -136,6 +136,15 @@ class LinkChecker:
                 paths.append(path)
         if not paths:
             raise ValueError("at least one path is required")
+        # no mixing of local corpus paths and absolute URLs, and
+        # server_root only applies to local scans (src/options.ts:77-114)
+        has_http = any(urlkit.is_absolute_url(p) for p in paths)
+        has_local = any(not urlkit.is_absolute_url(p) for p in paths)
+        if has_http and has_local:
+            raise ValueError(
+                "cannot mix absolute URLs and local corpus paths in one scan")
+        if has_http and self.opts.server_root:
+            raise ValueError("server_root cannot be used with absolute URLs")
         # markdown auto-detect (src/options.ts:156-164)
         if any(p.endswith((".md", ".mdx")) for p in paths) and not self.opts.markdown:
             self.opts.markdown = True

@@ -159,7 +159,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
         # for connectivity, avoids O(k²) blowup on giant buckets
         return pd.DataFrame({"a": np.full(len(ids) - 1, ids[0]), "b": ids[1:]})
 
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
+    pairs = _fanout(banded).groupby(["band_id", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas")
     cand = pairs.to_pandas().drop_duplicates()
     if len(cand) == 0:
@@ -286,7 +286,7 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
             ham.append(d)
         return pd.DataFrame({"a": a, "b": b, "ham": ham})
 
-    pairs = banded.groupby(["band_id", "band_hash"]).map_groups(
+    pairs = _fanout(banded).groupby(["band_id", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas").to_pandas().drop_duplicates()
     keep = [(a, b) for a, b, h in zip(pairs["a"], pairs["b"], pairs["ham"])
             if h <= max_hamming and a != b]

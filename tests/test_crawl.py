@@ -312,3 +312,22 @@ def test_results_streaming_sink(tmp_path):
     assert key_set(merged) == key_set(plain.results)
     assert spilled.passed == plain.passed
     assert spilled.stats["broken"] == plain.stats["broken"]
+
+
+def test_mixed_seed_types_rejected():
+    import pytest
+    fixture = fx.basic()
+    with pytest.raises(ValueError, match="mix"):
+        run_fixture(fixture, paths=None) if False else \
+            LinkChecker(CheckOptions(paths=["basic/index.html",
+                                            "http://ext.invalid/"]),
+                        fixture.documents, fixture.http_map).check()
+
+
+def test_server_root_with_urls_rejected():
+    import pytest
+    fixture = fx.basic()
+    with pytest.raises(ValueError, match="server_root"):
+        LinkChecker(CheckOptions(paths=["http://ext.invalid/"],
+                                 server_root="/tmp/site"),
+                    fixture.documents, fixture.http_map).check()
