@@ -111,7 +111,11 @@ class MinHasher:
 
 
 def _band_rows(batch: pd.DataFrame, bands: int, rows: int) -> pd.DataFrame:
-    """signature → (band_id, band_hash, doc_id) rows — the LSH explode."""
+    """signature → (band_id, band_hash, doc_id) rows — the LSH explode.
+
+    band_hash is int64 (reinterpreted), not uint64: a uint64 groupby key
+    silently coerces to float64 in the aggregate path and equality joins
+    stop matching."""
     doc_ids = np.repeat(batch["doc_id"].to_numpy(), bands)
     band_ids = np.tile(np.arange(bands), len(batch))
     hashes = np.empty(len(batch) * bands, dtype=np.uint64)
@@ -121,7 +125,8 @@ def _band_rows(batch: pd.DataFrame, bands: int, rows: int) -> pd.DataFrame:
             chunk = sig[b * rows:(b + 1) * rows]
             hashes[i * bands + b] = int.from_bytes(
                 hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "little")
-    return pd.DataFrame({"band_id": band_ids, "band_hash": hashes,
+    return pd.DataFrame({"band_id": band_ids,
+                         "band_hash": hashes.view(np.int64),
                          "doc_id": doc_ids})
 
 
@@ -144,23 +149,38 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
     rows = num_perms // bands
     docs = read_docs(sf_dir, ["doc_id", "text"])
     sigs = docs.map_batches(MinHasher, batch_format="pandas", batch_size=2048,
-                            concurrency=(1, 4),
+                            concurrency=(1, 8),
                             fn_constructor_kwargs={"num_perms": num_perms,
                                                    "ngram": ngram})
     banded = sigs.map_batches(
         lambda b: _band_rows(b, bands, rows), batch_format="pandas",
         batch_size=4096)
+    # consumed twice (bucket counts, then pairing) — pin the small
+    # (3 int cols × bands/doc) intermediate so signatures compute once
+    banded = banded.materialize()
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        # pair every doc in the bucket with the bucket minimum — enough
-        # for connectivity, avoids O(k²) blowup on giant buckets
-        return pd.DataFrame({"a": np.full(len(ids) - 1, ids[0]), "b": ids[1:]})
+    # candidate pairing without per-group Python: count+min per bucket
+    # (one aggregate shuffle), broadcast the hot buckets' anchors, pair
+    # every member with its bucket anchor inside map_batches — enough
+    # for connectivity, avoids O(k²) blowup on giant buckets
+    from ray.data.aggregate import Count as _Count, Min as _Min
+    counts = _fanout(banded).groupby(["band_id", "band_hash"]).aggregate(
+        _Count(alias_name="n"), _Min("doc_id", alias_name="anchor"))
+    hot = counts.filter(expr="n > 1").to_pandas()
+    anchor_of = {(b, h): a for b, h, a in
+                 zip(hot["band_id"], hot["band_hash"], hot["anchor"])}
+    if not anchor_of:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64())})
 
-    pairs = _fanout(banded).groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas")
+    def pair_with_anchor(batch: pd.DataFrame) -> pd.DataFrame:
+        anchors = [anchor_of.get((b, h), -1) for b, h in
+                   zip(batch["band_id"], batch["band_hash"])]
+        out = pd.DataFrame({"a": anchors, "b": batch["doc_id"]})
+        return out[(out["a"] >= 0) & (out["a"] != out["b"])]
+
+    pairs = banded.map_batches(pair_with_anchor, batch_format="pandas",
+                               batch_size=16384)
     cand = pairs.to_pandas().drop_duplicates()
     if len(cand) == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()),
@@ -248,7 +268,7 @@ class SimHasher:
 
 def simhash_signatures(sf_dir: str):
     return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        SimHasher, batch_format="pandas", batch_size=2048, concurrency=(1, 4))
+        SimHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 8))
 
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 3):

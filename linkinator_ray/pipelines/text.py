@@ -135,7 +135,7 @@ class LangId:
 
 def lang_id(sf_dir: str):
     return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pandas", batch_size=4096, concurrency=(1, 4))
+        LangId, batch_format="pandas", batch_size=2048, concurrency=(1, 8))
 
 
 # ---------------------------------------------------------------------------
