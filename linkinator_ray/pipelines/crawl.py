@@ -429,7 +429,7 @@ class LinkChecker:
 
         def dispatch(now: float) -> None:
             nonlocal queued_rows
-            busy = set(inflight.values())
+            busy = {a for a, _ in inflight.values()}
             for a in range(num_actors):
                 if a in busy or not queues[a]:
                     continue
@@ -444,7 +444,7 @@ class LinkChecker:
                     batch = head
                 pend = list(self.pending_fragments)
                 fut = pool.submit(a, batch, pend, now)
-                inflight[fut] = a
+                inflight[fut] = (a, batch)
 
         admit(frontier, self.clock.now())
         while True:
@@ -502,9 +502,12 @@ class LinkChecker:
             batch_no += 1
             self.counters["rounds"] = batch_no
             self._maybe_spill_results()
-            if opts.checkpoint_dir and batch_no % 32 == 0:
-                # checkpoint epoch: queued + deferred + inputs of inflight
-                snapshot = [t for q in queues for t in q] + deferred
+            if opts.checkpoint_dir and batch_no % 8 == 0:
+                # checkpoint epoch: queued + deferred + in-flight batch
+                # inputs (their results after this snapshot replay on
+                # resume — re-fetching is idempotent)
+                snapshot = [t for q in queues for t in q] + deferred \
+                    + [b for _, b in inflight.values()]
                 snapshot = pa.concat_tables(snapshot) if snapshot \
                     else schema.empty(schema.FRONTIER)
                 self._checkpoint(batch_no, snapshot)

@@ -122,3 +122,44 @@ class TestCheckpointResume:
         assert manifest["round"] == len(rounds)
         assert manifest["parent_round"] == manifest["round"] - 1
         assert "row_counts" in manifest and "counters" in manifest
+
+
+class TestPipelinedCheckpoint:
+    def test_pipelined_resume(self, ray_session, tmp_path):
+        """Kill a pipelined run early (max_rounds caps processed batches),
+        resume from its checkpoint, same final sets as a clean run."""
+        from linkinator_ray.sources.synth import synth_crawl_corpus
+        docs, seeds, expected_seen, _ = synth_crawl_corpus(
+            num_hosts=2, docs_per_host=400)
+        base = dict(paths=seeds, recurse=True, fetch_concurrency=2,
+                    seen_shards=2)
+        full = LinkChecker(CheckOptions(**base), docs, [],
+                           multi_host=True, use_ray=True).check()
+        ck = str(tmp_path / "ck")
+        partial = LinkChecker(
+            CheckOptions(**base, pipelined=True, checkpoint_dir=ck,
+                         batch_size=64, max_rounds=10_000),
+            docs, [], multi_host=True, use_ray=True)
+        # force an early stop after enough batches to checkpoint once
+        orig = partial._process_fetched
+        calls = {"n": 0}
+        def bomb(*a, **k):
+            calls["n"] += 1
+            if calls["n"] > 12:
+                raise KeyboardInterrupt
+            return orig(*a, **k)
+        partial._process_fetched = bomb
+        try:
+            partial.check()
+        except KeyboardInterrupt:
+            pass
+        import os
+        assert os.path.isdir(ck) and os.listdir(ck), "no checkpoint written"
+        resumed = LinkChecker(CheckOptions(**base), docs, [],
+                              multi_host=True, use_ray=True).check(
+            resume_from=ck)
+        def urls_states(res):
+            return {(r["url"], r["state"], r["status"])
+                    for r in res.results.to_pylist()}
+        assert urls_states(resumed) == urls_states(full)
+        assert resumed.stats["seen_urls"] == expected_seen
