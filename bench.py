@@ -47,6 +47,7 @@ def _make_opts(ncpu: int, seeds):
         seen_shards=max(4, ncpu // 4),
         seen_filter="cuckoo",
         batch_size=4096,
+        pipelined=True,  # continuous-queue mode: no round barriers
     )
 
 

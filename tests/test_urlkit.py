@@ -218,3 +218,18 @@ class TestFastResolveEquivalence:
                 (slow.url, slow.url_with_fragment, slow.fragment), link
 
         check()
+
+
+class TestUnicodeUrls:
+    def test_unicode_path_roundtrip(self):
+        parsed = urlkit.parse_link("café/menü.html", "http://x.test/")
+        assert parsed.error is None
+        # non-ascii path chars percent-encode like WHATWG href
+        assert "caf%C3%A9" in parsed.url
+
+    def test_unicode_fragment_decoded(self):
+        parsed = urlkit.parse_link("p.html#%C3%BCber", "http://x.test/")
+        assert parsed.fragment == "über"
+
+    def test_unicode_host_lowercased(self):
+        assert urlkit.host_of("http://EXAMPLE.test/x") == "example.test"
