@@ -331,3 +331,66 @@ def test_server_root_with_urls_rejected():
         LinkChecker(CheckOptions(paths=["http://ext.invalid/"],
                                  server_root="/tmp/site"),
                     fixture.documents, fixture.http_map).check()
+
+
+def test_duplicate_seeds():
+    fixture = fx.basic()
+    fixture.seeds = ["basic/index.html", "basic/index.html"]
+    res = run_fixture(fixture)
+    assert res.passed
+    # parity: the reference enqueues every root path unconditionally
+    # (src/index.ts:267-288), so a duplicated seed is checked twice;
+    # the discovered link still dedups to one row
+    assert res.results.num_rows == 3
+    link_rows = [r for r in res.results.to_pylist()
+                 if r["url"] == "http://example.invalid/"]
+    assert len(link_rows) == 1
+
+
+def test_css_seed_scan():
+    """Seeding directly at a CSS file: the seed recurses into url()
+    targets when check_css is on (src/index.ts:419-424)."""
+    fixture = fx.Fixture(
+        "css-seed",
+        fx.docs_table(
+            fx.doc("site/styles.css",
+                   fx.span("style_url", "", "body{background:url(bg.png)}")),
+            fx.doc("site/bg.png", fx.span("text", "", "PNG")),
+        ),
+        [], ["site/styles.css"], {"check_css": True})
+    res = run_fixture(fixture)
+    assert res.passed
+    urls = {r["url"] for r in res.results.to_pylist()}
+    assert CB + "site/bg.png" in urls
+
+
+def test_css_seed_without_check_css_not_parsed():
+    fixture = fx.Fixture(
+        "css-seed-off",
+        fx.docs_table(
+            fx.doc("site/styles.css",
+                   fx.span("style_url", "", "body{background:url(bg.png)}")),
+        ),
+        [], ["site/styles.css"], {"check_css": False})
+    res = run_fixture(fixture)
+    assert res.passed
+    assert res.results.num_rows == 1  # just the seed
+
+
+def test_fragment_link_to_external_unfetched_page():
+    """A fragment pointing at an external page that is never crawled
+    (HEAD only, no body): validation is skipped, no spurious BROKEN
+    (the reference only validates fragments when the body is parsed)."""
+    fixture = fx.Fixture(
+        "ext-frag",
+        fx.docs_table(fx.doc(
+            "ef/index.html",
+            fx._anchor("http://ext.invalid/page#some-frag"))),
+        [fx.http("http://ext.invalid/page", 200, content_type="text/html")],
+        ["ef/index.html"], {"check_fragments": True})
+    res = run_fixture(fixture)
+    # external page HEAD 200 has no body... but check_fragments triggers
+    # the fragment re-GET (src/index.ts:450-473); the GET body is empty
+    # (no doc) so the fragment is unresolvable → stays unvalidated
+    broken = [r for r in res.results.to_pylist() if r["state"] == "BROKEN"]
+    assert not broken, broken

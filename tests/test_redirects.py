@@ -100,3 +100,23 @@ def test_require_https_warn():
     res = run(fx.basic(), require_https="warn")
     assert res.passed
     assert res.stats["warn_insecure"] == 1
+
+
+def test_redirect_cycle_hits_hop_limit():
+    """A→B→A redirect cycle must terminate at the 20-hop cap, not hang."""
+    fixture = fx.Fixture(
+        "cycle",
+        fx.docs_table(fx.doc("cyc/index.html",
+                             fx._anchor("http://loop.invalid/a"))),
+        [
+            fx.http("http://loop.invalid/a", 302,
+                    headers={"location": "http://loop.invalid/b"}),
+            fx.http("http://loop.invalid/b", 302,
+                    headers={"location": "http://loop.invalid/a"}),
+        ],
+        ["cyc/index.html"], {})
+    res = run(fixture)
+    assert not res.passed
+    row = state_of(res, "http://loop.invalid/a")
+    assert row["state"] == "BROKEN"
+    assert "redirect count exceeded" in row["failure_details"]
