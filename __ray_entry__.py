@@ -25,7 +25,8 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from linkinator_ray.pipelines import dedup, events, graph, multimodal, similarity, text
+    from linkinator_ray.pipelines import (dedup, events, graph, joins,
+                                          multimodal, similarity, text)
 
     def knn(sf_dir):
         ds = similarity.knn_bruteforce(sf_dir, k=5, num_queries=4)
@@ -71,6 +72,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": lambda sf: events.tumbling_window(sf, 3600),
         "sliding_window": lambda sf: events.sliding_window(sf, 7200, 3600),
         "sessionize": lambda sf: events.sessionize(sf, 1800),
+        # joins (broadcast small-side + hash-partitioned Dataset join)
+        "events_by_segment": joins.events_by_segment,
+        "events_join_customer": lambda sf: joins.events_join_customer(sf, 50),
         # multimodal plumbing
         "media_features": media_features_sql_cols,
         "media_summary": multimodal.media_summary,
@@ -254,6 +258,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(sz) AS BIGINT) AS max_session_events,
                    CAST(sum(sz) AS BIGINT) AS n_events
             FROM sizes GROUP BY user_id ORDER BY user_id
+        """,
+        "events_by_segment": """
+            SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(e.value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "events_join_customer": """
+            SELECT e.event_id, c.c_mktsegment
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            WHERE e.user_id < 50 ORDER BY e.event_id
         """,
         "media_features": """
             SELECT doc_id AS media_id,

@@ -214,3 +214,19 @@ def test_dedup_embedding_lsh_finds_planted(ray_session, tmp_path):
     pq.write_table(pa.Table.from_pylist(rows), str(out / "embeddings.parquet"))
     pairs = dedup_embedding_lsh(str(out), threshold=0.95).to_pandas()
     assert ((pairs["vec_a"] == 3) & (pairs["vec_b"] == 999)).any()
+
+
+def test_events_by_segment_conservation(ray_session):
+    import duckdb
+    from linkinator_ray.pipelines.joins import events_by_segment
+    df = events_by_segment(SF).to_pandas()
+    total = duckdb.sql(f"SELECT count(*) n FROM '{SF}/events.parquet'").df()["n"][0]
+    assert df["n_events"].sum() == total
+    assert len(df) >= 2
+
+
+def test_events_join_customer(ray_session):
+    from linkinator_ray.pipelines.joins import events_join_customer
+    df = events_join_customer(SF, limit_users=15).to_pandas()
+    assert len(df) == 1000  # every sf0.001 event has user_id < 15
+    assert df["c_mktsegment"].notna().all()
