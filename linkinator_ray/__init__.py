@@ -20,9 +20,15 @@ large-scale training-data operators (dedup family, similarity search,
 text analysis, multimodal plumbing) that a 100 TB corpus pipeline needs.
 """
 
-from linkinator_ray.options import CheckOptions, LinkState
-from linkinator_ray.pipelines.crawl import LinkChecker, check
+from linkinator_ray.options import CheckOptions, LinkState, RedirectsMode, RequireHttpsMode
+from linkinator_ray.pipelines.crawl import CrawlResult, LinkChecker, check
+from linkinator_ray.sources.documents import CorpusIndex, read_documents
+from linkinator_ray.stages.htmlparse import build_corpus_from_text
 
-__all__ = ["CheckOptions", "LinkState", "LinkChecker", "check"]
+__all__ = [
+    "CheckOptions", "LinkState", "RedirectsMode", "RequireHttpsMode",
+    "CrawlResult", "LinkChecker", "check",
+    "CorpusIndex", "read_documents", "build_corpus_from_text",
+]
 
 __version__ = "0.1.0"
