@@ -257,8 +257,11 @@ class LinkChecker:
         # never exceed it (FetchPool forces 1 thread when host-sticky
         # ordering matters)
         num_actors = max(1, min(opts.fetch_concurrency, opts.concurrency))
+        # connection threads only pay off when requests actually wait on
+        # the wire; with a zero-latency transport they are pure GIL churn
         worker_kwargs["connections"] = max(
-            1, min(25, opts.concurrency // num_actors))
+            1, min(25, opts.concurrency // num_actors)) \
+            if self.transport_latency_s > 0 else 1
         pool = FetchPool(worker_kwargs, transport_blob, use_ray=self.use_ray,
                          num_actors=num_actors)
 
