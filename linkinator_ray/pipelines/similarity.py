@@ -124,8 +124,13 @@ def knn_lsh(sf_dir: str, k: int = 5, num_queries: int = 4, n_planes: int = 6):
         _LshBucketer, batch_format="pandas", batch_size=4096, concurrency=(1, 4),
         fn_constructor_kwargs={"dim": qmat.shape[1], "n_planes": n_planes})
     wanted = set(qbuckets.tolist())
-    cands = bucketed.filter(lambda row: row["bucket"] in wanted)
-    cand_df = cands.to_pandas()
+
+    def keep_wanted(batch: pd.DataFrame) -> pd.DataFrame:
+        # vectorized bucket filter (ds.filter(row_fn) is per-row Python)
+        return batch[batch["bucket"].isin(wanted)]
+
+    cand_df = bucketed.map_batches(
+        keep_wanted, batch_format="pandas", batch_size=8192).to_pandas()
 
     rows = []
     for qid, qvec, qb in zip(qids, qmat, qbuckets):
