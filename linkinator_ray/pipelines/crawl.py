@@ -69,7 +69,7 @@ class LinkChecker:
                  http_map: list[dict] | None = None, clock: Clock | None = None,
                  corpus_host: str = "corpus.test", use_ray: bool | None = None,
                  transport_latency_s: float = 0.0, jitter_seed: int = 42,
-                 multi_host: bool = False):
+                 multi_host: bool = False, on_results=None):
         self.opts = options
         self.clock = clock or FakeClock()
         self.corpus_host = corpus_host
@@ -116,6 +116,9 @@ class LinkChecker:
         self.static_host = self.corpus_base  # requireHttps exemption + mapUrl
         self.run_id = uuid.uuid4().hex[:12]
         self.timings = {"skip": 0.0, "fetch": 0.0, "process": 0.0}
+        # §2.8 event-listener parity: the reference's 'link' events become
+        # a per-batch callback over each appended results table
+        self.on_results = on_results
 
     # ------------------------------------------------------------------
     # seed handling (processOptions, src/options.ts:54-191)
@@ -196,6 +199,11 @@ class LinkChecker:
     # results plumbing
     # ------------------------------------------------------------------
 
+    def _emit(self, table: pa.Table) -> None:
+        self.results_tables.append(table)
+        if self.on_results is not None:
+            self.on_results(table.drop_columns(["frontier_level"]))
+
     def _push_results(self, round_no: int, urls, statuses, states, parents,
                       failures=None, frontier_level=None):
         n = len(urls)
@@ -213,7 +221,7 @@ class LinkChecker:
             "frontier_level",
             pa.array(frontier_level if frontier_level is not None else [False] * n,
                      pa.bool_()))
-        self.results_tables.append(table)
+        self._emit(table)
 
     # ------------------------------------------------------------------
     # the round loop
@@ -700,7 +708,7 @@ class LinkChecker:
             # results assemble straight from the actor-computed Arrow
             # columns — no Python list round-trip on the hot path
             n = fetched.num_rows
-            self.results_tables.append(pa.Table.from_arrays([
+            self._emit(pa.Table.from_arrays([
                 fetched["url"].combine_chunks(),
                 fetched["status"].combine_chunks(),
                 fetched["state"].combine_chunks(),
@@ -740,7 +748,7 @@ class LinkChecker:
         link_results = output["link_results"]
         if link_results.num_rows:
             n = link_results.num_rows
-            self.results_tables.append(pa.Table.from_arrays([
+            self._emit(pa.Table.from_arrays([
                 link_results["url"].combine_chunks(),
                 link_results["status"].combine_chunks(),
                 link_results["state"].combine_chunks(),
@@ -876,7 +884,7 @@ class LinkChecker:
         if joined.num_rows == 0:
             return
         n = joined.num_rows
-        self.results_tables.append(pa.Table.from_arrays([
+        self._emit(pa.Table.from_arrays([
             joined["url"].combine_chunks(),
             joined["status"].combine_chunks(),
             pa.array(["BROKEN"] * n, pa.string()),

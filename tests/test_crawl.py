@@ -394,3 +394,18 @@ def test_fragment_link_to_external_unfetched_page():
     # (no doc) so the fragment is unresolvable → stays unvalidated
     broken = [r for r in res.results.to_pylist() if r["state"] == "BROKEN"]
     assert not broken, broken
+
+
+def test_on_results_callback():
+    """§2.8 parity: the reference's per-link 'link' events surface as a
+    per-batch callback over appended results tables."""
+    seen_rows = []
+    fixture = fx.repeated_broken_link()
+    checker = LinkChecker(
+        CheckOptions(paths=fixture.seeds, **fixture.options),
+        fixture.documents, fixture.http_map,
+        on_results=lambda t: seen_rows.extend(t.to_pylist()))
+    res = checker.check()
+    assert len(seen_rows) == res.results.num_rows
+    assert {(r["url"], r["state"], r["parent"]) for r in seen_rows} == \
+        {(r["url"], r["state"], r["parent"]) for r in res.results.to_pylist()}
