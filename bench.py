@@ -107,7 +107,7 @@ def consume(ds) -> int:
 
 
 def run_queries() -> dict:
-    from linkinator_ray.pipelines import dedup, events, graph, similarity, text
+    from linkinator_ray.pipelines import dedup, events, graph, joins, similarity, text
     timings = {}
     jobs = {
         "extract_edges": lambda: graph.extract_edges(SF_DIR),
@@ -115,12 +115,18 @@ def run_queries() -> dict:
         "doc_stats": lambda: text.doc_stats(SF_DIR),
         "token_count_by_lang": lambda: text.token_count_by_lang(SF_DIR),
         "lang_id": lambda: text.lang_id(SF_DIR),
+        "quality_filter": lambda: text.quality_filter(SF_DIR),
+        "top_tokens": lambda: text.top_tokens(SF_DIR),
         "dedup_exact": lambda: dedup.dedup_exact(SF_DIR),
         "dedup_minhash": lambda: dedup.dedup_minhash(SF_DIR),
         "dedup_simhash": lambda: dedup.dedup_simhash(SF_DIR),
+        "dedup_embedding_lsh": lambda: dedup.dedup_embedding_lsh(SF_DIR),
         "knn_bruteforce": lambda: similarity.knn_bruteforce(SF_DIR, k=5, num_queries=4),
         "tumbling_window": lambda: events.tumbling_window(SF_DIR),
+        "sliding_window": lambda: events.sliding_window(SF_DIR),
         "sessionize": lambda: events.sessionize(SF_DIR),
+        "events_by_segment": lambda: joins.events_by_segment(SF_DIR),
+        "events_join_customer": lambda: joins.events_join_customer(SF_DIR),
     }
     for name, job in jobs.items():
         t0 = time.time()
