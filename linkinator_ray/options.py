@@ -44,7 +44,8 @@ class RequireHttpsMode(str, enum.Enum):
 # statusCodes action vocabulary (src/index.ts:1314-1361)
 STATUS_ACTIONS = ("ok", "warn", "skip", "error")
 
-_STATUS_PATTERN = re.compile(r"^([1-5])(\d{2}|xx)$", re.IGNORECASE)
+# any 3-digit code (999 bot-blocks are real) or a Nxx wildcard
+_STATUS_PATTERN = re.compile(r"^(\d{3}|[1-9]xx)$", re.IGNORECASE)
 
 
 def validate_status_codes(mapping: dict[str, str]) -> dict[str, str]:
