@@ -26,7 +26,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from linkinator_ray.pipelines import (dedup, events, graph, joins,
-                                          multimodal, similarity, text)
+                                          multimodal, similarity, text, tpch)
 
     def knn(sf_dir):
         ds = similarity.knn_bruteforce(sf_dir, k=5, num_queries=4)
@@ -75,6 +75,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins (broadcast small-side + hash-partitioned Dataset join)
         "events_by_segment": joins.events_by_segment,
         "events_join_customer": lambda sf: joins.events_join_customer(sf, 50),
+        # columnar classics over the star schema
+        "pricing_summary": lambda sf: tpch.pricing_summary(sf),
+        "top_customers": lambda sf: tpch.top_customers(sf, k=10),
         # multimodal plumbing
         "media_features": media_features_sql_cols,
         "media_summary": multimodal.media_summary,
@@ -258,6 +261,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(sz) AS BIGINT) AS max_session_events,
                    CAST(sum(sz) AS BIGINT) AS n_events
             FROM sizes GROUP BY user_id ORDER BY user_id
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_qty_centi,
+                   CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-09-02'
+            GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "top_customers": """
+            WITH totals AS (
+                SELECT o_custkey,
+                       CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                           AS BIGINT) AS total_cents,
+                       CAST(count(*) AS BIGINT) AS n_orders
+                FROM orders GROUP BY o_custkey
+            )
+            SELECT t.o_custkey, c.c_name, t.total_cents, t.n_orders
+            FROM totals t JOIN customer c ON c.c_custkey = t.o_custkey
+            ORDER BY t.total_cents DESC, t.o_custkey ASC LIMIT 10
         """,
         "events_by_segment": """
             SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS mktsegment,

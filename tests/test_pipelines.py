@@ -230,3 +230,30 @@ def test_events_join_customer(ray_session):
     df = events_join_customer(SF, limit_users=15).to_pandas()
     assert len(df) == 1000  # every sf0.001 event has user_id < 15
     assert df["c_mktsegment"].notna().all()
+
+
+def test_pricing_summary_matches_duckdb(ray_session):
+    import duckdb
+    from linkinator_ray.pipelines.tpch import pricing_summary
+    mine = pricing_summary(SF).to_pandas().sort_values(
+        ["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    theirs = duckdb.sql(f"""
+        SELECT l_returnflag, l_linestatus,
+               sum(CAST(floor(l_quantity*100) AS BIGINT)) sum_qty_centi,
+               sum(CAST(floor(l_extendedprice*(1-l_discount)*100) AS BIGINT))
+                   sum_disc_cents,
+               count(*) count_order
+        FROM '{SF}/lineitem.parquet'
+        WHERE l_shipdate < TIMESTAMP '1998-09-02'
+        GROUP BY 1,2 ORDER BY 1,2""").df()
+    assert mine["sum_disc_cents"].tolist() == theirs["sum_disc_cents"].tolist()
+    assert mine["count_order"].tolist() == theirs["count_order"].tolist()
+
+
+def test_top_customers_order(ray_session):
+    from linkinator_ray.pipelines.tpch import top_customers
+    df = top_customers(SF, k=5).to_pandas()
+    assert len(df) == 5
+    totals = df["total_cents"].tolist()
+    assert totals == sorted(totals, reverse=True)
+    assert df["c_name"].notna().all()
