@@ -409,3 +409,26 @@ def test_on_results_callback():
     assert len(seen_rows) == res.results.num_rows
     assert {(r["url"], r["state"], r["parent"]) for r in seen_rows} == \
         {(r["url"], r["state"], r["parent"]) for r in res.results.to_pylist()}
+
+
+def test_property_seen_set_closed_form():
+    """Property: for any synthetic corpus, the final URL-seen set size
+    equals the generator's closed form (full reachability + distinct
+    broken links), across varied shapes and seeds."""
+    from hypothesis import given, settings, strategies as st
+    from linkinator_ray.sources.synth import synth_crawl_corpus
+
+    @settings(max_examples=12, deadline=None)
+    @given(hosts=st.integers(1, 4), docs=st.integers(8, 120),
+           branching=st.integers(2, 5), broken=st.floats(0, 0.2),
+           seed=st.integers(0, 10_000))
+    def check(hosts, docs, branching, broken, seed):
+        corpus, seeds, expected, _ = synth_crawl_corpus(
+            num_hosts=hosts, docs_per_host=docs, branching=branching,
+            broken_rate=broken, seed=seed)
+        res = LinkChecker(CheckOptions(paths=seeds, recurse=True),
+                          corpus, [], multi_host=True).check()
+        assert res.stats["seen_urls"] == expected
+        assert res.stats["urls_checked"] == expected  # each checked once
+
+    check()
