@@ -144,14 +144,16 @@ def main(argv: list[str] | None = None) -> int:
     result = checker.check(resume_from=args.resume_from)
     elapsed = time.time() - t0
 
-    shown = report.filter_verbosity(result.results, args.verbosity)
+    shown = report.strip_failure_details(
+        report.filter_verbosity(result.results, args.verbosity), args.verbosity)
     if args.format == "json":
         print(report.render_json(shown, result.passed))
     elif args.format == "csv":
         print(report.render_csv(shown))
     else:
-        print(report.render_text(shown, elapsed, checker.static_host,
-                                 opts.server_root))
+        # render_text filters rows itself; totals come from the full set.
+        print(report.render_text(result.results, elapsed, checker.static_host,
+                                 opts.server_root, verbosity=args.verbosity))
     if args.output_parquet:
         report.write_results_parquet(result.results, args.output_parquet)
     if args.use_ray:

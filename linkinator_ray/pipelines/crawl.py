@@ -919,9 +919,15 @@ class LinkChecker:
             "parent": pa.concat_arrays([t["parent"].combine_chunks() for t in self.dup_edge_tables])
             if self.dup_edge_tables else pa.array([], pa.string()),
         })
+        _empty_res = schema.empty(schema.RESULTS).append_column(
+            "frontier_level", pa.array([], pa.bool_()))
         results = pa.concat_tables(self.results_tables) if self.results_tables \
-            else schema.empty(schema.RESULTS).append_column(
-                "frontier_level", pa.array([], pa.bool_()))
+            else _empty_res
+        # spill state: retained frontier-level BROKEN rows from earlier
+        # spills (the J1 join input) must survive a crash, and a resumed
+        # run must continue numbering parquet parts where it left off
+        broken_first = pa.concat_tables(self.broken_first_tables) \
+            if self.broken_first_tables else _empty_res
         delay = pa.table({
             "host": pa.array(list(self.delay_map), pa.string()),
             "deadline": pa.array(list(self.delay_map.values()), pa.float64()),
@@ -929,9 +935,10 @@ class LinkChecker:
         ckpt.save_round(
             self.opts.checkpoint_dir, self.run_id, round_no,
             {"frontier": frontier, "pending_fragments": pending,
-             "dup_edges": dup, "results": results, "delay_map": delay},
+             "dup_edges": dup, "results": results, "delay_map": delay,
+             "broken_first": broken_first},
             self.seen.dump_tables(), dict(self.counters),
-            extra={"clock": self.clock.now()},
+            extra={"clock": self.clock.now(), "spill_part": self._spill_part},
         )
 
     def _restore(self, checkpoint_dir: str):
@@ -951,12 +958,19 @@ class LinkChecker:
         # rebuild the edge-seen set from results parents + dup edges
         results = tables["results"]
         self.results_tables = [results]
+        # restore spill state (results_dir streaming sink): resume part
+        # numbering past already-written files and re-seed the retained
+        # BROKEN rows so the duplicate-broken join still sees them
+        self._spill_part = int(manifest["extra"].get("spill_part", 0))
+        broken_first = tables.get("broken_first")
+        if broken_first is not None and broken_first.num_rows:
+            self.broken_first_tables = [broken_first]
         delay = tables["delay_map"]
         self.delay_map = dict(zip(delay["host"].to_pylist(),
                                   delay["deadline"].to_pylist()))
         edge_keys = [f"{u}|{p}" for u, p in zip(dup["url"].to_pylist(),
                                                 dup["parent"].to_pylist())]
-        for table in (results,):
+        for table in (results, *self.broken_first_tables):
             edge_keys.extend(
                 f"{u}|{p}" for u, p in zip(table["url"].to_pylist(),
                                            table["parent"].to_pylist()) if p)

@@ -87,6 +87,7 @@ class MockTransport:
         self.latency_s = latency_s
         self.strict = strict
         self.calls: list[tuple[str, str, int]] = []  # (url, method, status)
+        self.header_log: list[tuple[str, str, dict]] = []  # (url, method, headers)
         self._counters: dict[tuple[str, str], int] = {}
         self._map: dict[tuple[str, str], list[dict]] = {}
         for entry in http_map or []:
@@ -117,7 +118,12 @@ class MockTransport:
             return entries[0]
         return None
 
-    def request(self, url: str, method: str) -> TResponse:
+    def request(self, url: str, method: str,
+                headers: dict[str, str] | None = None) -> TResponse:
+        if headers:
+            # recorded so tests can assert the per-hop header flow
+            # (incl. cross-host sensitive-header stripping)
+            self.header_log.append((url, method, dict(headers)))
         if self.latency_s:
             time.sleep(self.latency_s)
         entry = self._match(url, method)
@@ -218,7 +224,7 @@ class FetchWorker:
         headers = dict(self.headers)
         hops = 0
         while True:
-            resp = self.transport.request(current, method)
+            resp = self.transport.request(current, method, headers)
             resp.url = current
             location = resp.headers.get("location", "")
             if manual or resp.status not in REDIRECT_STATUSES or not location:

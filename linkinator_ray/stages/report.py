@@ -32,21 +32,29 @@ def map_url(url: str, static_host: str | None, server_root: str | None) -> str:
 
 
 def filter_verbosity(results: pa.Table, verbosity: str = "warning") -> pa.Table:
-    """Row filter by verbosity (src/cli.ts:647-665): error → BROKEN only;
-    warning/info → BROKEN+SKIPPED... the reference shows OK rows only at
-    debug."""
-    if verbosity in ("debug",):
+    """Row filter by verbosity (shouldShowResult, src/cli.ts:647-665 with
+    LogLevel DEBUG<INFO<WARNING<ERROR<NONE): OK shows at verbosity<=warning,
+    BROKEN at verbosity<=error, SKIPPED at verbosity<=info. So:
+    debug/info → all states; warning → OK+BROKEN (SKIPPED hidden);
+    error → BROKEN only; none → nothing. failureDetails are retained only
+    at debug (src/cli.ts:654-656) — see strip_failure_details."""
+    if verbosity in ("debug", "info"):
         return results
-    if verbosity in ("info",):
-        return results
-    if verbosity in ("none",):
+    if verbosity == "none":
         return results.slice(0, 0)
     if verbosity == "error":
         return results.filter(pc.equal(results["state"], "BROKEN"))
-    # warning: BROKEN + SKIPPED
-    mask = pc.or_(pc.equal(results["state"], "BROKEN"),
-                  pc.equal(results["state"], "SKIPPED"))
-    return results.filter(mask)
+    # warning (default): OK + BROKEN, hide SKIPPED
+    return results.filter(pc.invert(pc.equal(results["state"], "SKIPPED")))
+
+
+def strip_failure_details(results: pa.Table, verbosity: str = "warning") -> pa.Table:
+    """Non-debug verbosity clears failureDetails (src/cli.ts:654-656)."""
+    if verbosity == "debug" or "failure_details" not in results.column_names:
+        return results
+    idx = results.column_names.index("failure_details")
+    cleared = pa.array([""] * results.num_rows, type=pa.string())
+    return results.set_column(idx, "failure_details", cleared)
 
 
 def summarize(results: pa.Table) -> dict:
@@ -72,11 +80,18 @@ def group_by_parent(results: pa.Table) -> dict[str, list[dict]]:
 
 def render_text(results: pa.Table, elapsed_s: float = 0.0,
                 static_host: str | None = None,
-                server_root: str | None = None) -> str:
-    """TEXT reporter (S8): per-parent sections, per-link lines, totals."""
+                server_root: str | None = None,
+                verbosity: str = "debug") -> str:
+    """TEXT reporter (S8): per-parent sections, per-link lines, totals.
+
+    Per-link rows are verbosity-filtered, but the totals line counts the
+    FULL result set (the reference computes 'N links scanned / M broken'
+    from result.links unfiltered, src/cli.ts:563-588).
+    """
+    shown = filter_verbosity(results, verbosity)
     lines = []
     state_mark = {"OK": "[ OK ]", "BROKEN": "[FAIL]", "SKIPPED": "[SKIP]"}
-    for parent, rows in sorted(group_by_parent(results).items()):
+    for parent, rows in sorted(group_by_parent(shown).items()):
         lines.append(f"\nScanning {map_url(parent, static_host, server_root) or '(seeds)'}")
         for row in rows:
             status = row["status"] if row["status"] is not None else ""

@@ -117,3 +117,40 @@ def test_cli_bad_rewrite_flags(tmp_path):
         capture_output=True, text=True, cwd="/root/repo")
     assert proc.returncode != 0
     assert "together" in proc.stderr
+
+
+def test_verbosity_matrix(broke_result):
+    """shouldShowResult semantics (src/cli.ts:647-665): OK at <=warning,
+    BROKEN at <=error, SKIPPED at <=info."""
+    import pyarrow as pa
+    table = pa.table({
+        "url": ["a", "b", "c"],
+        "status": pa.array([200, 404, None], pa.int32()),
+        "state": ["OK", "BROKEN", "SKIPPED"],
+        "parent": ["p", "p", "p"],
+        "failure_details": ["", "[x]", ""],
+    })
+    assert set(report.filter_verbosity(table, "warning")["state"].to_pylist()) \
+        == {"OK", "BROKEN"}
+    assert set(report.filter_verbosity(table, "info")["state"].to_pylist()) \
+        == {"OK", "BROKEN", "SKIPPED"}
+    assert set(report.filter_verbosity(table, "debug")["state"].to_pylist()) \
+        == {"OK", "BROKEN", "SKIPPED"}
+    assert report.filter_verbosity(table, "error")["state"].to_pylist() == ["BROKEN"]
+    assert report.filter_verbosity(table, "none").num_rows == 0
+    # failureDetails retained only at debug (src/cli.ts:654-656)
+    stripped = report.strip_failure_details(table, "warning")
+    assert stripped["failure_details"].to_pylist() == ["", "", ""]
+    assert report.strip_failure_details(table, "debug")["failure_details"] \
+        .to_pylist() == ["", "[x]", ""]
+
+
+def test_render_text_totals_unfiltered(broke_result):
+    """Totals count the FULL result set even when rows are filtered
+    (cli.ts:563-588 computes totals from result.links unfiltered)."""
+    out = report.render_text(broke_result.results, 1.0, verbosity="error")
+    s = report.summarize(broke_result.results)
+    assert f"{s['scanned']} links scanned" in out
+    # only BROKEN rows rendered
+    assert "[ OK ]" not in out
+    assert "[FAIL]" in out

@@ -120,3 +120,37 @@ def test_redirect_cycle_hits_hop_limit():
     row = state_of(res, "http://loop.invalid/a")
     assert row["state"] == "BROKEN"
     assert "redirect count exceeded" in row["failure_details"]
+
+
+def test_headers_reach_transport_and_strip_cross_host():
+    """CheckOptions.headers flow through to the transport per hop, and
+    sensitive headers drop on cross-host redirects (stripSensitiveHeaders,
+    src/index.ts:1234-1247)."""
+    from linkinator_ray.stages.fetch import FetchWorker, MockTransport
+    transport = MockTransport([
+        fx.http("http://a.invalid/start", 302,
+                headers={"location": "http://b.invalid/land"}),
+        fx.http("http://b.invalid/land", 200),
+    ])
+    worker = FetchWorker(transport, headers={
+        "Authorization": "Bearer tok", "X-Custom": "yes"})
+    resp = worker.make_request("HEAD", "http://a.invalid/start")
+    assert resp.status == 200
+    by_url = {u: h for (u, m, h) in transport.header_log}
+    assert by_url["http://a.invalid/start"] == {
+        "Authorization": "Bearer tok", "X-Custom": "yes"}
+    # cross-host hop: Authorization stripped, custom header kept
+    assert by_url["http://b.invalid/land"] == {"X-Custom": "yes"}
+
+
+def test_headers_kept_same_host():
+    from linkinator_ray.stages.fetch import FetchWorker, MockTransport
+    transport = MockTransport([
+        fx.http("http://a.invalid/start", 302,
+                headers={"location": "http://a.invalid/land"}),
+        fx.http("http://a.invalid/land", 200),
+    ])
+    worker = FetchWorker(transport, headers={"Authorization": "Bearer tok"})
+    worker.make_request("HEAD", "http://a.invalid/start")
+    by_url = {u: h for (u, m, h) in transport.header_log}
+    assert by_url["http://a.invalid/land"] == {"Authorization": "Bearer tok"}
