@@ -127,15 +127,18 @@ def extract_links_dataset(sf_dir: str):
         concurrency=(1, 4))
 
     def to_edges(batch: pa.Table) -> pa.Table:
-        src, dst = [], []
-        for d, u in zip(batch["doc_id"].to_pylist(), batch["url"].to_pylist()):
-            m = _DOC_URL.match(u)
-            if not d.startswith("d/") or not m:
-                continue  # the synthetic root index page
-            src.append(int(d.split("/")[1].split(".")[0]))
-            dst.append(int(m.group(1)))
-        return pa.table({"src_doc": pa.array(src, pa.int64()),
-                         "dst_doc": pa.array(dst, pa.int64())})
+        # vectorized id extraction (RE2 kernels) — null where no match,
+        # which drops the synthetic root index page rows
+        import pyarrow.compute as pc
+        src = pc.struct_field(
+            pc.extract_regex(batch["doc_id"], r"^d/(?P<id>\d+)\.html$"), "id")
+        dst = pc.struct_field(
+            pc.extract_regex(batch["url"],
+                             r"^http://corpus\.test/d/(?P<id>\d+)\.html$"), "id")
+        keep = pc.and_(pc.is_valid(src), pc.is_valid(dst))
+        return pa.table({
+            "src_doc": pc.cast(pc.filter(src, keep), pa.int64()),
+            "dst_doc": pc.cast(pc.filter(dst, keep), pa.int64())})
 
     return links.map_batches(to_edges, batch_format="pyarrow")
 

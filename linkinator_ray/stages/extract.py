@@ -170,8 +170,179 @@ class ExtractLinks:
 
     # -- batch kernels -----------------------------------------------------
 
+    # kinds needing per-row Python expansion (the rare minority)
+    _RARE_KINDS = ("jsonld_url", "meta_content", "meta_refresh", "srcset_raw",
+                   "style_url")
+
     def extract_with_fragments(self, batch: pa.Table) -> tuple[pa.Table, pa.Table]:
-        """documents batch → (links table, fragment_targets table)."""
+        """documents batch → (links table, fragment_targets table).
+
+        Vectorized: Arrow list-offset explode + per-kind masked dispatch +
+        the batched resolve kernel (urlkit.resolve_links_arrow). Only two
+        document shapes fall back to the scalar per-doc path: docs with a
+        ``<base>`` span (positional semantics — links before the base tag
+        resolve against the page URL, links.ts:81-86) and docs whose spans
+        are not offset-sorted (emit order must follow offsets).
+        """
+        import numpy as np
+        if batch.num_rows == 0:
+            return schema.empty(schema.LINKS), schema.empty(schema.FRAGMENT_TARGETS)
+        batch = batch.select(["doc_id", "spans"]).combine_chunks()
+        spans = batch["spans"].chunk(0) if batch["spans"].num_chunks else \
+            pa.array([], type=batch["spans"].type)
+        flat = pc.list_flatten(spans)
+        pidx = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        kinds = flat.field("kind")
+        offs = flat.field("offset").to_numpy(zero_copy_only=False)
+
+        slow_doc = np.zeros(batch.num_rows, dtype=bool)
+        base_np = pc.fill_null(pc.equal(kinds, "base"), False) \
+            .to_numpy(zero_copy_only=False)
+        if base_np.any():
+            slow_doc[pidx[base_np]] = True
+        if len(offs) > 1:
+            unsorted = (np.diff(offs) < 0) & (pidx[1:] == pidx[:-1])
+            if unsorted.any():
+                slow_doc[pidx[1:][unsorted]] = True
+        if slow_doc.any():
+            fast_rows = batch.filter(pa.array(~slow_doc))
+            links_f, frags_f = self._extract_fast(fast_rows) \
+                if fast_rows.num_rows else \
+                (schema.empty(schema.LINKS), schema.empty(schema.FRAGMENT_TARGETS))
+            links_s, frags_s = self._extract_scalar(batch.filter(pa.array(slow_doc)))
+            return (pa.concat_tables([links_f, links_s]),
+                    pa.concat_tables([frags_f, frags_s]))
+        return self._extract_fast(batch)
+
+    def _page_urls_array(self, batch: pa.Table) -> pa.Array:
+        doc_ids = batch["doc_id"].combine_chunks()
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.chunk(0) if doc_ids.num_chunks else \
+                pa.array([], pa.string())
+        if self.page_urls:
+            return pa.array([self.page_url(d) for d in doc_ids.to_pylist()],
+                            pa.string())
+        return pc.binary_join_element_wise(
+            pa.scalar(self.corpus_base), doc_ids, "")
+
+    def _extract_fast(self, batch: pa.Table) -> tuple[pa.Table, pa.Table]:
+        """The no-base-tag, offset-sorted fast path (the common shape)."""
+        import numpy as np
+        batch = batch.combine_chunks()
+        spans = batch["spans"].chunk(0) if batch["spans"].num_chunks else \
+            pa.array([], type=batch["spans"].type)
+        flat = pc.list_flatten(spans)
+        pidx = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        kinds = flat.field("kind")
+        texts = flat.field("text")
+        refs = flat.field("media_ref")
+        pages = self._page_urls_array(batch)
+        doc_ids = batch["doc_id"].combine_chunks()
+        if isinstance(doc_ids, pa.ChunkedArray):
+            doc_ids = doc_ids.chunk(0) if doc_ids.num_chunks else \
+                pa.array([], pa.string())
+
+        # fragment targets: kind == fragment_target with non-empty text
+        ft = pc.fill_null(
+            pc.and_(pc.equal(kinds, "fragment_target"),
+                    pc.and_(pc.is_valid(texts), pc.not_equal(texts, ""))),
+            False).to_numpy(zero_copy_only=False)
+        if ft.any():
+            frags_table = pa.Table.from_arrays(
+                [pages.take(pa.array(pidx[ft])),
+                 pc.filter(texts, pa.array(ft))],
+                schema=schema.FRAGMENT_TARGETS)
+        else:
+            frags_table = schema.empty(schema.FRAGMENT_TARGETS)
+
+        direct = pc.fill_null(
+            pc.and_(pc.is_in(kinds,
+                             value_set=pa.array(sorted(schema.DIRECT_LINK_KINDS))),
+                    pc.and_(pc.is_valid(refs), pc.not_equal(refs, ""))),
+            False).to_numpy(zero_copy_only=False)
+        rare = pc.fill_null(
+            pc.is_in(kinds, value_set=pa.array(self._RARE_KINDS)),
+            False).to_numpy(zero_copy_only=False)
+
+        dir_idx = np.flatnonzero(direct)
+        if not rare.any():
+            link_src = dir_idx
+            raw_arr = refs.take(pa.array(dir_idx))
+            kind_arr = kinds.take(pa.array(dir_idx))
+        else:
+            exp_idx: list[int] = []
+            exp_sub: list[int] = []
+            exp_raw: list[str] = []
+            exp_kind: list[str] = []
+            rare_idx = np.flatnonzero(rare)
+            take = pa.array(rare_idx)
+            for i, k, ref, txt in zip(
+                    rare_idx.tolist(), kinds.take(take).to_pylist(),
+                    refs.take(take).to_pylist(), texts.take(take).to_pylist()):
+                ref = ref or ""
+                if k == "srcset_raw":
+                    found = [(u, "srcset_candidate")
+                             for u in urlkit.parse_srcset(ref)]
+                elif k == "meta_refresh":
+                    u = urlkit.parse_meta_refresh(ref)
+                    found = [(u, k)] if u else []
+                elif k == "meta_content":
+                    found = [(ref, k)] if ref and urlkit.is_absolute_url(ref) \
+                        else []
+                elif k == "style_url":
+                    found = [(u, k) for u in
+                             urlkit.extract_urls_from_css(txt or ref)] \
+                        if self.check_css else []
+                else:  # jsonld_url
+                    found = [(u, k) for u in
+                             urlkit.extract_links_from_jsonld_text(txt or ref)]
+                for j, (u, kk) in enumerate(found):
+                    exp_idx.append(i)
+                    exp_sub.append(j)
+                    exp_raw.append(u)
+                    exp_kind.append(kk)
+            all_idx = np.concatenate(
+                [dir_idx, np.asarray(exp_idx, dtype=np.int64)])
+            all_sub = np.concatenate(
+                [np.zeros(len(dir_idx), dtype=np.int64),
+                 np.asarray(exp_sub, dtype=np.int64)])
+            perm = np.lexsort((all_sub, all_idx))
+            link_src = all_idx[perm]
+            raws = refs.take(pa.array(dir_idx)).to_pylist() + exp_raw
+            kks = kinds.take(pa.array(dir_idx)).to_pylist() + exp_kind
+            raw_arr = pa.array([raws[p] for p in perm], pa.string())
+            kind_arr = pa.array([kks[p] for p in perm], pa.string())
+
+        n_links = len(link_src)
+        if n_links == 0:
+            return schema.empty(schema.LINKS), frags_table
+        link_doc = pidx[link_src]
+        # dense per-doc order (link_doc is non-decreasing: flat order is
+        # doc-major and the merge sorted by flat index)
+        change = np.r_[True, link_doc[1:] != link_doc[:-1]]
+        starts = np.flatnonzero(change)
+        counts = np.diff(np.r_[starts, n_links])
+        order = np.arange(n_links, dtype=np.int64) - np.repeat(starts, counts)
+
+        doc_take = pa.array(link_doc)
+        base_arr = pages.take(doc_take)
+        resolved = urlkit.resolve_links_arrow(raw_arr, base_arr, self.resolver)
+        links_table = pa.Table.from_arrays([
+            doc_ids.take(doc_take),
+            base_arr,
+            raw_arr,
+            resolved["url"],
+            resolved["url_with_fragment"],
+            resolved["fragment"],
+            resolved["parse_error"],
+            kind_arr,
+            pa.array(order, pa.int32()),
+        ], schema=schema.LINKS)
+        return links_table, frags_table
+
+    def _extract_scalar(self, batch: pa.Table) -> tuple[pa.Table, pa.Table]:
+        """Per-doc scalar path: base-tag positional semantics and
+        unsorted-offset docs."""
         doc_ids = batch["doc_id"].to_pylist()
         spans_col = batch["spans"].to_pylist()
         links_rows: list[dict] = []

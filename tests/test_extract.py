@@ -127,3 +127,61 @@ def test_parse_error_row():
 def test_links_schema():
     out = ExtractLinks()(fx.docs_table(fx.doc("x.html", fx.span("anchor", "y.html"))))
     assert out.schema.equals(schema.LINKS)
+
+
+def test_fast_path_equals_scalar_path_randomized():
+    """Differential: the vectorized batch kernel must produce exactly the
+    scalar per-doc extraction for randomized corpora mixing every kind."""
+    import random
+    rng = random.Random(1234)
+    kinds_pool = [
+        ("anchor", "/d/{i}.html", ""),
+        ("anchor", "rel{i}.html", ""),
+        ("anchor", "http://ext.invalid/p{i}", ""),
+        ("anchor", "../up/{i}", ""),
+        ("anchor", "weird path {i}", ""),
+        ("anchor", "", ""),  # empty ref — no emit
+        ("img_src", "img/{i}.png", ""),
+        ("srcset_raw", "a{i}.png 1x, b{i}.png 2x", ""),
+        ("meta_refresh", "0;url=/go/{i}.html", ""),
+        ("meta_content", "http://abs.invalid/m{i}", ""),
+        ("meta_content", "not-a-url {i}", ""),
+        ("style_url", "", "body {{ background: url('/bg{i}.png') }}"),
+        ("jsonld_url", "", '{{"url": "http://ld.invalid/{i}"}}'),
+        ("fragment_target", "", "frag-{i}"),
+        ("text", "", "hello {i}"),
+        ("base", "/based/", ""),
+    ]
+    for check_css in (False, True):
+        docs = []
+        for d in range(40):
+            spans = []
+            for j in range(rng.randrange(0, 9)):
+                kind, ref, text = rng.choice(kinds_pool)
+                spans.append(fx.span(kind, ref.format(i=j), text.format(i=j)))
+            docs.append(fx.doc(f"dir/doc{d}.html", *spans))
+        table = fx.docs_table(*docs)
+        ex = ExtractLinks(check_css=check_css)
+        links_v, frags_v = ex.extract_with_fragments(table)
+        ex2 = ExtractLinks(check_css=check_css)
+        links_s, frags_s = ex2._extract_scalar(table)
+
+        def norm(t):
+            return sorted(map(tuple, zip(*[t[c].to_pylist() for c in t.column_names])))
+        assert norm(links_v) == norm(links_s)
+        assert norm(frags_v) == norm(frags_s)
+
+
+def test_fast_path_unsorted_offsets_fall_back():
+    """Docs whose spans are not offset-sorted take the scalar path and
+    keep offset-ordered emission."""
+    import pyarrow as pa
+    from linkinator_ray import schema as sch
+    rows = [{"doc_id": "u/x.html", "spans": [
+        {"kind": "anchor", "text": "", "media_ref": "/b.html", "offset": 20},
+        {"kind": "anchor", "text": "", "media_ref": "/a.html", "offset": 10},
+    ]}]
+    table = pa.Table.from_pylist(rows, schema=sch.DOCUMENTS)
+    links, _ = ExtractLinks().extract_with_fragments(table)
+    assert links["raw_link"].to_pylist() == ["/a.html", "/b.html"]
+    assert links["order"].to_pylist() == [0, 1]
