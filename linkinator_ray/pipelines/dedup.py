@@ -48,8 +48,6 @@ def dedup_exact(sf_dir: str):
 
     Output: (keeper_doc_id, dup_count) one row per distinct text.
     """
-    from ray.data.aggregate import Count, Min
-
     def hash_kernel(batch: pd.DataFrame) -> pd.DataFrame:
         return pd.DataFrame({
             "doc_id": batch["doc_id"],
@@ -59,9 +57,10 @@ def dedup_exact(sf_dir: str):
 
     hashed = read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         hash_kernel, batch_format="pandas", batch_size=8192)
-    out = _fanout(hashed).groupby("text_hash").aggregate(
-        Min("doc_id", alias_name="keeper_doc_id"),
-        Count(alias_name="dup_count"))
+    from linkinator_ray.pipelines.hashagg import hash_aggregate
+    out = hash_aggregate(hashed, "text_hash",
+                         {"keeper_doc_id": ("doc_id", "min"),
+                          "dup_count": ("doc_id", "count")})
     return out.select_columns(["keeper_doc_id", "dup_count"])  # unordered; comparators sort
 
 
@@ -69,17 +68,46 @@ def dedup_exact(sf_dir: str):
 # shingles + MinHash + LSH
 # ---------------------------------------------------------------------------
 
+# per-process token-hash memo: vocabularies are tiny relative to corpora,
+# so almost every token hash is a dict hit instead of a blake2b call
+_TOKEN_MEMO: dict[str, int] = {}
+# per-position odd mixing constants (seeded, stable across processes)
+_SHINGLE_MIX = np.random.default_rng(0xD1CE).integers(
+    1, 1 << 63, 16, dtype=np.uint64) | np.uint64(1)
+
+
+def _token_hashes(toks: list[str]) -> np.ndarray:
+    memo = _TOKEN_MEMO
+    out = np.empty(len(toks), dtype=np.uint64)
+    for i, tok in enumerate(toks):
+        h = memo.get(tok)
+        if h is None:
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
+            if len(memo) > 4_000_000:
+                memo.clear()
+            memo[tok] = h
+        out[i] = h
+    return out
+
+
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Word n-gram shingle hashes: memoized per-token blake2b combined
+    with a vectorized positional mix (n numpy ops per doc instead of one
+    digest per gram)."""
     toks = _WS.split(text.strip()) if text.strip() else []
-    if len(toks) < n:
-        grams = [" ".join(toks)] if toks else []
-    else:
-        grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
-    out = np.fromiter(
-        (int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(),
-                        "little") for g in grams),
-        dtype=np.uint64, count=len(grams))
-    return np.unique(out)
+    m = len(toks)
+    if m == 0:
+        return np.empty(0, dtype=np.uint64)
+    th = _token_hashes(toks)
+    with np.errstate(over="ignore"):
+        if m < n:
+            acc = (th * _SHINGLE_MIX[:m]).sum(dtype=np.uint64)
+            return np.array([acc], dtype=np.uint64)
+        acc = np.zeros(m - n + 1, dtype=np.uint64)
+        for j in range(n):
+            acc += th[j:m - n + 1 + j] * _SHINGLE_MIX[j]
+    return np.unique(acc)
 
 
 class MinHasher:
@@ -93,14 +121,16 @@ class MinHasher:
         self.num_perms = num_perms
         self.ngram = ngram
 
-    def signature(self, text: str) -> np.ndarray:
-        hs = _shingle_hashes(text, self.ngram)
+    def signature_from_shingles(self, hs: np.ndarray) -> np.ndarray:
         if len(hs) == 0:
             return np.zeros(self.num_perms, dtype=np.uint64)
         with np.errstate(over="ignore"):
             # (num_perms, n_shingles) universal hash, min over shingles
             prod = (hs[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
         return prod.min(axis=1).astype(np.uint64)
+
+    def signature(self, text: str) -> np.ndarray:
+        return self.signature_from_shingles(_shingle_hashes(text, self.ngram))
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         sigs = np.stack([self.signature(t) for t in batch["text"].fillna("")])
@@ -136,36 +166,99 @@ def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+def _band_hashes_of_sig(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    out = np.empty(bands, dtype=np.uint64)
+    for b in range(bands):
+        out[b] = int.from_bytes(
+            hashlib.blake2b(sig[b * rows:(b + 1) * rows].tobytes(),
+                            digest_size=8).digest(), "little")
+    return out.view(np.int64)
+
+
+class _VerifyAgainstAnchors:
+    """Second map-only pass over documents: re-shingle (needed for the
+    exact Jaccard anyway), re-derive the minhash band hashes, look up
+    this doc's hot-bucket anchors, and verify against the broadcast
+    anchor shingles — no join, no driver text pull. Both broadcast maps
+    ride the object store once (ray.put → __init__)."""
+
+    def __init__(self, anchor_ref, anchor_sh_ref, num_perms, bands, ngram,
+                 threshold, seed=42):
+        def _get(ref):
+            if isinstance(ref, dict):
+                return ref
+            import ray
+            return ray.get(ref)
+        self.anchor_of = _get(anchor_ref)
+        self.anchor_sh = _get(anchor_sh_ref)
+        self.hasher = MinHasher(num_perms, ngram, seed)
+        self.bands = bands
+        self.rows = num_perms // bands
+        self.ngram = ngram
+        self.threshold = threshold
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        a_out, b_out = [], []
+        anchor_of = self.anchor_of
+        anchor_sh = self.anchor_sh
+        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            sh = _shingle_hashes(text, self.ngram)
+            sig = self.hasher.signature_from_shingles(sh)
+            bh = _band_hashes_of_sig(sig, self.bands, self.rows)
+            anchors = {anchor_of.get((b, int(h)), -1)
+                       for b, h in enumerate(bh)}
+            anchors.discard(-1)
+            anchors.discard(doc_id)
+            for a in anchors:
+                if _jaccard(anchor_sh[a], sh) >= self.threshold:
+                    a_out.append(a)
+                    b_out.append(doc_id)
+        return pd.DataFrame({"a": np.asarray(a_out, dtype=np.int64),
+                             "b": np.asarray(b_out, dtype=np.int64)})
+
+
 def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
                   bands: int = 16, ngram: int = 3):
     """MinHash+LSH near-dup: shingle → minhash → band → bucket groupby →
-    candidate pairs → exact-Jaccard verify → min-label clusters.
+    anchor broadcast → distributed exact-Jaccard verify → min-label
+    clusters.
+
+    One shuffle total (the bucket count/min aggregate). Verification is
+    a second MAP-ONLY pass over documents: each doc re-shingles (needed
+    for the exact Jaccard anyway), re-derives its band hashes, looks up
+    its hot-bucket anchors and verifies against the broadcast anchor
+    shingles — candidate texts never route through the driver and no
+    join shuffle is paid. Each member verifies each distinct anchor once
+    (per-row set), so band-duplicate candidates cost nothing extra.
+
+    Partitioning assumption (documented per SURVEY.md §4): the anchor
+    set — one doc per hot bucket — fits in the object store as a
+    broadcast map. The prior design already assumed this for the anchor
+    ids; this extends it to their shingle arrays (~text-sized). A corpus
+    whose near-dup cluster count breaks that assumption needs a
+    hash-join verify (3 extra shuffles) — deliberately not the default.
 
     Returns a pyarrow Table (doc_id, cluster_id) for every doc in a
-    near-dup cluster of size ≥ 2. The candidate set (LSH collisions) is
-    orders smaller than n²; union-find on it runs on the driver
-    (ray_guide 'Near-dup').
+    near-dup cluster of size ≥ 2; union-find runs on the driver over the
+    VERIFIED pairs only (true near-dups, orders smaller than candidates).
     """
     rows = num_perms // bands
     docs = read_docs(sf_dir, ["doc_id", "text"])
-    sigs = docs.map_batches(MinHasher, batch_format="pandas", batch_size=2048,
+    sigs = docs.map_batches(MinHasher, batch_format="pandas", batch_size=512,
                             concurrency=(1, 8),
                             fn_constructor_kwargs={"num_perms": num_perms,
                                                    "ngram": ngram})
     banded = sigs.map_batches(
         lambda b: _band_rows(b, bands, rows), batch_format="pandas",
         batch_size=4096)
-    # consumed twice (bucket counts, then pairing) — pin the small
-    # (3 int cols × bands/doc) intermediate so signatures compute once
-    banded = banded.materialize()
 
-    # candidate pairing without per-group Python: count+min per bucket
-    # (one aggregate shuffle), broadcast the hot buckets' anchors, pair
-    # every member with its bucket anchor inside map_batches — enough
-    # for connectivity, avoids O(k²) blowup on giant buckets
-    from ray.data.aggregate import Count as _Count, Min as _Min
-    counts = _fanout(banded).groupby(["band_id", "band_hash"]).aggregate(
-        _Count(alias_name="n"), _Min("doc_id", alias_name="anchor"))
+    # hot buckets: count+min per bucket — the single aggregate shuffle,
+    # expressed as the two-level combiner (hashagg) because the bucket
+    # key space is huge (Ray's groupby pays ~0.2 ms per distinct group)
+    from linkinator_ray.pipelines.hashagg import hash_aggregate
+    counts = hash_aggregate(
+        banded, ["band_id", "band_hash"],
+        {"n": ("doc_id", "count"), "anchor": ("doc_id", "min")})
     hot = counts.filter(expr="n > 1").to_pandas()
     anchor_of = {(b, h): a for b, h, a in
                  zip(hot["band_id"], hot["band_hash"], hot["anchor"])}
@@ -173,37 +266,44 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "cluster_id": pa.array([], pa.int64())})
 
-    def pair_with_anchor(batch: pd.DataFrame) -> pd.DataFrame:
-        anchors = [anchor_of.get((b, h), -1) for b, h in
-                   zip(batch["band_id"], batch["band_hash"])]
-        out = pd.DataFrame({"a": anchors, "b": batch["doc_id"]})
-        return out[(out["a"] >= 0) & (out["a"] != out["b"])]
+    # anchor shingles: small filtered scan, shingled in workers
+    anchor_ids = sorted({a for a in anchor_of.values()})
+    import ray.data as rd
 
-    pairs = banded.map_batches(pair_with_anchor, batch_format="pandas",
-                               batch_size=16384)
-    cand = pairs.to_pandas().drop_duplicates()
-    if len(cand) == 0:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "cluster_id": pa.array([], pa.int64())})
+    def shingle_anchors(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "sh": [_shingle_hashes(t or "", ngram) for t in batch["text"]],
+        })
 
-    # verify with exact shingle Jaccard (broadcast the involved texts)
-    involved = sorted(set(cand["a"]) | set(cand["b"]))
-    texts = _texts_for(sf_dir, involved)
-    shingles = {d: _shingle_hashes(texts[d], ngram) for d in involved}
-    keep = [
-        (a, b) for a, b in zip(cand["a"], cand["b"])
-        if _jaccard(shingles[a], shingles[b]) >= threshold
-    ]
-    return _clusters_from_pairs(keep)
+    anchor_rows = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=_ISIN(anchor_ids)).map_batches(
+        shingle_anchors, batch_format="pandas", batch_size=4096).to_pandas()
+    anchor_sh = dict(zip(anchor_rows["doc_id"], anchor_rows["sh"]))
+
+    try:
+        import ray
+        _put = ray.put if ray.is_initialized() else (lambda x: x)
+    except Exception:
+        _put = lambda x: x  # noqa: E731
+    verified = docs.map_batches(
+        _VerifyAgainstAnchors, batch_format="pandas", batch_size=512,
+        concurrency=(1, 8),
+        fn_constructor_kwargs={
+            "anchor_ref": _put(anchor_of), "anchor_sh_ref": _put(anchor_sh),
+            "num_perms": num_perms, "bands": bands, "ngram": ngram,
+            "threshold": threshold})
+    kept = verified.to_pandas()
+    return _clusters_from_pairs(zip(kept["a"], kept["b"]))
 
 
-def _texts_for(sf_dir: str, doc_ids) -> dict:
+def _ISIN(ids):
+    """Parquet row filter: doc_id ∈ ids (pushed to the read)."""
     import pyarrow.dataset as pads
-    import pyarrow.compute as pc
-    ds = pads.dataset(f"{sf_dir}/documents.parquet")
-    table = ds.to_table(columns=["doc_id", "text"],
-                        filter=pads.field("doc_id").isin(list(doc_ids)))
-    return dict(zip(table["doc_id"].to_pylist(), table["text"].to_pylist()))
+    return pads.field("doc_id").isin(list(ids))
+
+
 
 
 def _clusters_from_pairs(pairs) -> pa.Table:
@@ -291,23 +391,26 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
 
     banded = sigs.map_batches(bands, batch_format="pandas", batch_size=8192)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("doc_id")
+    def bucket_pairs_part(part: pd.DataFrame) -> pd.DataFrame:
+        # anchor pairing — every member vs its bucket minimum — fully
+        # vectorized across the partition's buckets: sort, groupby
+        # transform('first') for the anchors, uint64 xor + popcount
+        g = part.sort_values(["band_id", "band_hash", "doc_id"])
+        grp = g.groupby(["band_id", "band_hash"], sort=False)
+        anchor_id = grp["doc_id"].transform("first").to_numpy()
+        anchor_sh = grp["simhash"].transform("first").to_numpy().astype(np.uint64)
         ids = g["doc_id"].to_numpy()
         shs = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": [], "ham": []})
-        a, b, ham = [], [], []
-        base_id, base_sh = ids[0], shs[0]
-        for i in range(1, len(ids)):
-            d = int(bin(int(base_sh) ^ int(shs[i])).count("1"))
-            a.append(base_id)
-            b.append(ids[i])
-            ham.append(d)
-        return pd.DataFrame({"a": a, "b": b, "ham": ham})
+        mask = ids != anchor_id
+        x = shs[mask] ^ anchor_sh[mask]
+        ham = np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
+        return pd.DataFrame({"a": anchor_id[mask], "b": ids[mask],
+                             "ham": ham.astype(np.int64)})
 
-    pairs = _fanout(banded).groupby(["band_id", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas").to_pandas().drop_duplicates()
+    from linkinator_ray.pipelines.hashagg import hash_partition_apply
+    pairs = hash_partition_apply(
+        banded, ["band_id", "band_hash"], bucket_pairs_part) \
+        .to_pandas().drop_duplicates()
     keep = [(a, b) for a, b, h in zip(pairs["a"], pairs["b"], pairs["ham"])
             if h <= max_hamming and a != b]
     return _clusters_from_pairs(keep)

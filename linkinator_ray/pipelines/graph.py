@@ -145,18 +145,11 @@ def extract_links_dataset(sf_dir: str):
 
 def extract_edges(sf_dir: str):
     """Distinct sorted (src_doc, dst_doc) via the Ray extraction pipeline
-    — distinct expressed as a Dataset groupby (a hash shuffle on the
-    edge key), the at-scale shape for edge dedup (SURVEY.md §2.5 D2)."""
-    from ray.data.aggregate import Count
+    — distinct expressed as the two-level combiner exchange (hashagg: the
+    edge key space is huge), the at-scale shape for edge dedup
+    (SURVEY.md §2.5 D2)."""
+    from linkinator_ray.pipelines.hashagg import hash_aggregate
     edges = extract_links_dataset(sf_dir)
-    def _fanout(ds):
-        try:
-            import ray
-            n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        except Exception:
-            n = 8
-        return ds.repartition(min(32, max(4, n)))
-
-    distinct = _fanout(edges).groupby(["src_doc", "dst_doc"]).aggregate(
-        Count(alias_name="n"))
+    distinct = hash_aggregate(edges, ["src_doc", "dst_doc"],
+                              {"n": ("src_doc", "count")})
     return distinct.select_columns(["src_doc", "dst_doc"])  # unordered
