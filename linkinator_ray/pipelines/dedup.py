@@ -462,63 +462,139 @@ def ngram_jaccard_pairs(sf_dir: str, limit: int = 100, ngram: int = 1,
 def dedup_embedding(sf_dir: str, threshold: float = 0.95, limit: int | None = 200):
     """Near-dup by embedding cosine ≥ threshold.
 
-    With ``limit``: exact pairwise over the first N vectors (numpy
-    matmul; DuckDB-checkable). Without: per-batch matmul against the
-    broadcast normalized matrix — the brute-force scale path.
-    Output: (vec_a, vec_b, cosine), vec_a < vec_b.
+    With ``limit``: exact pairwise over the first N vectors (driver
+    numpy matmul; DuckDB-checkable). Without: the brute-force SCALE
+    path — the normalized matrix rides the object store once (ray.put)
+    and each batch matmuls against it inside ``map_batches``; compute is
+    distributed O(n²/batches), driver memory stays O(result). Brute
+    force is inherently O(n·d) broadcast memory — past that, use
+    dedup_embedding_lsh. Output: (vec_a, vec_b, cosine), vec_a < vec_b.
     """
     import pyarrow.dataset as pads
-    ds = pads.dataset(f"{sf_dir}/embeddings.parquet")
-    filt = (pads.field("vec_id") < limit) if limit is not None else None
-    table = ds.to_table(columns=["vec_id", "embedding"], filter=filt)
-    ids = np.asarray(table["vec_id"].to_pylist())
-    mat = np.asarray(table["embedding"].to_pylist(), dtype=np.float64)
-    norms = np.linalg.norm(mat, axis=1, keepdims=True)
-    mat = mat / np.clip(norms, 1e-12, None)
-    sims = mat @ mat.T
-    iu = np.triu_indices(len(ids), k=1)
-    mask = sims[iu] >= threshold
-    a = ids[iu[0][mask]]
-    b = ids[iu[1][mask]]
-    lo = np.minimum(a, b)
-    hi = np.maximum(a, b)
-    order = np.lexsort((hi, lo))
-    return pa.table({
-        "vec_a": pa.array(lo[order], pa.int64()),
-        "vec_b": pa.array(hi[order], pa.int64()),
-        "cosine": pa.array(np.round(sims[iu][mask][order], 6), pa.float64()),
-    })
-
-
-def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.9, n_planes: int = 6):
-    """Embedding near-dup at scale: random-hyperplane buckets (shuffle on
-    the bucket key), exact pairwise cosine only WITHIN buckets via
-    map_groups — the all-pairs matmul never materializes. Candidates
-    with cosine ≥ threshold, paired to the bucket minimum for
-    connectivity (like the MinHash pipeline)."""
-    from linkinator_ray.pipelines.similarity import _LshBucketer, read_embeddings
-
-    def bucket(batch: pd.DataFrame) -> pd.DataFrame:
-        b = _LshBucketer(len(batch["embedding"].iloc[0]), n_planes)
-        return b(batch)
-
-    bucketed = read_embeddings(sf_dir).map_batches(
-        bucket, batch_format="pandas", batch_size=4096)
-
-    def within(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine_ppm": []})
-        g = group.sort_values("vec_id")
-        mat = np.stack(g["embedding"].to_numpy())
-        ids = g["vec_id"].to_numpy()
+    if limit is not None:
+        ds = pads.dataset(f"{sf_dir}/embeddings.parquet")
+        table = ds.to_table(columns=["vec_id", "embedding"],
+                            filter=pads.field("vec_id") < limit)
+        ids = np.asarray(table["vec_id"].to_pylist())
+        mat = np.asarray(table["embedding"].to_pylist(), dtype=np.float64)
+        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
+                            1e-12, None)
         sims = mat @ mat.T
         iu = np.triu_indices(len(ids), k=1)
-        keep = sims[iu] >= threshold
-        return pd.DataFrame({
-            "vec_a": ids[iu[0][keep]], "vec_b": ids[iu[1][keep]],
-            "cosine_ppm": (sims[iu][keep] * 1_000_000).astype("int64"),
+        mask = sims[iu] >= threshold
+        a, b = ids[iu[0][mask]], ids[iu[1][mask]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        order = np.lexsort((hi, lo))
+        return pa.table({
+            "vec_a": pa.array(lo[order], pa.int64()),
+            "vec_b": pa.array(hi[order], pa.int64()),
+            "cosine": pa.array(np.round(sims[iu][mask][order], 6), pa.float64()),
         })
 
-    pairs = _fanout(bucketed).groupby("bucket").map_groups(
-        within, batch_format="pandas")
-    return pairs
+    # no-limit path: broadcast the normalized matrix, distribute the
+    # row-block × full-matrix matmuls
+    from linkinator_ray.pipelines.similarity import read_embeddings
+    full = pads.dataset(f"{sf_dir}/embeddings.parquet") \
+        .to_table(columns=["vec_id", "embedding"])
+    all_ids = np.asarray(full["vec_id"].to_pylist())
+    all_mat = np.asarray(full["embedding"].to_pylist(), dtype=np.float64)
+    all_mat /= np.clip(np.linalg.norm(all_mat, axis=1, keepdims=True),
+                       1e-12, None)
+    try:
+        import ray
+        blob = ray.put((all_ids, all_mat)) if ray.is_initialized() \
+            else (all_ids, all_mat)
+    except Exception:
+        blob = (all_ids, all_mat)
+
+    class _BlockVsAll:
+        def __init__(self, ref):
+            import ray as _ray
+            self.ids, self.mat = _ray.get(ref) \
+                if not isinstance(ref, tuple) else ref
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            ids = batch["vec_id"].to_numpy()
+            mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
+                                1e-12, None)
+            sims = mat @ self.mat.T  # (batch, n)
+            bi, aj = np.nonzero(sims >= threshold)
+            a_ids, b_ids = ids[bi], self.ids[aj]
+            keep = a_ids < b_ids  # upper triangle only, no self-pairs
+            return pd.DataFrame({
+                "vec_a": a_ids[keep], "vec_b": b_ids[keep],
+                "cosine": np.round(sims[bi, aj][keep], 6)})
+
+    pairs = read_embeddings(sf_dir).map_batches(
+        _BlockVsAll, batch_format="pandas", batch_size=1024,
+        concurrency=(1, 8), fn_constructor_kwargs={"ref": blob}).to_pandas()
+    if len(pairs) == 0:
+        return pa.table({"vec_a": pa.array([], pa.int64()),
+                         "vec_b": pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    pairs = pairs.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+    return pa.Table.from_pandas(pairs, preserve_index=False)
+
+
+def embedding_dim(sf_dir: str) -> int:
+    """Vector dimensionality — one row-group peek, not a table scan."""
+    import pyarrow.parquet as pq
+    f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
+    first = next(f.iter_batches(batch_size=1, columns=["embedding"]))
+    return len(first["embedding"][0])
+
+
+def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.9, n_planes: int = 6,
+                        bucket_cap: int = 1024):
+    """Embedding near-dup at scale: random-hyperplane buckets (shuffle on
+    the bucket key), exact pairwise cosine only WITHIN buckets — the
+    all-pairs matmul never materializes. Candidates with cosine ≥
+    threshold.
+
+    The bucketer is a constructor-based actor stage (planes built once
+    per actor, dim probed from the parquet footer — never per batch).
+    Buckets larger than ``bucket_cap`` switch from full pairwise to
+    anchor pairing (every member vs the bucket minimum): O(k) instead of
+    O(k²), trading recall of *transitive* pairs inside a giant bucket —
+    the same connectivity contract as the MinHash pipeline. Raise
+    ``n_planes`` (buckets = 2^n_planes) so expected bucket size stays
+    under the cap at scale."""
+    from linkinator_ray.pipelines.hashagg import hash_partition_apply
+    from linkinator_ray.pipelines.similarity import _LshBucketer, read_embeddings
+
+    dim = embedding_dim(sf_dir)
+    bucketed = read_embeddings(sf_dir).map_batches(
+        lambda b: _LshBucketer.cached(dim, n_planes)(b),
+        batch_format="pandas", batch_size=4096)
+
+    def within_part(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for _, g in part.groupby("bucket", sort=False):
+            if len(g) < 2:
+                continue
+            g = g.sort_values("vec_id")
+            mat = np.stack(g["embedding"].to_numpy())
+            ids = g["vec_id"].to_numpy()
+            if len(g) > bucket_cap:
+                sims = mat[1:] @ mat[0]
+                keep = sims >= threshold
+                outs.append(pd.DataFrame({
+                    "vec_a": np.full(int(keep.sum()), ids[0]),
+                    "vec_b": ids[1:][keep],
+                    "cosine_ppm": (sims[keep] * 1_000_000).astype("int64")}))
+                continue
+            sims = mat @ mat.T
+            iu = np.triu_indices(len(ids), k=1)
+            keep = sims[iu] >= threshold
+            outs.append(pd.DataFrame({
+                "vec_a": ids[iu[0][keep]], "vec_b": ids[iu[1][keep]],
+                "cosine_ppm": (sims[iu][keep] * 1_000_000).astype("int64"),
+            }))
+        if not outs:
+            return pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                 "vec_b": pd.Series(dtype="int64"),
+                                 "cosine_ppm": pd.Series(dtype="int64")})
+        return pd.concat(outs, ignore_index=True)
+
+    return hash_partition_apply(bucketed, "bucket", within_part)

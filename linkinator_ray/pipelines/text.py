@@ -212,9 +212,10 @@ def quality_filter(sf_dir: str, min_tokens: int = 20, max_tokens: int = 1000,
 
 def top_tokens(sf_dir: str, k: int = 20):
     """Global top-k tokens by document frequency: per-batch partial
-    counts (the combiner), small groupby merge, deterministic
-    (count desc, token asc) head."""
-    from ray.data.aggregate import Sum
+    counts (the combiner), hash-partitioned merge, per-partition local
+    top-k, tiny final head. Mergeable top-k — the driver only ever sees
+    P×k rows, never the vocabulary (deterministic
+    (count desc, token asc) order)."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         counts: dict[str, int] = {}
@@ -225,9 +226,16 @@ def top_tokens(sf_dir: str, k: int = 20):
 
     partials = read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         partial, batch_format="pandas", batch_size=8192)
-    merged = _fanout(partials).groupby("token").aggregate(
-        Sum("n", alias_name="doc_freq"))
-    top = merged.to_pandas().sort_values(
-        ["doc_freq", "token"], ascending=[False, True]).head(k)
+    from linkinator_ray.pipelines.hashagg import hash_aggregate
+    merged = hash_aggregate(partials, "token", {"doc_freq": ("n", "sum")})
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        # hash co-location: every token's global count lives in exactly
+        # one partition, so a per-partition head is a valid partial
+        return batch.sort_values(["doc_freq", "token"],
+                                 ascending=[False, True]).head(k)
+
+    top = merged.map_batches(local_topk, batch_format="pandas").to_pandas() \
+        .sort_values(["doc_freq", "token"], ascending=[False, True]).head(k)
     import pyarrow as _pa
     return _pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
