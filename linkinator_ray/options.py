@@ -119,6 +119,7 @@ class CheckOptions:
     seen_filter: str = "exact"  # 'exact' | 'cuckoo' (cuckoo at 10^10-URL scale)
     batch_size: int = 4096  # rows per Arrow batch in map_batches stages
     pipelined: bool = False  # continuous-queue execution (no round barriers)
+    mesh: bool = False  # actor-mesh frontier: dedup + routing in actors, driver only seeds/quiesces
     max_rounds: int = 10_000  # BFS safety valve
     checkpoint_dir: str | None = None  # per-round frontier/seen/lineage checkpoints
     results_dir: str | None = None     # stream results out as parquet parts

@@ -61,6 +61,129 @@ def _frontier_rows(**cols) -> pa.Table:
     return schema.table(schema.FRONTIER, **cols)
 
 
+def compute_requeues(fetched: pa.Table, now: float, delay_map: dict,
+                     opts: CheckOptions, rng) -> tuple[pa.Table, list, int]:
+    """Retry-After re-enqueues with host-wide max-of-deadlines
+    (src/index.ts:1019-1060) and error-retry backoff (:1069-1109).
+    Mutates ``delay_map``; shared by the driver loop (LinkChecker) and
+    the mesh fetch actors (state/mesh.py)."""
+    requeues: list[pa.Table] = []
+    n_retries = 0
+    if fetched.num_rows == 0:
+        return fetched, requeues, 0
+    ra_epoch = fetched["retry_after_epoch"].to_numpy(zero_copy_only=False)
+    ra_mask = ra_epoch > 0
+    if ra_mask.any():
+        rows = fetched.filter(pa.array(ra_mask))
+        hosts = rows["host"].to_pylist()
+        epochs = ra_epoch[ra_mask]
+        for host, epoch in zip(hosts, epochs):
+            cur = delay_map.get(host)
+            delay_map[host] = max(cur, epoch) if cur is not None else epoch
+        deadlines = np.fromiter((delay_map[h] for h in hosts),
+                                np.float64, len(hosts))
+        requeues.append(_frontier_rows(
+            url=rows["url"].to_pylist(), url_hash=rows["url_hash"].to_pylist(),
+            host=hosts, parent=rows["parent"].to_pylist(),
+            depth=rows["depth"].to_pylist(), do_crawl=rows["do_crawl"].to_pylist(),
+            root_path=rows["root_path"].to_pylist(),
+            attempt=rows["attempt"].to_pylist(),
+            not_before=deadlines,
+        ))
+        n_retries += len(hosts)
+        fetched = fetched.filter(pa.array(~ra_mask))
+    attempt = fetched["attempt"].to_numpy(zero_copy_only=False).astype(np.int64)
+    if "retry_error" in fetched.column_names:  # actor-side gate
+        err_mask = fetched["retry_error"].to_numpy(zero_copy_only=False)
+    else:
+        status = fetched["status"].to_numpy(zero_copy_only=False).astype(np.int64)
+        ra_left = fetched["retry_after_epoch"].to_numpy(zero_copy_only=False)
+        err_mask = classify_mod.should_retry_error_mask(
+            status, attempt, ra_left, opts)
+    if err_mask.any():
+        rows = fetched.filter(pa.array(err_mask))
+        attempts = attempt[err_mask]
+        delays = classify_mod.backoff_delays(attempts, opts, rng)
+        requeues.append(_frontier_rows(
+            url=rows["url"].to_pylist(), url_hash=rows["url_hash"].to_pylist(),
+            host=rows["host"].to_pylist(), parent=rows["parent"].to_pylist(),
+            depth=rows["depth"].to_pylist(), do_crawl=rows["do_crawl"].to_pylist(),
+            root_path=rows["root_path"].to_pylist(),
+            attempt=(attempts + 1).tolist(),
+            not_before=(now + delays).tolist(),
+        ))
+        n_retries += int(err_mask.sum())
+        fetched = fetched.filter(pa.array(~err_mask))
+    return fetched, requeues, n_retries
+
+
+def assemble_result_tables(fetched: pa.Table, link_results: pa.Table,
+                           round_no: int, counters: dict,
+                           check_css: bool = False) -> tuple[list, pa.Table]:
+    """Classified fetch output → RESULTS(+frontier_level) tables.
+
+    The per-round results-assembly shared by the driver loop and the
+    mesh fetch actors: redirect-skipped rows → SKIPPED, actor-classified
+    rows pass through as Arrow columns, link-level results append.
+    Returns (result tables, remaining fetched rows) and bumps the warn /
+    pages counters. ``fetched`` must carry actor-side classification
+    columns (state/failure/warn_*/recurse_*)."""
+    out: list[pa.Table] = []
+    if fetched.num_rows:
+        rskip = np.fromiter(
+            (s != "" for s in fetched["redirect_skipped"].to_pylist()),
+            bool, fetched.num_rows)
+        if rskip.any():
+            rows = fetched.filter(pa.array(rskip))
+            n = rows.num_rows
+            out.append(pa.Table.from_arrays([
+                rows["url"].combine_chunks(),
+                pa.array([None] * n, pa.int32()),
+                pa.array(["SKIPPED"] * n, pa.string()),
+                rows["parent"].combine_chunks(),
+                pa.array([""] * n, pa.string()),
+                pa.array(np.full(n, round_no, dtype=np.int32)),
+                pa.array(np.ones(n, dtype=bool)),
+            ], names=["url", "status", "state", "parent", "failure_details",
+                      "round", "frontier_level"]))
+            fetched = fetched.filter(pa.array(~rskip))
+    if fetched.num_rows:
+        n = fetched.num_rows
+        out.append(pa.Table.from_arrays([
+            fetched["url"].combine_chunks(),
+            fetched["status"].combine_chunks(),
+            fetched["state"].combine_chunks(),
+            fetched["parent"].combine_chunks(),
+            fetched["failure"].combine_chunks(),
+            pa.array(np.full(n, round_no, dtype=np.int32)),
+            pa.array(np.ones(n, dtype=bool)),
+        ], names=["url", "status", "state", "parent", "failure_details",
+                  "round", "frontier_level"]))
+        counters["warn_status"] += int(pc.sum(fetched["warn_status"]).as_py() or 0)
+        counters["warn_redirect"] += int(pc.sum(fetched["warn_redirect"]).as_py() or 0)
+        counters["warn_insecure"] += int(pc.sum(fetched["warn_insecure"]).as_py() or 0)
+        recurse_html = fetched["recurse_html"].to_numpy(zero_copy_only=False)
+        recurse_css = fetched["recurse_css"].to_numpy(zero_copy_only=False)
+        do_crawl = fetched["do_crawl"].to_numpy(zero_copy_only=False)
+        has_body = fetched["has_body"].to_numpy(zero_copy_only=False)
+        counters["pages_crawled"] += int(
+            (do_crawl & has_body &
+             (recurse_html | (recurse_css & check_css))).sum())
+    if link_results.num_rows:
+        n = link_results.num_rows
+        out.append(pa.Table.from_arrays([
+            link_results["url"].combine_chunks(),
+            link_results["status"].combine_chunks(),
+            link_results["state"].combine_chunks(),
+            link_results["parent"].combine_chunks(),
+            pa.array([""] * n, pa.string()),
+            pa.array(np.full(n, round_no, dtype=np.int32)),
+            pa.array(np.zeros(n, dtype=bool)),
+        ], names=["url", "status", "state", "parent", "failure_details",
+                  "round", "frontier_level"]))
+    return out, fetched
+
+
 class LinkChecker:
     """One crawl job. Construct with options + the corpus table (+ mock
     http_map); ``check()`` runs the BFS loop to frontier exhaustion."""
@@ -229,13 +352,12 @@ class LinkChecker:
 
     def check(self, resume_from: str | None = None) -> CrawlResult:
         opts = self.opts
-        self.seen = SeenSet(opts.seen_shards, opts.seen_filter, use_ray=self.use_ray)
-        # edge dedup is driver-local; one vectorized shard beats sharding
-        self.edge_seen = SeenSet(1, "exact", use_ray=False)
-
         transport_blob = {
             "http_map": self.http_map,
             "documents": self.documents,
+            # index structures built ONCE (driver __init__); actors get
+            # them zero-copy instead of rebuilding a dict per actor
+            "corpus_index": self.corpus.export_blob(),
             "corpus_host": self.corpus_host,
             "clean_urls": opts.clean_urls,
             "markdown": opts.markdown,
@@ -243,6 +365,10 @@ class LinkChecker:
             "directory_listing": opts.directory_listing,
             "latency_s": self.transport_latency_s,
             "strict": False,
+            # the per-request call log exists for the conformance tests;
+            # at bench/cluster scale it is an O(requests) memory and
+            # end-of-run serialization cost
+            "record_calls": bool(self.http_map) or self.documents.num_rows <= 50_000,
         }
         worker_kwargs = {
             "redirects": opts.redirects.value,
@@ -270,6 +396,13 @@ class LinkChecker:
         worker_kwargs["connections"] = max(
             1, min(25, opts.concurrency // num_actors)) \
             if self.transport_latency_s > 0 else 1
+
+        if self.use_ray and opts.mesh and self._mesh_supported(resume_from):
+            return self._run_mesh(transport_blob, worker_kwargs, num_actors)
+
+        self.seen = SeenSet(opts.seen_shards, opts.seen_filter, use_ray=self.use_ray)
+        # edge dedup is driver-local; one vectorized shard beats sharding
+        self.edge_seen = SeenSet(1, "exact", use_ray=False)
         pool = FetchPool(worker_kwargs, transport_blob, use_ray=self.use_ray,
                          num_actors=num_actors)
 
@@ -282,6 +415,14 @@ class LinkChecker:
         if self.use_ray and opts.pipelined:
             return self._run_pipelined(pool, frontier, round_no)
         return self._run_rounds(pool, frontier, round_no)
+
+    def _mesh_supported(self, resume_from) -> bool:
+        """Mesh preconditions: fragment validation and robots need
+        cross-actor accounting the mesh does not carry; checkpoints need
+        driver-coordinated snapshots. Those runs use pipelined/rounds."""
+        opts = self.opts
+        return not (opts.check_fragments or opts.respect_robots
+                    or opts.checkpoint_dir or resume_from)
 
     def _run_rounds(self, pool, frontier: pa.Table, round_no: int) -> CrawlResult:
         """Strict BFS rounds: deterministic depth ordering; each round is
@@ -525,6 +666,164 @@ class LinkChecker:
         return self._finish(pool)
 
     # ------------------------------------------------------------------
+    # mesh execution — the driverless frontier (state/mesh.py)
+    # ------------------------------------------------------------------
+
+    def _run_mesh(self, transport_blob: dict, worker_kwargs: dict,
+                  num_actors: int) -> CrawlResult:
+        """Actor-mesh frontier: fetch actors push candidates straight to
+        seen-shard actors; shards route fresh rows back to the owning
+        fetch actors; the driver only seeds, detects quiescence (two
+        consecutive stable snapshots of the monotonic send/receive
+        counters), drains result buffers, and runs the final
+        duplicate-broken join. No per-URL driver work — the round/
+        pipelined modes' ~25 µs/URL serial ceiling (BASELINE.md r1) goes
+        away."""
+        import time as _time
+
+        import ray
+
+        from linkinator_ray.state import mesh as mesh_mod
+        opts = self.opts
+        # max_concurrency=2: peer messages and driver polls land while a
+        # pump computes (MeshNode guards shared state with its own lock)
+        node_cls = ray.remote(num_cpus=1, max_concurrency=2)(mesh_mod.MeshNode)
+        blob_ref = ray.put(transport_blob)
+        opts_blob = {"batch_cap": opts.batch_size * 4, "jitter_seed": 42}
+        # host affinity only when per-host actor state matters (scripted
+        # sequences, Retry-After delay maps, politeness); else balance by
+        # url_hash — same policy as FetchPool.sticky_hosts
+        sticky = (any(e.get("seq", -1) >= 0 for e in self.http_map)
+                  or opts.retry or opts.politeness_delay > 0)
+        nodes = [node_cls.remote(i, num_actors, blob_ref, worker_kwargs,
+                                 opts_blob, seen_mode=opts.seen_filter,
+                                 sticky_hosts=sticky)
+                 for i in range(num_actors)]
+        ray.get([n.set_peers.remote(nodes[i], nodes)
+                 for i, n in enumerate(nodes)])
+
+        # seeds: pre-insert into the owning nodes' seen shards
+        # (src/index.ts:267-288), then enqueue each row with its fetch
+        # owner
+        paths = self._expand_paths()
+        urls, roots = [], []
+        for path in paths:
+            if urlkit.is_absolute_url(path):
+                url = urlkit.normalize_url(path, keep_fragment=False)
+            else:
+                url = urlkit.normalize_url(
+                    self.corpus_base + path.lstrip("/"), keep_fragment=False)
+            urls.append(url)
+            roots.append(url)
+        hashes = urlkit.hash64_array(urls)
+        owner_of = (hashes % np.uint64(num_actors)).astype(np.int64)
+        ray.get([nodes[a].seed.remote(hashes[owner_of == a])
+                 for a in range(num_actors) if (owner_of == a).any()])
+        frontier = _frontier_rows(
+            url=urls, url_hash=hashes,
+            host=[urlkit.host_of(u) for u in urls],
+            parent=[""] * len(urls), depth=[0] * len(urls),
+            do_crawl=[True] * len(urls), root_path=roots,
+            attempt=[0] * len(urls), not_before=[0.0] * len(urls))
+        seed_rows = frontier.num_rows
+        if sticky:
+            assign = mesh_mod._host_assignment(
+                frontier["host"].to_pylist(), num_actors, {})
+        else:
+            assign = owner_of
+        seed_futs = []
+        for a in range(num_actors):
+            idx = np.flatnonzero(assign == a)
+            if len(idx):
+                seed_futs.append(
+                    nodes[a].enqueue.remote(frontier.take(pa.array(idx))))
+        ray.get(seed_futs)
+
+        # quiescence: monotonic counters make in-flight messages visible
+        # as a sum mismatch; a consistent all-idle snapshot is terminal
+        # (two in a row kept as safety margin)
+        stable = 0
+        last_counters: list[dict] = []
+        polls: list[dict] = []
+        t_start = _time.perf_counter()
+        last_progress = (None, _time.monotonic())
+        while True:
+            polls = ray.get([n.poll.remote() for n in nodes])
+            for p in polls:
+                if p["errors"]:
+                    raise RuntimeError(
+                        f"mesh node failed:\n{p['errors'][0]}")
+                for table in p["results"]:
+                    self._emit(table)
+            self._maybe_spill_results()
+            last_counters = [p["counters"] for p in polls]
+            busy = any(p["pump_scheduled"] or p["queued_rows"] for p in polls)
+            sent_c = sum(p["sent_cand"] for p in polls)
+            recv_c = sum(p["received_cand"] for p in polls)
+            sent_f = sum(p["sent_frontier"] for p in polls)
+            recv_f = sum(p["received_frontier"] for p in polls)
+            deferred = sum(p["deferred_rows"] for p in polls)
+            # self-heal: queued work with no pump scheduled (a lost pump
+            # self-message) or held coalesced sends on an idle node get
+            # re-kicked instead of hanging
+            for n, p in zip(nodes, polls):
+                if (p["queued_rows"] and not p["pump_scheduled"]) or \
+                        (p["held_cand"] and not p["pump_scheduled"]):
+                    n.kick.remote()
+            progress = (sent_c, recv_c, sent_f, recv_f)
+            if progress != last_progress[0]:
+                last_progress = (progress, _time.monotonic())
+            elif _time.monotonic() - last_progress[1] > 60:
+                raise RuntimeError(
+                    f"mesh stalled 60s: nodes={polls}")
+            if not busy and sent_c == recv_c \
+                    and sent_f + seed_rows == recv_f:
+                if deferred:
+                    earliest = min(p["earliest_deadline"] for p in polls
+                                   if p["deferred_rows"])
+                    _time.sleep(max(0.0, earliest - _time.time()) + 0.002)
+                    ray.get([n.kick.remote() for n in nodes])
+                    stable = 0
+                    last_progress = (None, _time.monotonic())
+                    continue
+                stable += 1
+                if stable >= 2:
+                    break
+            else:
+                stable = 0
+                _time.sleep(float(__import__("os").environ.get("MESH_POLL_S", "0.002")))
+        self.timings["fetch"] += _time.perf_counter() - t_start
+
+        for counters in last_counters:
+            for key, val in counters.items():
+                self.counters[key] = self.counters.get(key, 0) + val
+        dup_lists = ray.get([n.drain_dups.remote() for n in nodes])
+        self.dup_edge_tables.extend(t for t in dup_lists if t.num_rows)
+        seen_size = sum(p["seen_size"] for p in polls)
+        if transport_blob.get("record_calls", True):
+            logs = ray.get([n.call_log.remote() for n in nodes])
+            call_log = [c for log in logs for c in log]
+        else:
+            call_log = []
+        # nodes hold handles to each other — a reference cycle Ray's
+        # distributed refcounting never collects. Without an explicit
+        # kill the actors (and their num_cpus reservations) leak and the
+        # NEXT mesh run blocks waiting for resources.
+        for actor in nodes:
+            ray.kill(actor, no_restart=True)
+
+        class _MeshFacade:
+            def call_log(self):
+                return call_log
+
+        class _SeenShim:
+            def size(self):
+                return seen_size
+
+        self.seen = _SeenShim()
+        return self._finish(_MeshFacade())
+
+    # ------------------------------------------------------------------
 
     def _apply_rewrites(self, frontier: pa.Table) -> pa.Table:
         """urlRewriteExpressions over frontier URLs (src/index.ts:311-318)."""
@@ -628,56 +927,9 @@ class LinkChecker:
         return frontier, deferred
 
     def _handle_retries(self, fetched: pa.Table, now: float):
-        """Retry-After re-enqueues with host-wide max-of-deadlines
-        (src/index.ts:1019-1060) and error-retry backoff (:1069-1109)."""
-        requeues = []
-        if fetched.num_rows == 0:
-            return fetched, requeues
-        ra_epoch = fetched["retry_after_epoch"].to_numpy(zero_copy_only=False)
-        ra_mask = ra_epoch > 0
-        if ra_mask.any():
-            rows = fetched.filter(pa.array(ra_mask))
-            hosts = rows["host"].to_pylist()
-            epochs = ra_epoch[ra_mask]
-            for host, epoch in zip(hosts, epochs):
-                cur = self.delay_map.get(host)
-                self.delay_map[host] = max(cur, epoch) if cur is not None else epoch
-            deadlines = np.fromiter((self.delay_map[h] for h in hosts),
-                                    np.float64, len(hosts))
-            requeue = _frontier_rows(
-                url=rows["url"].to_pylist(), url_hash=rows["url_hash"].to_pylist(),
-                host=hosts, parent=rows["parent"].to_pylist(),
-                depth=rows["depth"].to_pylist(), do_crawl=rows["do_crawl"].to_pylist(),
-                root_path=rows["root_path"].to_pylist(),
-                attempt=rows["attempt"].to_pylist(),
-                not_before=deadlines,
-            )
-            requeues.append(requeue)
-            self.counters["retries"] += len(hosts)
-            fetched = fetched.filter(pa.array(~ra_mask))
-        attempt = fetched["attempt"].to_numpy(zero_copy_only=False).astype(np.int64)
-        if "retry_error" in fetched.column_names:  # actor-side gate
-            err_mask = fetched["retry_error"].to_numpy(zero_copy_only=False)
-        else:
-            status = fetched["status"].to_numpy(zero_copy_only=False).astype(np.int64)
-            ra_left = fetched["retry_after_epoch"].to_numpy(zero_copy_only=False)
-            err_mask = classify_mod.should_retry_error_mask(
-                status, attempt, ra_left, self.opts)
-        if err_mask.any():
-            rows = fetched.filter(pa.array(err_mask))
-            attempts = attempt[err_mask]
-            delays = classify_mod.backoff_delays(attempts, self.opts, self.rng)
-            requeue = _frontier_rows(
-                url=rows["url"].to_pylist(), url_hash=rows["url_hash"].to_pylist(),
-                host=rows["host"].to_pylist(), parent=rows["parent"].to_pylist(),
-                depth=rows["depth"].to_pylist(), do_crawl=rows["do_crawl"].to_pylist(),
-                root_path=rows["root_path"].to_pylist(),
-                attempt=(attempts + 1).tolist(),
-                not_before=(now + delays).tolist(),
-            )
-            requeues.append(requeue)
-            self.counters["retries"] += int(err_mask.sum())
-            fetched = fetched.filter(pa.array(~err_mask))
+        fetched, requeues, n_retries = compute_requeues(
+            fetched, now, self.delay_map, self.opts, self.rng)
+        self.counters["retries"] += n_retries
         return fetched, requeues
 
     # ------------------------------------------------------------------

@@ -82,10 +82,14 @@ class MockTransport:
 
     def __init__(self, http_map: list[dict] | None = None,
                  corpus: CorpusIndex | None = None,
-                 latency_s: float = 0.0, strict: bool = True):
+                 latency_s: float = 0.0, strict: bool = True,
+                 record_calls: bool = True):
         self.corpus = corpus
         self.latency_s = latency_s
         self.strict = strict
+        # the call log exists for conformance tests; at bench/cluster
+        # scale it is an O(requests) memory+serialization cost — off
+        self.record_calls = record_calls
         self.calls: list[tuple[str, str, int]] = []  # (url, method, status)
         self.header_log: list[tuple[str, str, dict]] = []  # (url, method, headers)
         self._counters: dict[tuple[str, str], int] = {}
@@ -129,7 +133,8 @@ class MockTransport:
         entry = self._match(url, method)
         if entry is not None:
             if entry.get("error"):
-                self.calls.append((url, method, 0))
+                if self.record_calls:
+                    self.calls.append((url, method, 0))
                 raise TransportError(entry["error"])
             headers = json.loads(entry["headers_json"]) if entry.get("headers_json") else {}
             headers = {k.lower(): v for k, v in headers.items()}
@@ -138,13 +143,15 @@ class MockTransport:
             if entry.get("content_type"):
                 headers["content-type"] = entry["content_type"]
             body = entry.get("body_doc_id", "") if method == "GET" else ""
-            self.calls.append((url, method, entry["status"]))
+            if self.record_calls:
+                self.calls.append((url, method, entry["status"]))
             return TResponse(entry["status"], headers, entry.get("content_type", ""),
                              body, url)
         if self.corpus is not None:
             res = self.corpus.resolve_url(url)
             if res is not None:
-                self.calls.append((url, method, res.status))
+                if self.record_calls:
+                    self.calls.append((url, method, res.status))
                 if res.status == 301:
                     return TResponse(301, {"location": res.location}, "", "", url)
                 if res.status == 200:
@@ -152,7 +159,8 @@ class MockTransport:
                     return TResponse(200, {"content-type": res.content_type},
                                      res.content_type, body, url)
                 return TResponse(res.status, {}, "", "", url)
-        self.calls.append((url, method, 0))
+        if self.record_calls:
+            self.calls.append((url, method, 0))
         if self.strict:
             raise TransportError(f"unmocked request: {method} {url}")
         return TResponse(404, {}, "", "", url)
@@ -440,6 +448,15 @@ class FetchWorker:
                 result = self.fetch_one(url, do_crawls[i], now, url in pending)
                 result["soft404"] = False
                 rows.append(result)
+        # Split the extraction work: the common shape — corpus-backed
+        # HTML doc, no fragment tracking — runs through the VECTORIZED
+        # batch extractor (Arrow take + explode, no per-doc as_py());
+        # css docs, directory listings, duplicate bodies and all
+        # fragment-mode rows keep the scalar per-doc path.
+        vec_rows: list[tuple[int, int]] = []  # (row index, corpus row)
+        scalar_rows: list[int] = []
+        seen_bodies: set[str] = set()
+        row_of = corpus.row_of if corpus is not None else (lambda d: None)
         for i, result in enumerate(rows):
             url = urls[i]
             if result["redirect_skipped"] or result["retry_after_epoch"]:
@@ -454,6 +471,23 @@ class FetchWorker:
                               and (eligible or url in pending))
             if not (eligible or need_frags):
                 continue
+            body_row = None if (need_frags or not is_html or is_css
+                                or body in seen_bodies) else row_of(body)
+            if body_row is None:
+                scalar_rows.append(i)
+                continue
+            seen_bodies.add(body)
+            vec_rows.append((i, body_row))
+
+        for i in scalar_rows:
+            result = rows[i]
+            url = urls[i]
+            ct = result["content_type"]
+            body = result["body_doc_id"]
+            is_html = "text/html" in ct or "application/xhtml+xml" in ct
+            is_css = "text/css" in ct
+            eligible = bool(do_crawls[i] and body and
+                            (is_html or (is_css and self.check_css)))
             spans = corpus.spans_of(body) if corpus is not None else []
             base = result["final_url"] or url
             if eligible and is_css and not is_html:
@@ -465,12 +499,18 @@ class FetchWorker:
                     body, base, spans, parent_url=url)
             if eligible:
                 self._process_links(url, roots[i], depths[i], links, out)
+            need_frags = bool(self.check_fragments and body and is_html
+                              and (eligible or url in pending))
             if need_frags:
                 out.frag_targets.extend((url, f) for f in frags)
                 # soft-404 heuristic over the body text (src/index.ts:630-637)
                 texts = [s.get("text") or "" for s in spans]
                 result["soft404"] = (any("noindex" in t for t in texts)
                                      and any("nofollow" in t for t in texts))
+
+        if vec_rows:
+            self._extract_and_process_vec(vec_rows, rows, urls, roots,
+                                          depths, corpus, out)
         cols = {name: [r[name] for r in rows] for name in rows[0]} if rows else {}
         carried = {name: batch[name].to_pylist() for name in
                    ("url", "url_hash", "host", "parent", "depth", "do_crawl",
@@ -487,6 +527,178 @@ class FetchWorker:
             "pending_frags": out.pending_frags_table(),
             "frag_targets": out.frag_targets_table(),
         }
+
+    # -- vectorized extraction + link processing (the hot crawl path) ------
+
+    def _extract_and_process_vec(self, vec_rows, rows, urls, roots, depths,
+                                 corpus, out: "_BatchAccumulator") -> None:
+        """Batch extraction over the corpus Arrow table (one take + the
+        vectorized span explode of stages/extract.py) and vectorized
+        per-link processing — replaces the per-doc as_py() + per-link
+        Python loop of the scalar path for corpus-backed HTML docs."""
+        ex = self._extractor
+        take = pa.array([rp for _, rp in vec_rows], pa.int64())
+        spans_arr = corpus._spans_col.take(take)
+        # doc_id = LOCAL position string so link rows map back to their
+        # frontier row with one int() instead of a dict lookup
+        doc_tbl = pa.Table.from_arrays(
+            [pa.array([str(j) for j in range(len(vec_rows))], pa.string()),
+             spans_arr], schema=schema.DOCUMENTS)
+        bases = {str(j): (rows[i]["final_url"] or urls[i])
+                 for j, (i, _) in enumerate(vec_rows)}
+        saved = ex.page_urls
+        ex.page_urls = bases
+        try:
+            links_tbl, _ = ex.extract_with_fragments(doc_tbl)
+        finally:
+            ex.page_urls = saved
+        self._process_links_vec(links_tbl, vec_rows, urls, roots, depths, out)
+
+    def _process_links_vec(self, links: pa.Table, vec_rows, urls, roots,
+                           depths, out: "_BatchAccumulator") -> None:
+        """Arrow-native per-link processing: doc metadata joins are
+        C-speed takes on per-doc arrays, string work stays in Arrow
+        kernels, hashing runs on the flat UTF-8 buffers. Python touches
+        only the rare rows (parse errors, skip hits)."""
+        import pyarrow.compute as pc
+        n = links.num_rows
+        if n == 0:
+            return
+        doc_pos = pc.cast(links["doc_id"].combine_chunks(), pa.int64())
+        page_docs = pa.array([urls[i] for i, _ in vec_rows], pa.string())
+        depth_docs = pa.array([depths[i] for i, _ in vec_rows], pa.int32())
+        root_strs: list[str] = []
+        root_index: dict[str, int] = {}
+        root_ids_list = []
+        for i, _ in vec_rows:
+            r = roots[i]
+            rid = root_index.get(r)
+            if rid is None:
+                rid = root_index[r] = len(root_strs)
+                root_strs.append(r)
+            root_ids_list.append(rid)
+        root_ids_docs = pa.array(root_ids_list, pa.int64())
+        root_strs_pa = pa.array(root_strs, pa.string())
+
+        parents = page_docs.take(doc_pos)
+        link_depths = depth_docs.take(doc_pos)
+        link_root_ids = root_ids_docs.take(doc_pos) \
+            .to_numpy(zero_copy_only=False)
+
+        url_col = links["url"].combine_chunks()
+        live = np.ones(n, dtype=bool)
+
+        # parse errors → BROKEN status 0 (src/index.ts:717-730)
+        perr = pc.not_equal(links["parse_error"].combine_chunks(), "") \
+            .to_numpy(zero_copy_only=False)
+        if perr.any():
+            sel = pa.array(np.flatnonzero(perr))
+            raws = links["raw_link"].take(sel).to_pylist()
+            pars = parents.take(sel).to_pylist()
+            out.link_results.extend(
+                (raw, 0, "BROKEN", par) for raw, par in zip(raws, pars))
+            live &= ~perr
+
+        # fragment-full skip rule (src/index.ts:732-752)
+        if self.has_skip_rules():
+            wfrag = links["url_with_fragment"].combine_chunks()
+            is_http = pc.or_(pc.starts_with(url_col, "http://"),
+                             pc.starts_with(url_col, "https://")) \
+                .to_numpy(zero_copy_only=False)
+            rule_hit = self._match_skip_vec(wfrag)
+            skip_mask = live & is_http & rule_hit
+            if skip_mask.any():
+                sel = pa.array(np.flatnonzero(skip_mask))
+                wf = wfrag.take(sel).to_pylist()
+                pars = parents.take(sel).to_pylist()
+                out.link_results.extend(
+                    (w, None, "SKIPPED", par) for w, par in zip(wf, pars))
+                live &= ~skip_mask
+        if not live.any():
+            return
+
+        # child-crawl gate (src/index.ts:786-798): url under the seed's
+        # rootPath, same host unless the root pins a path
+        crawl_flags = np.zeros(n, dtype=bool)
+        link_hosts = None
+        if self.recurse:
+            for rid, root in enumerate(root_strs):
+                root_mask = live & (link_root_ids == rid)
+                if not root_mask.any():
+                    continue
+                starts = pc.starts_with(url_col, root) \
+                    .to_numpy(zero_copy_only=False)
+                cand = root_mask & starts
+                if not cand.any():
+                    continue
+                sep = root.find("://")
+                pinned = sep >= 0 and root.find("/", sep + 3) >= 0
+                if pinned:
+                    crawl_flags |= cand
+                else:
+                    if link_hosts is None:
+                        link_hosts = self._hosts_vec(url_col)
+                    root_host = urlkit.host_of(root)
+                    crawl_flags |= cand & (link_hosts == root_host)
+        if link_hosts is None:
+            link_hosts = self._hosts_vec(url_col)
+
+        live_pa = pa.array(live)
+        live_urls = url_col.filter(live_pa)
+        live_parents = parents.filter(live_pa)
+        edge_concat = pc.binary_join_element_wise(live_urls, live_parents, "|")
+        out.cand_tables.append(pa.Table.from_arrays([
+            live_urls,
+            pa.array(urlkit.hash64_arrow(live_urls), pa.uint64()),
+            pa.array(urlkit.hash64_arrow(edge_concat), pa.uint64()),
+            pa.array(link_hosts[live], pa.string()),
+            live_parents,
+            pc.add(pc.filter(link_depths, live_pa),
+                   pa.scalar(1, pa.int32())).cast(pa.int32()),
+            pa.array(crawl_flags[live]),
+            root_strs_pa.take(pa.array(link_root_ids[live])),
+        ], schema=schema.CANDIDATES))
+
+    _HOST_RE = r"^https?://(?P<h>[a-z0-9.-]+)(?:[/:?#]|$)"
+
+    def _hosts_vec(self, url_col) -> np.ndarray:
+        """Vectorized host-of for normalized URLs (RE2 kernel); rows the
+        simple pattern misses (userinfo, IPv6, odd schemes) fall back to
+        the scalar helper."""
+        import pyarrow.compute as pc
+        h = pc.struct_field(pc.extract_regex(url_col, self._HOST_RE), "h")
+        hosts = h.to_numpy(zero_copy_only=False)
+        misses = np.flatnonzero(pc.is_null(h).to_numpy(zero_copy_only=False))
+        if len(misses):
+            raw = url_col.take(pa.array(misses)).to_pylist()
+            for pos, u in zip(misses, raw):
+                hosts[pos] = urlkit.host_of_normalized(u)
+        return hosts
+
+    def _match_skip_vec(self, col) -> np.ndarray:
+        """Vectorized skip-rule matching. RE2-compatible patterns run as
+        Arrow kernels; Python-only patterns (or a callable rule) fall
+        back to the per-row path."""
+        import pyarrow.compute as pc
+        n = len(col)
+        if self.skip_fn is not None:
+            vals = col.to_pylist()
+            return np.fromiter((bool(self.skip_fn(v)) for v in vals), bool, n)
+        hit = np.zeros(n, dtype=bool)
+        if not hasattr(self, "_skip_vec_ok"):
+            self._skip_vec_ok = {}
+        for k, pat in enumerate(self.skip_patterns):
+            ok = self._skip_vec_ok.get(k, True)
+            if ok:
+                try:
+                    hit |= pc.match_substring_regex(col, pat.pattern) \
+                        .to_numpy(zero_copy_only=False)
+                    continue
+                except Exception:
+                    self._skip_vec_ok[k] = False
+            vals = col.to_pylist()
+            hit |= np.fromiter((bool(pat.search(v)) for v in vals), bool, n)
+        return hit
 
     def _classify_in_actor(self, fetched: pa.Table) -> pa.Table:
         """Run M17-M20 classification + the retryErrors gate inside the
@@ -524,26 +736,30 @@ class _BatchAccumulator:
 
     def __init__(self):
         self.cand: list[tuple] = []          # (url, edge_key, parent, depth, crawl, root)
+        self.cand_tables: list[pa.Table] = []  # prebuilt CANDIDATES blocks
         self.link_results: list[tuple] = []  # (url, status, state, parent)
         self.pending_frags: list[tuple] = []
         self.frag_targets: list[tuple] = []
         self.root_meta: dict[str, tuple] = {}
 
     def candidates_table(self) -> pa.Table:
-        if not self.cand:
+        tables = list(self.cand_tables)
+        if self.cand:
+            urls = [c[0] for c in self.cand]
+            edge_keys = [c[1] for c in self.cand]
+            tables.append(pa.Table.from_arrays([
+                pa.array(urls, pa.string()),
+                pa.array(urlkit.hash64_array(urls), pa.uint64()),
+                pa.array(urlkit.hash64_array(edge_keys), pa.uint64()),
+                pa.array([urlkit.host_of_normalized(u) for u in urls], pa.string()),
+                pa.array([c[2] for c in self.cand], pa.string()),
+                pa.array([c[3] for c in self.cand], pa.int32()),
+                pa.array([c[4] for c in self.cand], pa.bool_()),
+                pa.array([c[5] for c in self.cand], pa.string()),
+            ], schema=schema.CANDIDATES))
+        if not tables:
             return schema.empty(schema.CANDIDATES)
-        urls = [c[0] for c in self.cand]
-        edge_keys = [c[1] for c in self.cand]
-        return pa.Table.from_arrays([
-            pa.array(urls, pa.string()),
-            pa.array(urlkit.hash64_array(urls), pa.uint64()),
-            pa.array(urlkit.hash64_array(edge_keys), pa.uint64()),
-            pa.array([urlkit.host_of_normalized(u) for u in urls], pa.string()),
-            pa.array([c[2] for c in self.cand], pa.string()),
-            pa.array([c[3] for c in self.cand], pa.int32()),
-            pa.array([c[4] for c in self.cand], pa.bool_()),
-            pa.array([c[5] for c in self.cand], pa.string()),
-        ], schema=schema.CANDIDATES)
+        return pa.concat_tables(tables) if len(tables) > 1 else tables[0]
 
     def link_results_table(self) -> pa.Table:
         if not self.link_results:
@@ -683,7 +899,9 @@ def build_transport(blob: dict) -> MockTransport:
                              clean_urls=blob.get("clean_urls", False),
                              markdown=blob.get("markdown", False),
                              multi_host=blob.get("multi_host", False),
-                             directory_listing=blob.get("directory_listing", False))
+                             directory_listing=blob.get("directory_listing", False),
+                             prebuilt=blob.get("corpus_index"))
     return MockTransport(blob.get("http_map"), corpus,
                          latency_s=blob.get("latency_s", 0.0),
-                         strict=blob.get("strict", True))
+                         strict=blob.get("strict", True),
+                         record_calls=blob.get("record_calls", True))

@@ -109,21 +109,66 @@ class CuckooFilter:
 
     def contains_or_insert(self, keys: np.ndarray) -> np.ndarray:
         """Batched test-and-set: True where the key was already present
-        (possibly falsely); absent keys are inserted."""
+        (possibly falsely); absent keys are inserted. Fully vectorized:
+        membership is one gather, inserts place whole conflict-free
+        bucket groups per numpy pass (the serial eviction walk survives
+        only for keys whose both buckets are full).
+
+        Within-batch semantics match the serial loop exactly: a key's
+        bucket PAIR is determined by (min(i1,i2), fp) — any later batch
+        row with the same pair would have seen the earlier insert, so it
+        reports present and does not insert."""
         keys = np.asarray(keys, dtype=np.uint64)
+        n = len(keys)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
         fp = self._fingerprint(keys)
         i1 = self._index1(keys)
         i2 = self._index2(i1, fp)
-        out = np.zeros(len(keys), dtype=bool)
-        for pos in range(len(keys)):
-            f, a, b = int(fp[pos]), int(i1[pos]), int(i2[pos])
-            present = ((self.table[a] == f).any() or (self.table[b] == f).any()
-                       or self._is_victim(a, b, f))
-            if present:
-                out[pos] = True
-            else:
-                self._insert_one(f, a, b)
+        found = (self.table[i1] == fp[:, None]).any(axis=1)
+        found |= (self.table[i2] == fp[:, None]).any(axis=1)
+        if self._victims:
+            for pos in np.flatnonzero(~found):
+                if self._is_victim(int(i1[pos]), int(i2[pos]), int(fp[pos])):
+                    found[pos] = True
+        combined = (np.minimum(i1, i2) << np.uint64(16)) | fp.astype(np.uint64)
+        _, first_idx = np.unique(combined, return_index=True)
+        is_first = np.zeros(n, dtype=bool)
+        is_first[first_idx] = True
+        out = found | ~is_first
+        todo = np.flatnonzero(is_first & ~found)
+        if len(todo):
+            self._bulk_insert(fp[todo], i1[todo], i2[todo])
         return out
+
+    def _bulk_insert(self, fp: np.ndarray, i1: np.ndarray,
+                     i2: np.ndarray) -> None:
+        """Place a batch of distinct-pair fingerprints: per phase (home
+        bucket, then alternate) repeatedly place one key per distinct
+        bucket into its first empty slot — each pass is pure numpy.
+        Keys whose both buckets are full walk the serial eviction path."""
+        pend = np.arange(len(fp), dtype=np.int64)
+        for barr in (i1, i2):
+            next_phase: list[int] = []
+            while len(pend):
+                b = barr[pend]
+                _, fpos = np.unique(b, return_index=True)
+                sel_mask = np.zeros(len(pend), dtype=bool)
+                sel_mask[fpos] = True
+                sel = pend[sel_mask]
+                rows = self.table[barr[sel]]
+                empties = rows == _EMPTY
+                has_empty = empties.any(axis=1)
+                slots = np.argmax(empties, axis=1)
+                ok = sel[has_empty]
+                if len(ok):
+                    self.table[barr[ok], slots[has_empty]] = fp[ok]
+                    self.count += len(ok)
+                next_phase.extend(sel[~has_empty].tolist())
+                pend = pend[~sel_mask]
+            pend = np.asarray(next_phase, dtype=np.int64)
+        for j in pend:
+            self._insert_one(int(fp[j]), int(i1[j]), int(i2[j]))
 
     # -- checkpoint --------------------------------------------------------
 

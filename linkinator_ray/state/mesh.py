@@ -1,0 +1,470 @@
+"""Actor-mesh frontier: the driverless crawl dataflow.
+
+The round/pipelined modes route every fetched batch through the driver
+for the global dedup joins — ~25 µs/URL of serial work that Amdahl-caps
+compute-bound scaling at ≈0.4 (BASELINE.md round 1). The mesh moves the
+whole frontier cycle into K symmetric ``MeshNode`` actors; each node is
+BOTH a fetch worker and the seen/edge shard for its ``url_hash % K``
+key range:
+
+    node.pump ──candidates (url_hash % K)──▶ owner.submit_candidates
+        ▲                                          │ dedup (edge+URL)
+        └────────────fresh frontier rows───────────┘
+
+In the balanced routing mode (no per-host actor state needed) a fresh
+URL's dedup owner IS its fetch owner — candidate→frontier routing is a
+single actor message and the owner enqueues locally, zero extra hops.
+With host-sticky routing (scripted mock sequences, Retry-After delay
+maps, politeness) the owner forwards fresh rows to the host's home node
+— one extra hop, only when the semantics require it.
+
+Node responsibilities: rewrites, skip classification, politeness +
+retry deferrals (wall clock, owner-local), the fetch/extract/classify
+state machine (stages/fetch.py), URL-seen + edge-seen filters for its
+key range, duplicate-edge buffering (the J1 join input), results
+buffering. The driver only seeds, polls for quiescence (monotonic
+send/receive counters — an in-flight message shows up as a sum
+mismatch), drains result buffers, and runs the final duplicate-broken
+join.
+
+Batching: ``enqueue``/``submit_candidates`` only append; a
+self-scheduled ``pump`` message processes everything accumulated since
+the last pump, so under load the mailbox coalesces many small routed
+pieces into full fetch batches. Self-addressed pieces are delivered
+in-process (no message, no counter — symmetric).
+
+Reference semantics preserved: edge + URL dedup order
+(src/index.ts:800-817 — edge-fresh rows only consult/insert the URL
+set), duplicate-broken re-reporting input (:840-875), retry handling
+(:1019-1109). Fragment validation and robots need cross-actor
+accounting the mesh does not carry — LinkChecker falls back to the
+pipelined mode when those options are set.
+
+Scale notes: actor queues are unbounded in-memory — at 10^10 URLs add
+spill-to-parquet per node and acked sends; counters make loss visible
+(sent != received never converges, and the driver's stall detector
+raises with a full state dump).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+
+from linkinator_ray import schema, urlkit
+from linkinator_ray.state.seen import SeenShard
+
+
+def _host_assignment(hosts: list[str], num_nodes: int,
+                     memo: dict) -> np.ndarray:
+    out = np.empty(len(hosts), dtype=np.int64)
+    for i, h in enumerate(hosts):
+        a = memo.get(h)
+        if a is None:
+            a = memo[h] = int(urlkit.hash64(h) % num_nodes)
+        out[i] = a
+    return out
+
+
+class MeshNode:
+    """One symmetric node: fetch worker + seen/edge shard for its
+    ``url_hash % K`` range."""
+
+    def __init__(self, actor_id: int, num_nodes: int, transport_blob: dict,
+                 worker_kwargs: dict, opts_blob: dict,
+                 seen_mode: str = "exact", sticky_hosts: bool = True,
+                 seen_capacity: int = 1 << 20):
+        import threading
+        pa.set_cpu_count(1)
+        pa.set_io_thread_count(1)
+        # the node runs with max_concurrency=2 so enqueue/submit/poll
+        # land WHILE a pump computes (latency hiding — pumps otherwise
+        # convoy the whole mesh into lock-step waves). All shared state
+        # is guarded by this lock; the pump's long fetch/extract section
+        # runs outside it.
+        self.lock = threading.Lock()
+        from linkinator_ray.stages.fetch import FetchWorker, build_transport
+        self.actor_id = actor_id
+        self.num_nodes = num_nodes
+        self.worker = FetchWorker(build_transport(transport_blob),
+                                  **worker_kwargs)
+        self.opts = worker_kwargs["classify_opts"]
+        self.batch_cap = opts_blob.get("batch_cap", 16384)
+        self.rewrites = self.opts.url_rewrites or []
+        self.rng = np.random.default_rng(opts_blob.get("jitter_seed", 42)
+                                         + actor_id)
+        self.sticky_hosts = sticky_hosts
+        self.url_seen = SeenShard(actor_id, seen_mode, seen_capacity)
+        # edges outnumber URLs ~linkage-factor×; give the filter headroom
+        self.edge_seen = SeenShard(actor_id ^ 0xFFFF, seen_mode,
+                                   seen_capacity * 4)
+        self.dup_edges: list[pa.Table] = []
+        self.queue: list[pa.Table] = []
+        self.queued_rows = 0
+        self.deferred: list[pa.Table] = []
+        self.delay_map: dict[str, float] = {}
+        self.results_buf: list[pa.Table] = []
+        self.counters = {"retries": 0, "warn_redirect": 0, "warn_insecure": 0,
+                         "warn_status": 0, "pages_crawled": 0,
+                         "urls_checked": 0, "rounds": 0}
+        self.received_frontier = 0
+        self.sent_frontier = 0
+        self.received_cand = 0
+        self.sent_cand = 0
+        self.pump_scheduled = False
+        self.pumping = False
+        self.self_handle = None
+        self.peers = None
+        self.host_memo: dict = {}
+        self.errors: list[str] = []
+        self.busy_sec = 0.0
+        # cross-pump send coalescing: per-peer candidate buffers. An
+        # actor message costs ~1-2 ms of raylet/task overhead regardless
+        # of payload, so sends flush only when a peer's buffer reaches
+        # flush_rows — or all at once when this node is about to go idle
+        # (progress guarantee: the last productive pump always flushes).
+        self.flush_rows = opts_blob.get("flush_rows", 4096)
+        self.peer_buf: list[list[pa.Table]] = []
+        self.peer_buf_rows: list[int] = []
+
+    def set_peers(self, self_handle, peers) -> None:
+        self.self_handle = self_handle
+        self.peers = peers
+        self.peer_buf = [[] for _ in peers]
+        self.peer_buf_rows = [0] * len(peers)
+
+    # -- intake ------------------------------------------------------------
+
+    def seed(self, hashes: np.ndarray) -> None:
+        """Pre-insert seed URLs into this node's key range
+        (src/index.ts:267-288)."""
+        with self.lock:
+            self.url_seen.contains_or_insert(hashes)
+
+    def enqueue(self, table: pa.Table) -> None:
+        """Frontier rows whose fetch this node owns."""
+        if table.num_rows == 0:
+            return
+        with self.lock:
+            self.received_frontier += table.num_rows
+            self._append_local(table)
+
+    def _append_local(self, table: pa.Table) -> None:
+        self.queue.append(table)
+        self.queued_rows += table.num_rows
+        self._schedule_pump()
+
+    def submit_candidates(self, cand: pa.Table) -> None:
+        """Candidate links whose url_hash this node owns."""
+        with self.lock:
+            self.received_cand += cand.num_rows
+            self._accept_candidates(cand)
+
+    def _schedule_pump(self) -> None:
+        if not self.pump_scheduled and self.self_handle is not None \
+                and self.queue:
+            self.pump_scheduled = True
+            self.self_handle.pump.remote()
+
+    # -- dedup + frontier routing (the shard role) -------------------------
+
+    def _accept_candidates(self, cand: pa.Table) -> None:
+        """Edge dedup → URL dedup → fresh rows to their fetch owners.
+        Mirrors the driver joins (crawl._enqueue_candidates): edge-fresh
+        rows only consult/insert the URL set; (url, parent) duplicates
+        whose URL is already seen are retained for the J1 join."""
+        edge_hash = np.asarray(
+            cand["edge_hash"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        edge_fresh = ~self.edge_seen.contains_or_insert(edge_hash)
+        url_hash = np.asarray(
+            cand["url_hash"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        url_dup = np.zeros(len(url_hash), dtype=bool)
+        fresh_idx = np.flatnonzero(edge_fresh)
+        if len(fresh_idx):
+            url_dup[fresh_idx] = self.url_seen.contains_or_insert(
+                url_hash[fresh_idx])
+        dup_mask = edge_fresh & url_dup
+        if dup_mask.any():
+            self.dup_edges.append(
+                cand.filter(pa.array(dup_mask)).select(["url", "parent"]))
+        keep = edge_fresh & ~url_dup
+        if not keep.any():
+            return
+        rows = cand.filter(pa.array(keep))
+        n = rows.num_rows
+        frontier = pa.Table.from_arrays([
+            rows["url"].combine_chunks(),
+            rows["url_hash"].combine_chunks(),
+            rows["host"].combine_chunks(),
+            rows["parent"].combine_chunks(),
+            rows["depth"].combine_chunks(),
+            rows["do_crawl"].combine_chunks(),
+            rows["root_path"].combine_chunks(),
+            pa.array(np.zeros(n, dtype=np.int32)),
+            pa.array(np.zeros(n, dtype=np.float64)),
+        ], schema=schema.FRONTIER)
+        if not self.sticky_hosts:
+            # balanced mode: the url_hash owner IS the fetch owner
+            self._append_local(frontier)
+            return
+        assign = _host_assignment(rows["host"].to_pylist(),
+                                  self.num_nodes, self.host_memo)
+        for a in range(self.num_nodes):
+            idx = np.flatnonzero(assign == a)
+            if not len(idx):
+                continue
+            piece = frontier.take(pa.array(idx))
+            if a == self.actor_id:
+                self._append_local(piece)
+            else:
+                self.sent_frontier += piece.num_rows
+                self.peers[a].enqueue.remote(piece)
+
+    # -- the work loop -----------------------------------------------------
+
+    def _wake_deferred(self, now: float) -> None:
+        if not self.deferred:
+            return
+        still = []
+        for t in self.deferred:
+            nb = t["not_before"].to_numpy(zero_copy_only=False)
+            ready = nb <= now
+            if ready.any():
+                piece = t.filter(pa.array(ready))
+                self.queue.append(piece)
+                self.queued_rows += piece.num_rows
+                t = t.filter(pa.array(~ready))
+            if t.num_rows:
+                still.append(t)
+        self.deferred = still
+
+    def pump(self) -> None:
+        now = time.time()
+        with self.lock:
+            self.pump_scheduled = False
+            if self.pumping:
+                return  # the active pump reschedules on exit
+            self.pumping = True
+            self._wake_deferred(now)
+            if not self.queue:
+                self.pumping = False
+                self._flush_peers(everything=True)
+                return
+            batch = pa.concat_tables(self.queue)
+            self.queue = []
+            self.queued_rows = 0
+            if batch.num_rows > self.batch_cap:
+                tail = batch.slice(self.batch_cap)
+                self.queue = [tail]
+                self.queued_rows = tail.num_rows
+                batch = batch.slice(0, self.batch_cap)
+        t0 = time.perf_counter()
+        try:
+            self._process(batch, now)
+        except Exception:  # surfaced via poll(); fire-and-forget would lose it
+            import traceback
+            with self.lock:
+                self.errors.append(traceback.format_exc())
+        with self.lock:
+            # flush coalesced sends: everything when about to go idle,
+            # else only peers whose buffer crossed the threshold
+            self._flush_peers(everything=not self.queue)
+            self.busy_sec += time.perf_counter() - t0
+            self.counters["rounds"] += 1
+            self.pumping = False
+            self._schedule_pump()
+
+    def _process(self, batch: pa.Table, now: float) -> None:
+        from linkinator_ray.pipelines.crawl import (assemble_result_tables,
+                                                    compute_requeues)
+        batch = self._apply_rewrites(batch)
+        with self.lock:
+            batch = self._skip_stage(batch)
+            batch = self._politeness_gate(batch, now)
+        if batch.num_rows == 0:
+            return
+        # the long fetch/extract section runs WITHOUT the lock so peer
+        # messages (enqueue/submit/poll) land concurrently
+        output = self.worker.fetch_batch(batch, [], now)
+        fetched = output["fetched"]
+        with self.lock:
+            self.counters["urls_checked"] += fetched.num_rows
+            fetched, requeues, n_retries = compute_requeues(
+                fetched, now, self.delay_map, self.opts, self.rng)
+            self.counters["retries"] += n_retries
+            self.deferred.extend(t for t in requeues if t.num_rows)
+            results, _ = assemble_result_tables(
+                fetched, output["link_results"], self.counters["rounds"],
+                self.counters, check_css=self.opts.check_css)
+            self.results_buf.extend(results)
+            self._route_candidates(output["candidates"])
+
+    def _apply_rewrites(self, batch: pa.Table) -> pa.Table:
+        if not self.rewrites:
+            return batch
+        urls = batch["url"].to_pylist()
+        out, changed = [], False
+        for url in urls:
+            new = url
+            for rw in self.rewrites:
+                new = rw.pattern.sub(rw.replacement, new)
+            changed |= new != url
+            out.append(new)
+        if not changed:
+            return batch
+        hashes = urlkit.hash64_array(out)
+        hosts = [urlkit.host_of(u) for u in out]
+        batch = batch.set_column(0, "url", pa.array(out, pa.string()))
+        batch = batch.set_column(1, "url_hash", pa.array(hashes, pa.uint64()))
+        return batch.set_column(2, "host", pa.array(hosts, pa.string()))
+
+    def _skip_stage(self, batch: pa.Table) -> pa.Table:
+        """Frontier-level skip classification (src/index.ts:320-323):
+        non-http(s) → SKIPPED status 0; skip rules → SKIPPED status null."""
+        import pyarrow.compute as pc
+        n = batch.num_rows
+        url_col = batch["url"].combine_chunks()
+        is_http = pc.or_(pc.starts_with(url_col, "http://"),
+                         pc.starts_with(url_col, "https://")) \
+            .to_numpy(zero_copy_only=False)
+        if self.worker.has_skip_rules():
+            rule_skip = self.worker._match_skip_vec(url_col)
+        else:
+            rule_skip = np.zeros(n, dtype=bool)
+        skip_mask = ~is_http | (is_http & rule_skip)
+        if not skip_mask.any():
+            return batch
+        rows = batch.filter(pa.array(skip_mask))
+        k = rows.num_rows
+        statuses = [0 if not h else None for h in is_http[skip_mask]]
+        self.results_buf.append(pa.Table.from_arrays([
+            rows["url"].combine_chunks(),
+            pa.array(statuses, pa.int32()),
+            pa.array(["SKIPPED"] * k, pa.string()),
+            rows["parent"].combine_chunks(),
+            pa.array([""] * k, pa.string()),
+            pa.array(np.full(k, self.counters["rounds"], dtype=np.int32)),
+            pa.array(np.ones(k, dtype=bool)),
+        ], names=["url", "status", "state", "parent", "failure_details",
+                  "round", "frontier_level"]))
+        return batch.filter(pa.array(~skip_mask))
+
+    def _politeness_gate(self, batch: pa.Table, now: float) -> pa.Table:
+        """Host Retry-After deadlines + optional per-host stagger —
+        owner-local (this node IS the host's home in sticky mode)."""
+        if self.delay_map and batch.num_rows:
+            hosts = batch["host"].to_pylist()
+            deadlines = np.fromiter(
+                (self.delay_map.get(h, 0.0) for h in hosts), np.float64,
+                len(hosts))
+            gate = deadlines > now
+            if gate.any():
+                parked = batch.filter(pa.array(gate))
+                parked = parked.set_column(
+                    parked.schema.get_field_index("not_before"), "not_before",
+                    pa.array(deadlines[gate], pa.float64()))
+                self.deferred.append(parked)
+                batch = batch.filter(pa.array(~gate))
+        delay = self.opts.politeness_delay
+        if delay > 0 and batch.num_rows:
+            hosts = batch["host"].to_pylist()
+            first_seen: dict[str, int] = {}
+            slot = np.zeros(len(hosts), dtype=np.int64)
+            for i, h in enumerate(hosts):
+                slot[i] = first_seen.get(h, 0)
+                first_seen[h] = slot[i] + 1
+            later = slot > 0
+            if later.any():
+                parked = batch.filter(pa.array(later))
+                parked = parked.set_column(
+                    parked.schema.get_field_index("not_before"), "not_before",
+                    pa.array(now + slot[later] * delay, pa.float64()))
+                self.deferred.append(parked)
+                batch = batch.filter(pa.array(~later))
+        return batch
+
+    def _route_candidates(self, cand: pa.Table) -> None:
+        if cand.num_rows == 0:
+            return
+        url_hash = np.asarray(
+            cand["url_hash"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        owner = (url_hash % np.uint64(self.num_nodes)).astype(np.int64)
+        for a in range(self.num_nodes):
+            idx = np.flatnonzero(owner == a)
+            if not len(idx):
+                continue
+            piece = cand.take(pa.array(idx))
+            if a == self.actor_id:
+                self._accept_candidates(piece)
+            else:
+                self.peer_buf[a].append(piece)
+                self.peer_buf_rows[a] += piece.num_rows
+
+    def _flush_peers(self, everything: bool) -> None:
+        for a, bufs in enumerate(self.peer_buf):
+            if not bufs:
+                continue
+            if not everything and self.peer_buf_rows[a] < self.flush_rows:
+                continue
+            piece = bufs[0] if len(bufs) == 1 else pa.concat_tables(bufs)
+            self.peer_buf[a] = []
+            self.peer_buf_rows[a] = 0
+            self.sent_cand += piece.num_rows
+            self.peers[a].submit_candidates.remote(piece)
+
+    # -- driver interface --------------------------------------------------
+
+    def poll(self) -> dict:
+        """Stable-state snapshot + results drain (consistent under the
+        node lock; a mid-pump node reports pumping=True so the driver
+        never mistakes it for idle)."""
+        with self.lock:
+            return self._poll_locked()
+
+    def _poll_locked(self) -> dict:
+        results = self.results_buf
+        self.results_buf = []
+        deferred_rows = sum(t.num_rows for t in self.deferred)
+        earliest = min((float(t["not_before"].to_numpy(
+            zero_copy_only=False).min()) for t in self.deferred),
+            default=0.0)
+        return {
+            "received_frontier": self.received_frontier,
+            "sent_frontier": self.sent_frontier,
+            "received_cand": self.received_cand,
+            "sent_cand": self.sent_cand,
+            "queued_rows": self.queued_rows,
+            "held_cand": sum(self.peer_buf_rows),
+            "deferred_rows": deferred_rows,
+            "earliest_deadline": earliest,
+            "pump_scheduled": self.pump_scheduled or self.pumping,
+            "counters": dict(self.counters),
+            "results": results,
+            "errors": self.errors,
+            "busy_sec": self.busy_sec,
+            "seen_size": self.url_seen.size(),
+        }
+
+    def kick(self) -> None:
+        """Driver nudge: wake deferred rows whose deadline passed and
+        flush any coalesced sends."""
+        with self.lock:
+            self._wake_deferred(time.time())
+            self._flush_peers(everything=True)
+            self._schedule_pump()
+
+    def drain_dups(self) -> pa.Table:
+        """One compact distinct (url, parent) table per node — concat +
+        dedup happen node-side so the driver deserializes one block."""
+        with self.lock:
+            dups = self.dup_edges
+            self.dup_edges = []
+        if not dups:
+            return schema.empty(schema.EDGES)
+        merged = pa.concat_tables(dups).combine_chunks()
+        return merged.group_by(["url", "parent"]).aggregate([])
+
+    def call_log(self):
+        return self.worker.call_log()

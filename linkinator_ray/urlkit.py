@@ -335,17 +335,62 @@ def extract_links_from_jsonld_text(text: str) -> list[str]:
 # hashing (stable across processes — the partitioning / dedup key)
 # ---------------------------------------------------------------------------
 
+_FNV_BASIS = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
 def hash64(text: str) -> int:
-    """Stable 64-bit hash (blake2b/8); the cuckoo-filter & shard key."""
-    return int.from_bytes(hashlib.blake2b(text.encode("utf-8"), digest_size=8).digest(), "little")
+    """Stable 64-bit FNV-1a; the cuckoo-filter & shard key. One
+    implementation shared with the vectorized forms — every dedup /
+    routing structure uses the same function."""
+    h = int(_FNV_BASIS)
+    for b in text.encode("utf-8"):
+        h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h
 
 
 def hash64_array(values) -> np.ndarray:
-    """Vectorized-ish stable hash over a sequence of strings → uint64."""
-    b2b = hashlib.blake2b
-    out = np.empty(len(values), dtype=np.uint64)
-    for i, value in enumerate(values):
-        out[i] = int.from_bytes(b2b(value.encode("utf-8"), digest_size=8).digest(), "little")
+    """Stable hash over a sequence of strings → uint64 (FNV-1a)."""
+    import pyarrow as pa
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        return hash64_arrow(values)
+    return hash64_arrow(pa.array(list(values), pa.string()))
+
+
+def hash64_arrow(col) -> np.ndarray:
+    """Vectorized FNV-1a over an Arrow string column — operates on the
+    flat UTF-8 buffer directly (one numpy pass per character position,
+    shrinking active set), no per-row Python."""
+    import pyarrow as pa
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if col.null_count:
+        col = col.fill_null("")
+    if pa.types.is_large_string(col.type):
+        off_dtype = np.int64
+    else:
+        off_dtype = np.int32
+    bufs = col.buffers()
+    offsets = np.frombuffer(bufs[1], dtype=off_dtype,
+                            count=n + 1 + col.offset)[col.offset:]
+    data = np.frombuffer(bufs[2], dtype=np.uint8) if bufs[2] is not None \
+        else np.empty(0, dtype=np.uint8)
+    starts = offsets[:-1].astype(np.int64)
+    lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    out = np.full(n, _FNV_BASIS, dtype=np.uint64)
+    max_len = int(lengths.max()) if n else 0
+    active = np.arange(n, dtype=np.int64)
+    with np.errstate(over="ignore"):
+        for j in range(max_len):
+            keep = lengths[active] > j
+            active = active[keep]
+            if len(active) == 0:
+                break
+            chars = data[starts[active] + j].astype(np.uint64)
+            out[active] = (out[active] ^ chars) * _FNV_PRIME
     return out
 
 
