@@ -38,16 +38,23 @@ CONNS_PER_ACTOR = int(os.environ.get("BENCH_CONNS_PER_ACTOR", "12"))
 
 
 def _make_opts(ncpu: int, seeds):
+    """Regime-matched execution mode: the wire model (latency > 0) is
+    connection-bound — the pipelined continuous queue drives the
+    per-actor connection pools best; the compute-only regime is
+    coordination-bound — the actor-mesh frontier (no driver-serial dedup
+    work) wins there (BASELINE.md scaling section)."""
     from linkinator_ray.options import CheckOptions
     actors = max(2, ncpu // 2)
+    wire = CRAWL_LATENCY_MS > 0
     return CheckOptions(
         paths=seeds, recurse=True,
         fetch_concurrency=actors,
         concurrency=CONNS_PER_ACTOR * actors,  # connection budget scales with nodes
         seen_shards=max(4, ncpu // 4),
         seen_filter="cuckoo",
-        batch_size=4096,
-        pipelined=True,  # continuous-queue mode: no round barriers
+        batch_size=4096 if wire else 2048,
+        pipelined=wire,
+        mesh=not wire,
     )
 
 
@@ -164,24 +171,40 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Two fresh processes, num_cpus 8 then 32, same corpus."""
-    results = {}
-    for ncpu in (8, 32):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
-                   BENCH_CRAWL_ONLY="1")
-        out = subprocess.run(
-            [sys.executable, __file__, "--crawl-only"], env=env,
-            capture_output=True, text=True, check=True).stdout
-        results[ncpu] = json.loads(out.strip().splitlines()[-1])
-    t8 = results[8]["urls_per_sec"]
-    t32 = results[32]["urls_per_sec"]
-    eff = (t32 / t8) / (32 / 8)
-    print(json.dumps({
-        "urls_per_sec_8": t8, "urls_per_sec_32": t32,
-        "crawl_sec_8": results[8]["crawl_sec"],
-        "crawl_sec_32": results[32]["crawl_sec"],
-        "scaling_efficiency": round(eff, 3),
-    }))
+    """The two-parallelism-level criterion, in BOTH regimes, each in
+    fresh processes at num_cpus 8 then 32 on the same corpus:
+
+    - wire (50 ms RTT, connection budget ∝ nodes): the realistic
+      crawler regime — pipelined mode drives the connection pools.
+    - compute-only (latency 0, 4× corpus so work dominates fixed
+      costs): the coordination-stress regime — actor-mesh mode.
+    """
+    out = {}
+    regimes = {
+        "wire": {},
+        "compute": {"BENCH_LATENCY_MS": "0",
+                    "BENCH_CRAWL_DOCS": os.environ.get(
+                        "BENCH_SCALING_COMPUTE_DOCS", "16000"),
+                    "BENCH_REPEATS": "2"},
+    }
+    for regime, extra in regimes.items():
+        results = {}
+        for ncpu in (8, 32):
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), **extra)
+            run = subprocess.run(
+                [sys.executable, __file__, "--crawl-only"], env=env,
+                capture_output=True, text=True, check=True).stdout
+            results[ncpu] = json.loads(run.strip().splitlines()[-1])
+        t8 = results[8]["urls_per_sec"]
+        t32 = results[32]["urls_per_sec"]
+        out[regime] = {
+            "urls_per_sec_8": t8, "urls_per_sec_32": t32,
+            "crawl_sec_8": results[8]["crawl_sec"],
+            "crawl_sec_32": results[32]["crawl_sec"],
+            "scaling_efficiency": round((t32 / t8) / (32 / 8), 3),
+        }
+    out["scaling_efficiency"] = out["wire"]["scaling_efficiency"]
+    print(json.dumps(out))
 
 
 def crawl_only() -> None:

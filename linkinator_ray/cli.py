@@ -90,6 +90,48 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+_LOG_LEVEL = {"debug": 0, "info": 1, "warning": 2, "error": 3, "none": 4}
+
+
+def _register_live_output(checker, verbosity: str) -> None:
+    """Live per-event lines for the TEXT format, mirroring the
+    reference CLI's listeners (src/cli.ts:253-342 with the logger
+    levels of src/logger.ts): retry/redirect/statusCodeWarning lines at
+    warn level, link lines per state."""
+    level = _LOG_LEVEL[verbosity]
+
+    def warn(msg):
+        if level <= 2:
+            print(msg)
+
+    def error(msg):
+        if level <= 3:
+            print(msg)
+
+    def info(msg):
+        if level <= 1:
+            print(msg)
+
+    checker.on("retry", lambda i: warn(
+        f"Retrying: {i['url']} in {i['secondsUntilRetry']} seconds."))
+    checker.on("redirect", lambda i: warn(
+        f"[REDIRECT] {i['url']}"
+        + (f" → {i['targetUrl']}" if i.get("targetUrl") else "")
+        + f" ({i['status']}{' (non-standard)' if i.get('isNonStandard') else ''})"))
+    checker.on("statusCodeWarning", lambda i: warn(
+        f"[WARN] {i['url']} ({i['status']})"))
+
+    def on_link(link):
+        status = link["status"] if link["status"] is not None else ""
+        if link["state"] == "BROKEN":
+            error(f"[{status}] {link['url']}")
+        elif link["state"] == "OK":
+            warn(f"[{status}] {link['url']}")
+        else:  # SKIPPED → info level (src/cli.ts:300-304)
+            info(f"[SKP] {link['url']}")
+    checker.on("link", on_link)
+
+
 def main(argv: list[str] | None = None) -> int:
     from linkinator_ray.options import CheckOptions, load_config, merge_config
     from linkinator_ray.pipelines.crawl import LinkChecker
@@ -141,6 +183,8 @@ def main(argv: list[str] | None = None) -> int:
 
     t0 = time.time()
     checker = LinkChecker(opts, documents, use_ray=args.use_ray)
+    if args.format == "text":
+        _register_live_output(checker, args.verbosity)
     result = checker.check(resume_from=args.resume_from)
     elapsed = time.time() - t0
 

@@ -113,6 +113,7 @@ class CheckOptions:
 
     # --- engine knobs (no reference analogue; Ray-side physical tuning) ---
     execution: str = "auto"  # 'ray' | 'local' | 'auto' (auto: ray when a round is big)
+    transport: str = "mock"  # 'mock' (corpus/http_map) | 'http' (real stdlib HTTP, loopback-tested)
     ray_threshold_rows: int = 4096  # auto switches to Ray Dataset stages at this round size
     fetch_concurrency: int = 8  # fetch actor-pool size
     seen_shards: int = 8  # URL-seen set shard count
@@ -159,8 +160,14 @@ class CheckOptions:
 
 
 def load_config(path: str) -> dict[str, Any]:
-    """Load a JSON config file (reference supports .json/.js/.mjs/.cjs at
-    src/config.ts:35-118; only the JSON flavor is meaningful in Python)."""
+    """Load a config file. The reference supports .json/.js/.mjs/.cjs
+    (src/config.ts:35-118); the Python-world equivalents here are JSON
+    and TOML (stdlib tomllib) — the code-module flavors' job (computed
+    config) is served by passing CheckOptions programmatically."""
+    if path.endswith(".toml"):
+        import tomllib
+        with open(path, "rb") as f:
+            return tomllib.load(f)
     with open(path) as f:
         return json.load(f)
 
@@ -176,7 +183,11 @@ def merge_config(flags: dict[str, Any], config: dict[str, Any]) -> dict[str, Any
 
 
 def find_config(start_dir: str = ".") -> str | None:
-    """Config file discovery (src/config.ts:38-61): linkinator.config.json
-    in the working directory."""
-    candidate = os.path.join(start_dir, "linkinator.config.json")
-    return candidate if os.path.exists(candidate) else None
+    """Config file discovery (src/config.ts:38-61):
+    linkinator.config.{json,toml} in the working directory, JSON first
+    (mirroring the reference's flavor precedence order)."""
+    for name in ("linkinator.config.json", "linkinator.config.toml"):
+        candidate = os.path.join(start_dir, name)
+        if os.path.exists(candidate):
+            return candidate
+    return None

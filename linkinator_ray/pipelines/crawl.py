@@ -242,6 +242,66 @@ class LinkChecker:
         # §2.8 event-listener parity: the reference's 'link' events become
         # a per-batch callback over each appended results table
         self.on_results = on_results
+        # per-event listeners (reference emits at src/index.ts:496, :546,
+        # :601, :614, :677, :1058, :1107): 'link' | 'pagestart' | 'retry'
+        # | 'redirect' | 'statusCodeWarning' | 'httpInsecure'. Zero
+        # overhead when nothing is registered; driver execution modes
+        # only (the mesh is the batch/cluster mode — per-URL callbacks
+        # would serialize it through the driver again).
+        self._listeners: dict[str, list] = {}
+
+    def on(self, event: str, callback) -> "LinkChecker":
+        """Register an event listener (reference EventEmitter surface,
+        src/index.ts:193-208)."""
+        self._listeners.setdefault(event, []).append(callback)
+        return self
+
+    def _emit_event(self, event: str, payload) -> None:
+        for callback in self._listeners.get(event, ()):
+            callback(payload)
+
+    def _emit_warn_events(self, fetched: pa.Table, warn_status, warn_redirect,
+                          warn_insecure) -> None:
+        """Row-level warning events off the classified masks
+        (statusCodeWarning :496, redirect :546, httpInsecure :601)."""
+        if not (self._listeners.get("statusCodeWarning")
+                or self._listeners.get("redirect")
+                or self._listeners.get("httpInsecure")):
+            return
+        urls = fetched["url"].to_pylist()
+        statuses = fetched["status"].to_pylist()
+        finals = fetched["final_url"].to_pylist()
+        for i in np.flatnonzero(warn_status):
+            self._emit_event("statusCodeWarning",
+                             {"url": urls[i], "status": statuses[i]})
+        for i in np.flatnonzero(warn_redirect):
+            self._emit_event("redirect", {
+                "url": urls[i], "status": statuses[i],
+                "targetUrl": finals[i] if finals[i] != urls[i] else "",
+                "isNonStandard": statuses[i] not in
+                (301, 302, 303, 307, 308)})
+        for i in np.flatnonzero(warn_insecure):
+            self._emit_event("httpInsecure", {"url": urls[i]})
+
+    def _emit_retry_events(self, requeues: list, now: float) -> None:
+        if not self._listeners.get("retry"):
+            return
+        for table in requeues:
+            urls = table["url"].to_pylist()
+            nb = table["not_before"].to_numpy(zero_copy_only=False)
+            for url, deadline in zip(urls, nb):
+                self._emit_event("retry", {
+                    "url": url,
+                    "secondsUntilRetry": int(round(max(0.0, deadline - now)))})
+
+    def _emit_link_rows(self, table: pa.Table) -> None:
+        if not self._listeners.get("link"):
+            return
+        for row in table.to_pylist():
+            self._emit_event("link", {
+                "url": row["url"], "status": row["status"],
+                "state": row["state"], "parent": row["parent"] or None,
+                "failureDetails": row["failure_details"] or ""})
 
     # ------------------------------------------------------------------
     # seed handling (processOptions, src/options.ts:54-191)
@@ -326,6 +386,7 @@ class LinkChecker:
         self.results_tables.append(table)
         if self.on_results is not None:
             self.on_results(table.drop_columns(["frontier_level"]))
+        self._emit_link_rows(table)
 
     def _push_results(self, round_no: int, urls, statuses, states, parents,
                       failures=None, frontier_level=None):
@@ -365,6 +426,10 @@ class LinkChecker:
             "directory_listing": opts.directory_listing,
             "latency_s": self.transport_latency_s,
             "strict": False,
+            "transport": opts.transport,
+            "timeout": opts.timeout,
+            "user_agent": opts.user_agent,
+            "allow_insecure_certs": opts.allow_insecure_certs,
             # the per-request call log exists for the conformance tests;
             # at bench/cluster scale it is an O(requests) memory and
             # end-of-run serialization cost
@@ -445,6 +510,11 @@ class LinkChecker:
             live, gated = self._politeness_gate(live, now)
             deferred.extend(gated)
             t1 = _time.perf_counter()
+            if self._listeners.get("pagestart") and live.num_rows:
+                do_crawl = live["do_crawl"].to_numpy(zero_copy_only=False)
+                for url in np.asarray(live["url"].to_pylist(),
+                                      dtype=object)[do_crawl]:
+                    self._emit_event("pagestart", url)
 
             output = pool.fetch(live, set(self.pending_fragments), now)
             fetched = output["fetched"]
@@ -685,6 +755,13 @@ class LinkChecker:
 
         from linkinator_ray.state import mesh as mesh_mod
         opts = self.opts
+        # cap nodes at the cluster's CPUs — requesting more would block
+        # actor creation forever on a small session
+        try:
+            cluster_cpus = int(ray.cluster_resources().get("CPU", num_actors))
+        except Exception:
+            cluster_cpus = num_actors
+        num_actors = max(1, min(num_actors, cluster_cpus))
         # max_concurrency=2: peer messages and driver polls land while a
         # pump computes (MeshNode guards shared state with its own lock)
         node_cls = ray.remote(num_cpus=1, max_concurrency=2)(mesh_mod.MeshNode)
@@ -930,6 +1007,7 @@ class LinkChecker:
         fetched, requeues, n_retries = compute_requeues(
             fetched, now, self.delay_map, self.opts, self.rng)
         self.counters["retries"] += n_retries
+        self._emit_retry_events(requeues, now)
         return fetched, requeues
 
     # ------------------------------------------------------------------
@@ -973,6 +1051,11 @@ class LinkChecker:
             self.counters["warn_status"] += int(pc.sum(fetched["warn_status"]).as_py() or 0)
             self.counters["warn_redirect"] += int(pc.sum(fetched["warn_redirect"]).as_py() or 0)
             self.counters["warn_insecure"] += int(pc.sum(fetched["warn_insecure"]).as_py() or 0)
+            self._emit_warn_events(
+                fetched,
+                fetched["warn_status"].to_numpy(zero_copy_only=False),
+                fetched["warn_redirect"].to_numpy(zero_copy_only=False),
+                fetched["warn_insecure"].to_numpy(zero_copy_only=False))
             recurse_html = fetched["recurse_html"].to_numpy(zero_copy_only=False)
             recurse_css = fetched["recurse_css"].to_numpy(zero_copy_only=False)
         else:
@@ -980,6 +1063,9 @@ class LinkChecker:
             self.counters["warn_status"] += int(verdict["warn_status"].sum())
             self.counters["warn_redirect"] += int(verdict["warn_redirect"].sum())
             self.counters["warn_insecure"] += int(verdict["warn_insecure"].sum())
+            self._emit_warn_events(fetched, verdict["warn_status"],
+                                   verdict["warn_redirect"],
+                                   verdict["warn_insecure"])
             urls = fetched["url"].to_pylist()
             parents = fetched["parent"].to_pylist()
             statuses = fetched["status"].to_numpy(zero_copy_only=False)

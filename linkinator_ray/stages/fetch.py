@@ -886,11 +886,18 @@ class _RemoteFetchWorker(FetchWorker):
         super().__init__(build_transport(transport_blob), **worker_kwargs)
 
 
-def build_transport(blob: dict) -> MockTransport:
-    """Reconstruct a MockTransport from a broadcast blob. The corpus
+def build_transport(blob: dict):
+    """Reconstruct a transport from a broadcast blob. The corpus
     rides as the Arrow documents table — zero-copy through the object
     store (cloudpickling a nested-python corpus costs minutes at 10^5+
-    docs; Arrow ships in milliseconds)."""
+    docs; Arrow ships in milliseconds). ``blob["transport"] == "http"``
+    builds the real stdlib HTTP transport instead (stages/http_transport)."""
+    if blob.get("transport") == "http":
+        from linkinator_ray.stages.http_transport import HttpTransport
+        return HttpTransport(timeout=blob.get("timeout", 0.0) or 0.0,
+                             user_agent=blob.get("user_agent", ""),
+                             allow_insecure_certs=blob.get(
+                                 "allow_insecure_certs", False))
     corpus = None
     documents = blob.get("documents")
     if documents is not None:

@@ -1,0 +1,163 @@
+"""Real HTTP transport behind the ``transport.request`` interface.
+
+The reference fetches with undici agents (/root/reference/src/index.ts:
+17-78) and an AbortSignal timeout (:1214-1216). This transport is the
+Python analogue on the stdlib only (no third-party HTTP deps in this
+container): per-worker keep-alive connections via ``http.client``,
+socket-level timeout enforcement, single-hop semantics (the engine's
+``make_request`` loop owns redirect following and per-hop header
+stripping — stages/fetch.py).
+
+Fetched HTML/CSS bodies are parsed into the engine's span model
+(stages/htmlparse.html_to_spans) and held in a ``LiveBodyStore`` that
+quacks like the CorpusIndex body side (``spans_of`` / ``row_of``), so
+extraction and fragment logic run unchanged. ``row_of`` returns None —
+live bodies take the scalar extraction path (one doc each, no Arrow
+batch to explode).
+
+The sandbox has no outbound network; the integration test drives this
+against a loopback ``http.server`` (tests/test_http_transport.py).
+"""
+
+from __future__ import annotations
+
+import ssl
+from urllib.parse import urlsplit
+
+from linkinator_ray.stages.fetch import TransportError, TResponse
+
+HTML_TYPES = ("text/html", "application/xhtml+xml")
+
+
+class LiveBodyStore:
+    """Span store for live-fetched bodies — the CorpusIndex stand-in."""
+
+    LISTING_PREFIX = "\x00listing:"
+
+    def __init__(self, max_docs: int = 100_000):
+        self._spans: dict[str, list] = {}
+        self.max_docs = max_docs
+
+    def put(self, doc_id: str, spans: list) -> None:
+        if len(self._spans) >= self.max_docs:
+            # bodies are read once right after the fetch; a bounded
+            # store only evicts long-consumed entries
+            self._spans.pop(next(iter(self._spans)))
+        self._spans[doc_id] = spans
+
+    def spans_of(self, doc_id: str) -> list:
+        return self._spans.get(doc_id, [])
+
+    def row_of(self, doc_id: str):  # live bodies: scalar extraction path
+        return None
+
+
+class HttpTransport:
+    """Single-hop HTTP(S) over stdlib ``http.client`` with keep-alive
+    per (scheme, host, port), timeout, and optional insecure TLS."""
+
+    def __init__(self, timeout: float = 0.0, user_agent: str = "",
+                 allow_insecure_certs: bool = False,
+                 max_body_bytes: int = 8 << 20):
+        self.timeout = timeout or 30.0
+        self.user_agent = user_agent
+        self.allow_insecure_certs = allow_insecure_certs
+        self.max_body_bytes = max_body_bytes
+        self.corpus = LiveBodyStore()
+        self._conns: dict[tuple, object] = {}
+        self._seq = 0
+        self.calls: list[tuple[str, str, int]] = []
+        self.record_calls = True
+
+    def _connection(self, scheme: str, host: str, port: int | None):
+        import http.client
+        key = (scheme, host, port)
+        conn = self._conns.get(key)
+        if conn is not None:
+            return conn
+        if scheme == "https":
+            ctx = ssl.create_default_context()
+            if self.allow_insecure_certs:
+                ctx.check_hostname = False
+                ctx.verify_mode = ssl.CERT_NONE
+            conn = http.client.HTTPSConnection(
+                host, port, timeout=self.timeout, context=ctx)
+        else:
+            conn = http.client.HTTPConnection(
+                host, port, timeout=self.timeout)
+        self._conns[key] = conn
+        return conn
+
+    def request(self, url: str, method: str,
+                headers: dict[str, str] | None = None) -> TResponse:
+        parts = urlsplit(url)
+        if parts.scheme not in ("http", "https"):
+            raise TransportError(f"unsupported scheme: {url}")
+        host = parts.hostname or ""
+        path = parts.path or "/"
+        if parts.query:
+            path += "?" + parts.query
+        send_headers = dict(headers or {})
+        if self.user_agent and "User-Agent" not in send_headers:
+            send_headers["User-Agent"] = self.user_agent
+        conn = self._connection(parts.scheme, host, parts.port)
+        try:
+            try:
+                conn.request(method, path, headers=send_headers)
+                resp = conn.getresponse()
+            except (ConnectionError, ssl.SSLError, OSError):
+                # stale keep-alive or first-connect failure: one retry
+                # on a fresh connection, then surface the error
+                self._drop(parts.scheme, host, parts.port)
+                conn = self._connection(parts.scheme, host, parts.port)
+                conn.request(method, path, headers=send_headers)
+                resp = conn.getresponse()
+            resp_headers = {k.lower(): v for k, v in resp.getheaders()}
+            ct = resp_headers.get("content-type", "")
+            body_doc_id = ""
+            is_html = any(t in ct for t in HTML_TYPES)
+            is_css = "text/css" in ct
+            if method == "GET" and (is_html or is_css):
+                raw = resp.read(self.max_body_bytes)
+                text = raw.decode(_charset_of(ct), errors="replace")
+                spans = self._parse(text, is_css)
+                self._seq += 1
+                body_doc_id = f"\x00live:{self._seq}:{url}"
+                self.corpus.put(body_doc_id, spans)
+            else:
+                resp.read()  # drain for keep-alive
+            if self.record_calls:
+                self.calls.append((url, method, resp.status))
+            return TResponse(resp.status, resp_headers, ct, body_doc_id, url)
+        except TimeoutError as exc:
+            self._drop(parts.scheme, host, parts.port)
+            raise TransportError(f"request timeout: {url}") from exc
+        except OSError as exc:
+            self._drop(parts.scheme, host, parts.port)
+            if self.record_calls:
+                self.calls.append((url, method, 0))
+            raise TransportError(str(exc)) from exc
+
+    @staticmethod
+    def _parse(text: str, is_css: bool) -> list:
+        if is_css:
+            return [{"kind": "style_url", "text": text, "media_ref": "",
+                     "offset": 0}]
+        from linkinator_ray.stages.htmlparse import html_to_spans
+        return html_to_spans(text)
+
+    def _drop(self, scheme: str, host: str, port: int | None) -> None:
+        conn = self._conns.pop((scheme, host, port), None)
+        if conn is not None:
+            try:
+                conn.close()
+            except Exception:
+                pass
+
+
+def _charset_of(content_type: str) -> str:
+    for part in content_type.split(";")[1:]:
+        part = part.strip()
+        if part.lower().startswith("charset="):
+            return part[8:].strip("\"'") or "utf-8"
+    return "utf-8"

@@ -154,3 +154,61 @@ def test_render_text_totals_unfiltered(broke_result):
     # only BROKEN rows rendered
     assert "[ OK ]" not in out
     assert "[FAIL]" in out
+
+
+def test_event_listener_surface():
+    """§2.8 parity: link / pagestart / redirect / retry /
+    statusCodeWarning events fire at the reference's emit points
+    (src/index.ts:496, :546, :614, :677, :1058)."""
+    from linkinator_ray.state.clock import FakeClock
+    events = {"link": [], "pagestart": [], "redirect": [], "retry": [],
+              "statusCodeWarning": []}
+    docs = fx.docs_table(
+        fx.doc("ev/index.html",
+               fx._anchor("/ev/redir.html"),
+               fx._anchor("http://flaky.invalid/x"),
+               fx._anchor("http://warny.invalid/y")))
+    http_map = [
+        fx.http("http://corpus.test/ev/redir.html", 302,
+                headers={"location": "/ev/index.html"}),
+        fx.http("http://flaky.invalid/x", 429, retry_after="1", seq=0),
+        fx.http("http://flaky.invalid/x", 200, seq=1),
+        fx.http("http://warny.invalid/y", 403),
+    ]
+    opts = CheckOptions(paths=["ev/index.html"], recurse=True, retry=True,
+                        redirects="warn", status_codes={"403": "warn"})
+    checker = LinkChecker(opts, docs, http_map, clock=FakeClock())
+    for name, bucket in events.items():
+        checker.on(name, bucket.append)
+    result = checker.check()
+    assert result.passed
+    assert {e["url"] for e in events["link"]} >= {
+        "http://corpus.test/ev/index.html", "http://flaky.invalid/x"}
+    assert "http://corpus.test/ev/index.html" in events["pagestart"]
+    assert any(e["url"] == "http://corpus.test/ev/redir.html"
+               for e in events["redirect"])
+    assert any(e["url"] == "http://flaky.invalid/x" for e in events["retry"])
+    assert any(e["url"] == "http://warny.invalid/y"
+               for e in events["statusCodeWarning"])
+
+
+def test_cli_live_retry_redirect_lines(tmp_path):
+    """CLI text mode renders live retry/redirect/warn lines like the
+    reference (src/cli.ts:253-267)."""
+    docs = fx.docs_table(
+        fx.doc("live/index.html", fx._anchor("/live/redir.html")))
+    corpus = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, corpus)
+    # corpus-only run: a dir redirect produces a real [REDIRECT] line
+    docs2 = fx.docs_table(
+        fx.doc("live/index.html", fx._anchor("/live/sub")),
+        fx.doc("live/sub/index.html", fx.span("text", "", "hi")))
+    corpus2 = str(tmp_path / "docs2.parquet")
+    pq.write_table(docs2, corpus2)
+    proc = subprocess.run(
+        [sys.executable, "-m", "linkinator_ray.cli", corpus2, "live/",
+         "--recurse", "--redirects", "warn", "--verbosity", "warning"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr
+    assert "[REDIRECT] http://corpus.test/live/sub" in proc.stdout
+    assert "[200] http://corpus.test/live/" in proc.stdout

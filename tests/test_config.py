@@ -65,3 +65,21 @@ def test_url_rewrite_forms():
     assert opts.url_rewrites[1].replacement == "b"
     with pytest.raises(ValueError):
         CheckOptions(paths=["x"], url_rewrites=["not-a-pair"])
+
+
+def test_toml_config_flavor(tmp_path):
+    """TOML config flavor (the Python-world analogue of the reference's
+    .js/.mjs/.cjs flavors, src/config.ts:35-118)."""
+    from linkinator_ray.options import find_config, load_config, merge_config
+    cfg = tmp_path / "linkinator.config.toml"
+    cfg.write_text('concurrency = 7\nrecurse = true\n'
+                   'links_to_skip = ["^http://skip"]\n')
+    loaded = load_config(str(cfg))
+    assert loaded == {"concurrency": 7, "recurse": True,
+                      "links_to_skip": ["^http://skip"]}
+    merged = merge_config({"concurrency": 9, "recurse": None}, loaded)
+    assert merged["concurrency"] == 9 and merged["recurse"] is True
+    # discovery order: json wins over toml when both exist
+    assert find_config(str(tmp_path)) == str(cfg)
+    (tmp_path / "linkinator.config.json").write_text('{"concurrency": 1}')
+    assert find_config(str(tmp_path)).endswith(".json")

@@ -1,0 +1,116 @@
+"""Real-HTTP transport integration: a loopback http.server exercises
+redirects, 404s, HEAD→GET fallbacks, timeouts and body extraction on
+the wire (reference behavior: undici agents src/index.ts:17-78, abort
+timeout :1214-1216)."""
+
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import pytest
+
+from linkinator_ray.options import CheckOptions
+from linkinator_ray.pipelines.crawl import LinkChecker
+from linkinator_ray.stages.fetch import TransportError
+from linkinator_ray.stages.http_transport import HttpTransport
+
+SITE = {
+    "/": "<html><body><a href='/a.html'>a</a>"
+         "<a href='/redir'>r</a><a href='/missing'>m</a></body></html>",
+    "/a.html": "<html><body><a href='/'>home</a>"
+               "<img src='/img.png'></body></html>",
+    "/target.html": "<html><body>end</body></html>",
+}
+
+
+class _Handler(BaseHTTPRequestHandler):
+    def log_message(self, *args):  # quiet
+        pass
+
+    def _respond(self, include_body: bool):
+        path = self.path
+        if path == "/redir":
+            self.send_response(302)
+            self.send_header("Location", "/target.html")
+            self.end_headers()
+            return
+        if path == "/img.png":
+            self.send_response(200)
+            self.send_header("Content-Type", "image/png")
+            self.send_header("Content-Length", "4")
+            self.end_headers()
+            if include_body:
+                self.wfile.write(b"PNG!")
+            return
+        if path == "/slow":
+            time.sleep(2.0)
+            self.send_response(200)
+            self.end_headers()
+            return
+        body = SITE.get(path)
+        if body is None:
+            self.send_response(404)
+            self.end_headers()
+            return
+        data = body.encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "text/html; charset=utf-8")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        if include_body:
+            self.wfile.write(data)
+
+    def do_GET(self):
+        self._respond(True)
+
+    def do_HEAD(self):
+        self._respond(False)
+
+
+@pytest.fixture(scope="module")
+def server():
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_transport_basic(server):
+    t = HttpTransport(timeout=5)
+    resp = t.request(f"{server}/", "GET")
+    assert resp.status == 200
+    assert resp.has_body
+    spans = t.corpus.spans_of(resp.body_doc_id)
+    refs = [s["media_ref"] for s in spans if s["kind"] == "anchor"]
+    assert refs == ["/a.html", "/redir", "/missing"]
+
+
+def test_transport_single_hop_redirect(server):
+    t = HttpTransport(timeout=5)
+    resp = t.request(f"{server}/redir", "HEAD")
+    assert resp.status == 302
+    assert resp.headers["location"] == "/target.html"
+
+
+def test_transport_timeout(server):
+    t = HttpTransport(timeout=0.3)
+    with pytest.raises(TransportError):
+        t.request(f"{server}/slow", "GET")
+
+
+def test_crawl_over_the_wire(server):
+    """Full engine crawl against the loopback site: recursion, redirect
+    following, 404 detection, non-HTML leaf checks."""
+    opts = CheckOptions(paths=[f"{server}/"], recurse=True,
+                        transport="http", timeout=5)
+    result = LinkChecker(opts, use_ray=False).check()
+    rows = {r["url"]: r for r in result.results.to_pylist()}
+    assert not result.passed
+    assert rows[f"{server}/missing"]["state"] == "BROKEN"
+    assert rows[f"{server}/missing"]["status"] == 404
+    assert rows[f"{server}/a.html"]["state"] == "OK"
+    assert rows[f"{server}/img.png"]["state"] == "OK"
+    # the redirect hop resolved to the target and came back OK
+    assert rows[f"{server}/redir"]["state"] == "OK"
+    assert result.stats["seen_urls"] >= 5

@@ -75,3 +75,69 @@ def test_pipelined_fixture_parity(ray_session):
                             fixture.documents, fixture.http_map,
                             use_ray=True).check()
         assert key_set(rounds) == key_set(piped), fixture.name
+
+
+class TestMeshMode:
+    def test_mesh_equals_rounds(self, ray_session):
+        """Mesh execution produces the identical result/seen sets as the
+        conformance round mode (SURVEY.md §2.6 contract)."""
+        from linkinator_ray.sources.synth import synth_crawl_corpus
+        docs, seeds, expected_seen, _ = synth_crawl_corpus(
+            num_hosts=3, docs_per_host=200)
+        base = dict(paths=seeds, recurse=True, fetch_concurrency=2,
+                    seen_shards=2)
+        rounds = LinkChecker(CheckOptions(**base), docs, [],
+                             multi_host=True, use_ray=True).check()
+        mesh = LinkChecker(CheckOptions(**base, mesh=True), docs, [],
+                           multi_host=True, use_ray=True).check()
+
+        # the §2.6 contract: URL/state/status sets and the per-
+        # (url, parent) BROKEN edge set — OK-parent attribution is
+        # discovery-order dependent (as in the reference)
+        def key(res):
+            return {(r["url"], r["state"], r["status"])
+                    for r in res.results.to_pylist()}
+
+        def broken_edges(res):
+            return {(r["url"], r["parent"])
+                    for r in res.results.to_pylist() if r["state"] == "BROKEN"}
+        assert key(rounds) == key(mesh)
+        assert broken_edges(rounds) == broken_edges(mesh)
+        assert rounds.stats["seen_urls"] == mesh.stats["seen_urls"] \
+            == expected_seen
+        assert rounds.passed == mesh.passed
+
+    def test_mesh_skip_rules_and_dup_broken(self, ray_session):
+        """Mesh honors skip rules and the duplicate-broken re-report
+        join (J1) — equality vs round mode on a fixture with repeated
+        broken edges and a skip pattern."""
+        from linkinator_ray.sources import fixtures as fx
+        fixture = fx.repeated_broken_link()
+        opts = dict(fixture.options, links_to_skip=["skipme"])
+        rounds = LinkChecker(
+            CheckOptions(paths=fixture.seeds, **opts),
+            fixture.documents, fixture.http_map).check()
+        mesh = LinkChecker(
+            CheckOptions(paths=fixture.seeds, **opts, mesh=True),
+            fixture.documents, fixture.http_map, use_ray=True).check()
+
+        def key(res):
+            return {(r["url"], r["state"], r["status"], r["parent"])
+                    for r in res.results.to_pylist()}
+        assert key(rounds) == key(mesh)
+        assert rounds.passed == mesh.passed
+
+    def test_mesh_back_to_back_no_actor_leak(self, ray_session):
+        """Two consecutive mesh crawls in one session must not block on
+        leaked actor resources (peer-handle cycles are explicitly
+        killed)."""
+        from linkinator_ray.sources.synth import synth_crawl_corpus
+        docs, seeds, expected_seen, _ = synth_crawl_corpus(
+            num_hosts=2, docs_per_host=100)
+        base = dict(paths=seeds, recurse=True, fetch_concurrency=3,
+                    mesh=True)
+        r1 = LinkChecker(CheckOptions(**base), docs, [], multi_host=True,
+                         use_ray=True).check()
+        r2 = LinkChecker(CheckOptions(**base), docs, [], multi_host=True,
+                         use_ray=True).check()
+        assert r1.stats["seen_urls"] == r2.stats["seen_urls"] == expected_seen
