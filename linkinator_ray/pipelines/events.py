@@ -33,8 +33,8 @@ def _fanout(ds):
 
 def tumbling_window(sf_dir: str, window_s: int = 3600):
     """Per (event_type, window) count + sum(value): partial aggregation
-    per batch, then a small groupby merge."""
-    from ray.data.aggregate import Sum
+    per batch, then the two-level hashagg merge (the window key space is
+    thousands of groups — Ray's aggregate pays ~0.2 ms per group)."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         epoch = batch["ts"].astype("int64") // 1_000_000
@@ -50,9 +50,10 @@ def tumbling_window(sf_dir: str, window_s: int = 3600):
 
     partials = read_events(sf_dir, ["ts", "event_type", "value"]).map_batches(
         partial, batch_format="pandas", batch_size=16384)
-    out = _fanout(partials).groupby(["event_type", "window_start"]).aggregate(
-        Sum("n", alias_name="n_events"),
-        Sum("total", alias_name="sum_cents"))
+    from linkinator_ray.pipelines.hashagg import hash_aggregate
+    out = hash_aggregate(partials, ["event_type", "window_start"],
+                         {"n_events": ("n", "sum"),
+                          "sum_cents": ("total", "sum")})
     return out  # unordered; comparators sort
 
 
@@ -82,8 +83,7 @@ def sliding_window(sf_dir: str, window_s: int = 7200, step_s: int = 3600):
     """Per (event_type, window) counts for overlapping windows
     (window_s span, step_s hop): each event contributes to
     window_s/step_s windows — emitted fan-out in the partial kernel,
-    merged by a small groupby."""
-    from ray.data.aggregate import Sum
+    merged by the two-level hashagg exchange."""
     hops = window_s // step_s
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
@@ -100,5 +100,6 @@ def sliding_window(sf_dir: str, window_s: int = 7200, step_s: int = 3600):
 
     partials = read_events(sf_dir, ["ts", "event_type"]).map_batches(
         partial, batch_format="pandas", batch_size=16384)
-    return _fanout(partials).groupby(["event_type", "window_start"]).aggregate(
-        Sum("n", alias_name="n_events"))
+    from linkinator_ray.pipelines.hashagg import hash_aggregate
+    return hash_aggregate(partials, ["event_type", "window_start"],
+                          {"n_events": ("n", "sum")})
