@@ -338,7 +338,7 @@ class LinkChecker:
         return paths
 
     def _seed_frontier(self) -> pa.Table:
-        paths = self._expand_paths()
+        paths = getattr(self, "_expanded_paths", None) or self._expand_paths()
         urls, roots = [], []
         for path in paths:
             if urlkit.is_absolute_url(path):
@@ -413,6 +413,10 @@ class LinkChecker:
 
     def check(self, resume_from: str | None = None) -> CrawlResult:
         opts = self.opts
+        # expand seeds FIRST: glob expansion and the .md/.mdx markdown
+        # auto-detect (src/options.ts:156-164) mutate opts/corpus state
+        # that the broadcast transport blob snapshots below
+        self._expanded_paths = self._expand_paths()
         transport_blob = {
             "http_map": self.http_map,
             "documents": self.documents,
@@ -782,7 +786,7 @@ class LinkChecker:
         # seeds: pre-insert into the owning nodes' seen shards
         # (src/index.ts:267-288), then enqueue each row with its fetch
         # owner
-        paths = self._expand_paths()
+        paths = getattr(self, "_expanded_paths", None) or self._expand_paths()
         urls, roots = [], []
         for path in paths:
             if urlkit.is_absolute_url(path):

@@ -106,7 +106,11 @@ def classify_batch(batch: pa.Table, opts: CheckOptions,
         if errors[i]:
             details.extend(json.loads(errors[i]))
         if has_response[i]:
-            details.append({"status": int(status[i])})
+            # HttpResponse-shaped record (the reference keeps the full
+            # response object, src/index.ts:131-137): status + the
+            # final URL after any followed redirects
+            details.append({"status": int(status[i]),
+                            "url": final_urls[i] or urls[i]})
         if action[i] == "error":
             details.append({"error": f"status {int(status[i])} mapped to error"})
         if opts.redirects == RedirectsMode.ERROR and is_redirect[i]:

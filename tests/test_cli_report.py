@@ -212,3 +212,82 @@ def test_cli_live_retry_redirect_lines(tmp_path):
     assert proc.returncode == 0, proc.stderr
     assert "[REDIRECT] http://corpus.test/live/sub" in proc.stdout
     assert "[200] http://corpus.test/live/" in proc.stdout
+
+
+def test_cli_config_file_toml(tmp_path):
+    """--config with the TOML flavor merges under CLI flags."""
+    docs = fx.docs_table(
+        fx.doc("cfg/index.html", fx._anchor("/cfg/a.html")),
+        fx.doc("cfg/a.html", fx.span("text", "", "hi")))
+    corpus = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, corpus)
+    cfg = tmp_path / "linkinator.config.toml"
+    cfg.write_text("recurse = true\nconcurrency = 5\n")
+    proc = subprocess.run(
+        [sys.executable, "-m", "linkinator_ray.cli", corpus, "cfg/",
+         "--config", str(cfg), "--format", "json", "--verbosity", "debug"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr
+    payload = json.loads(proc.stdout)
+    # recursion from the config file reached a.html
+    assert any(l["url"].endswith("/cfg/a.html") for l in payload["links"])
+
+
+def test_cli_csv_format_and_verbosity(tmp_path):
+    docs = fx.docs_table(
+        fx.doc("csvv/index.html", fx._anchor("/csvv/missing.html"),
+               fx._anchor("mailto:x@y.z")))
+    corpus = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, corpus)
+    proc = subprocess.run(
+        [sys.executable, "-m", "linkinator_ray.cli", corpus, "csvv/",
+         "--format", "csv", "--verbosity", "error"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert proc.returncode == 1
+    lines = [l for l in proc.stdout.strip().splitlines() if "," in l]
+    assert lines[0] == "url,status,state,parent,failureDetails"
+    # error verbosity: BROKEN rows only — the mailto SKIP is hidden
+    states = [l.split(",")[2] for l in lines[1:]]
+    assert states and set(states) == {"BROKEN"}
+
+
+def test_cli_url_rewrite(tmp_path):
+    """--url-rewrite-search/replace rewrites before fetching
+    (src/index.ts:311-318)."""
+    docs = fx.docs_table(
+        fx.doc("rw/index.html", fx._anchor("/rw/old-name.html")),
+        fx.doc("rw/new-name.html", fx.span("text", "", "hi")))
+    corpus = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, corpus)
+    proc = subprocess.run(
+        [sys.executable, "-m", "linkinator_ray.cli", corpus, "rw/",
+         "--recurse", "--url-rewrite-search", "old-name",
+         "--url-rewrite-replace", "new-name", "--format", "json",
+         "--verbosity", "debug"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr
+    payload = json.loads(proc.stdout)
+    urls = [l["url"] for l in payload["links"]]
+    assert any(u.endswith("/rw/new-name.html") for u in urls)
+    assert not any(u.endswith("/rw/old-name.html") for u in urls)
+
+
+def test_cli_markdown_auto_detect(tmp_path):
+    """.md seed auto-enables markdown mode (src/options.ts:156-164)."""
+    from linkinator_ray.stages.htmlparse import markdown_to_spans
+    docs = fx.docs_table(
+        {"doc_id": "md/readme.md",
+         "spans": markdown_to_spans("# Title\n[link](/md/other.md)\n")},
+        {"doc_id": "md/other.md",
+         "spans": markdown_to_spans("plain text\n")})
+    corpus = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, corpus)
+    proc = subprocess.run(
+        [sys.executable, "-m", "linkinator_ray.cli", corpus,
+         "md/readme.md", "--recurse", "--format", "json",
+         "--verbosity", "debug"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr
+    payload = json.loads(proc.stdout)
+    assert payload["passed"] is True
+    assert any(l["url"].endswith("/md/other.md") for l in payload["links"])
