@@ -46,11 +46,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # crawl engine over the deterministic link graph
         "crawl_reachability": graph.crawl_reachability,
+        "crawl_reachability_mesh": graph.crawl_reachability_mesh,
         "crawl_summary": graph.crawl_summary,
         "extract_edges": graph.extract_edges,
         # text analysis
         "doc_stats": text.doc_stats,
         "token_count_by_lang": text.token_count_by_lang,
+        "token_count_bpe": text.token_count_bpe,
         "fingerprint_md5": text.fingerprint_md5,
         "lang_id": text.lang_id,                      # rows-only
         "rolling_fingerprint": text.rolling_fingerprint,  # rows-only
@@ -66,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "knn_bruteforce": knn,
         "knn_lsh": lambda sf: similarity.knn_lsh(sf, k=5, num_queries=4),  # rows-only
+        "knn_ivf": lambda sf: similarity.knn_ivf(sf, k=5, num_queries=4),  # rows-only + recall test
         "quality_filter": lambda sf: text.quality_filter(sf),
         "top_tokens": lambda sf: text.top_tokens(sf, k=20),
         # streaming-shaped
@@ -119,6 +122,15 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN doc % 13 = 7 THEN 'BROKEN' ELSE 'OK' END AS state
             FROM reach ORDER BY doc_id
         """,
+        # the mesh execution mode must reproduce the identical
+        # reachability set — same oracle, hash-checked end-to-end
+        "crawl_reachability_mesh": f"""
+            WITH RECURSIVE {_REACH_CTE}
+            SELECT doc AS doc_id,
+                   CAST(CASE WHEN doc % 13 = 7 THEN 404 ELSE 200 END AS INTEGER) AS status,
+                   CASE WHEN doc % 13 = 7 THEN 'BROKEN' ELSE 'OK' END AS state
+            FROM reach ORDER BY doc_id
+        """,
         "crawl_summary": f"""
             WITH RECURSIVE {_REACH_CTE}
             SELECT CASE WHEN doc % 13 = 7 THEN 'BROKEN' ELSE 'OK' END AS state,
@@ -148,6 +160,14 @@ def oracle_sql() -> dict[str, str]:
                        AS total_tokens,
                    count(*) AS n_docs
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        # the IDENTICAL RE2 pattern runs on both sides (no lookarounds)
+        "token_count_bpe": """
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(text,
+                        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+'))
+                        AS BIGINT) AS n_bpe_tokens
+            FROM documents
         """,
         "fingerprint_md5": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents

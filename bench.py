@@ -136,6 +136,8 @@ def run_queries() -> dict:
         "dedup_simhash": lambda: dedup.dedup_simhash(SF_DIR),
         "dedup_embedding_lsh": lambda: dedup.dedup_embedding_lsh(SF_DIR),
         "knn_bruteforce": lambda: similarity.knn_bruteforce(SF_DIR, k=5, num_queries=4),
+        "knn_ivf": lambda: similarity.knn_ivf(SF_DIR, k=5, num_queries=4),
+        "token_count_bpe": lambda: text.token_count_bpe(SF_DIR),
         "tumbling_window": lambda: events.tumbling_window(SF_DIR),
         "sliding_window": lambda: events.sliding_window(SF_DIR),
         "sessionize": lambda: events.sessionize(SF_DIR),

@@ -81,12 +81,7 @@ def crawl_links(sf_dir: str, **checker_kwargs):
     return checker.check()
 
 
-def crawl_reachability(sf_dir: str) -> pa.Table:
-    """Distinct (doc_id, status, state) over every URL the BFS checked.
-
-    Oracle: recursive CTE over the arithmetic edge rule (see
-    __ray_entry__.oracle_sql)."""
-    result = crawl_links(sf_dir)
+def _reachability_table(result) -> pa.Table:
     rows = {}
     for r in result.results.to_pylist():
         m = _DOC_URL.match(r["url"])
@@ -99,6 +94,24 @@ def crawl_reachability(sf_dir: str) -> pa.Table:
         "status": pa.array([rows[i][0] for i in ids], pa.int32()),
         "state": pa.array([rows[i][1] for i in ids], pa.string()),
     })
+
+
+def crawl_reachability(sf_dir: str) -> pa.Table:
+    """Distinct (doc_id, status, state) over every URL the BFS checked.
+
+    Oracle: recursive CTE over the arithmetic edge rule (see
+    __ray_entry__.oracle_sql)."""
+    return _reachability_table(crawl_links(sf_dir))
+
+
+def crawl_reachability_mesh(sf_dir: str) -> pa.Table:
+    """The same reachability crawl through the ACTOR-MESH execution mode
+    (state/mesh.py) — hash-checked against the identical recursive-CTE
+    oracle, proving the driverless dataflow end-to-end."""
+    result = crawl_links(
+        sf_dir, use_ray=True,
+        options={"mesh": True, "fetch_concurrency": 4, "seen_shards": 4})
+    return _reachability_table(result)
 
 
 def crawl_summary(sf_dir: str) -> pa.Table:

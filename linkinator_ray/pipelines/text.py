@@ -193,6 +193,30 @@ def rolling_fingerprint(sf_dir: str, window: int = 8):
         kernel, batch_format="pandas", batch_size=4096)
 
 
+# GPT2-style pre-tokenizer shape (contractions, letter runs, digit runs,
+# punctuation runs, whitespace) — RE2-compatible (no lookarounds), so the
+# DuckDB oracle runs the IDENTICAL pattern via regexp_extract_all
+BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+
+
+def token_count_bpe(sf_dir: str):
+    """Per-doc token count under a BPE-ish pre-tokenizer regex (the
+    training-data 'how many tokens is this corpus' primitive). The
+    compiled pattern lives in the kernel's closure — compiled once per
+    process, C-speed findall per doc."""
+    pat = re.compile(BPE_PRETOKEN_RE)
+
+    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        counts = [len(pat.findall(t)) for t in batch["text"].fillna("")]
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "n_bpe_tokens": pd.Series(counts, dtype="int64"),
+        })
+
+    return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        kernel, batch_format="pandas", batch_size=8192)
+
+
 def quality_filter(sf_dir: str, min_tokens: int = 20, max_tokens: int = 1000,
                    min_alpha_ppm: int = 500_000):
     """Training-data quality gate: keep docs inside token-count bounds

@@ -257,3 +257,37 @@ def test_top_customers_order(ray_session):
     totals = df["total_cents"].tolist()
     assert totals == sorted(totals, reverse=True)
     assert df["c_name"].notna().all()
+
+
+def test_knn_ivf_recall_and_self_nearest(ray_session):
+    """IVF with 4/16 probes: the query's own vector is always found
+    (its list is probe #1), and recall vs brute force is substantial."""
+    from linkinator_ray.pipelines.similarity import knn_bruteforce, knn_ivf
+    exact = knn_bruteforce(SF, k=5, num_queries=4).to_pandas()
+    approx = knn_ivf(SF, k=5, num_queries=4, n_centroids=16,
+                     n_probe=4).to_pandas()
+    top = approx[approx["rank"] == 1]
+    assert (top["neighbor_id"].to_numpy() == top["query_id"].to_numpy()).all()
+    exact_sets = exact.groupby("query_id")["neighbor_id"].apply(set)
+    approx_sets = approx.groupby("query_id")["neighbor_id"].apply(set)
+    recalls = [len(approx_sets.get(q, set()) & exact_sets[q]) / len(exact_sets[q])
+               for q in exact_sets.index]
+    assert np.mean(recalls) >= 0.4, recalls
+
+
+def test_token_count_bpe_matches_re(ray_session):
+    """The distributed count equals a local findall with the identical
+    pattern (the DuckDB oracle runs the same RE2 pattern)."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.text import BPE_PRETOKEN_RE, token_count_bpe
+    out = token_count_bpe(SF).to_pandas().sort_values("doc_id")
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas() \
+        .sort_values("doc_id")
+    pat = re.compile(BPE_PRETOKEN_RE)
+    expected = [len(pat.findall(t or "")) for t in docs["text"]]
+    assert out["n_bpe_tokens"].tolist() == expected
+    assert (out["n_bpe_tokens"] > 0).all()
