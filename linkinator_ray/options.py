@@ -123,6 +123,7 @@ class CheckOptions:
     mesh: bool = False  # actor-mesh frontier: dedup + routing in actors, driver only seeds/quiesces
     max_rounds: int = 10_000  # BFS safety valve
     checkpoint_dir: str | None = None  # per-round frontier/seen/lineage checkpoints
+    checkpoint_interval_s: float = 10.0  # mesh mode: seconds between epoch snapshots
     results_dir: str | None = None     # stream results out as parquet parts
     results_flush_rows: int = 1_000_000  # spill threshold (rows held in driver)
     politeness_delay: float = 0.0  # min seconds between fetches to one host (token bucket)

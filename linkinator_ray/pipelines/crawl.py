@@ -467,7 +467,8 @@ class LinkChecker:
             if self.transport_latency_s > 0 else 1
 
         if self.use_ray and opts.mesh and self._mesh_supported(resume_from):
-            return self._run_mesh(transport_blob, worker_kwargs, num_actors)
+            return self._run_mesh(transport_blob, worker_kwargs, num_actors,
+                                  resume_from=resume_from)
 
         self.seen = SeenSet(opts.seen_shards, opts.seen_filter, use_ray=self.use_ray)
         # edge dedup is driver-local; one vectorized shard beats sharding
@@ -486,12 +487,27 @@ class LinkChecker:
         return self._run_rounds(pool, frontier, round_no)
 
     def _mesh_supported(self, resume_from) -> bool:
-        """Mesh preconditions: fragment validation and robots need
-        cross-actor accounting the mesh does not carry; checkpoints need
-        driver-coordinated snapshots. Those runs use pipelined/rounds."""
+        """Mesh precondition: fragment validation needs cross-actor
+        pending-fragment accounting the mesh does not carry — those runs
+        use pipelined/rounds. Robots and checkpoints ARE mesh-supported
+        (per-node robots compilation; driver-coordinated epoch
+        snapshots). A resume only goes through the mesh when the
+        checkpoint was written BY the mesh (same shard count — filters
+        are not re-shardable across K)."""
         opts = self.opts
-        return not (opts.check_fragments or opts.respect_robots
-                    or opts.checkpoint_dir or resume_from)
+        if opts.check_fragments:
+            return False
+        if resume_from is not None:
+            import json
+            import os
+            last = ckpt.latest_round(resume_from)
+            if last is None:
+                return False
+            with open(os.path.join(resume_from, f"round_{last:06d}",
+                                   "manifest.json")) as f:
+                manifest = json.load(f)
+            return bool(manifest.get("extra", {}).get("mesh"))
+        return True
 
     def _run_rounds(self, pool, frontier: pa.Table, round_no: int) -> CrawlResult:
         """Strict BFS rounds: deterministic depth ordering; each round is
@@ -744,7 +760,7 @@ class LinkChecker:
     # ------------------------------------------------------------------
 
     def _run_mesh(self, transport_blob: dict, worker_kwargs: dict,
-                  num_actors: int) -> CrawlResult:
+                  num_actors: int, resume_from: str | None = None) -> CrawlResult:
         """Actor-mesh frontier: fetch actors push candidates straight to
         seen-shard actors; shards route fresh rows back to the owning
         fetch actors; the driver only seeds, detects quiescence (two
@@ -780,45 +796,82 @@ class LinkChecker:
                                  opts_blob, seen_mode=opts.seen_filter,
                                  sticky_hosts=sticky)
                  for i in range(num_actors)]
+        try:
+            return self._run_mesh_body(nodes, num_actors, sticky,
+                                       transport_blob, resume_from)
+        finally:
+            # nodes hold handles to each other — a reference cycle Ray's
+            # distributed refcounting never collects. Kill on EVERY exit
+            # (including interrupts/errors) or the actors and their CPU
+            # reservations leak and the next mesh run blocks forever.
+            for actor in nodes:
+                ray.kill(actor, no_restart=True)
+
+    def _run_mesh_body(self, nodes, num_actors: int, sticky: bool,
+                       transport_blob: dict,
+                       resume_from: str | None) -> CrawlResult:
+        import time as _time
+
+        import ray
+
+        from linkinator_ray.state import mesh as mesh_mod
+        opts = self.opts
         ray.get([n.set_peers.remote(nodes[i], nodes)
                  for i, n in enumerate(nodes)])
 
-        # seeds: pre-insert into the owning nodes' seen shards
-        # (src/index.ts:267-288), then enqueue each row with its fetch
-        # owner
-        paths = getattr(self, "_expanded_paths", None) or self._expand_paths()
-        urls, roots = [], []
-        for path in paths:
-            if urlkit.is_absolute_url(path):
-                url = urlkit.normalize_url(path, keep_fragment=False)
+        def enqueue_frontier(frontier: pa.Table) -> list:
+            """Route frontier rows to their fetch owners."""
+            if frontier.num_rows == 0:
+                return []
+            if sticky:
+                assign = mesh_mod._host_assignment(
+                    frontier["host"].to_pylist(), num_actors, {})
             else:
-                url = urlkit.normalize_url(
-                    self.corpus_base + path.lstrip("/"), keep_fragment=False)
-            urls.append(url)
-            roots.append(url)
-        hashes = urlkit.hash64_array(urls)
-        owner_of = (hashes % np.uint64(num_actors)).astype(np.int64)
-        ray.get([nodes[a].seed.remote(hashes[owner_of == a])
-                 for a in range(num_actors) if (owner_of == a).any()])
-        frontier = _frontier_rows(
-            url=urls, url_hash=hashes,
-            host=[urlkit.host_of(u) for u in urls],
-            parent=[""] * len(urls), depth=[0] * len(urls),
-            do_crawl=[True] * len(urls), root_path=roots,
-            attempt=[0] * len(urls), not_before=[0.0] * len(urls))
-        seed_rows = frontier.num_rows
-        if sticky:
-            assign = mesh_mod._host_assignment(
-                frontier["host"].to_pylist(), num_actors, {})
+                hh = np.asarray(frontier["url_hash"].to_numpy(
+                    zero_copy_only=False), dtype=np.uint64)
+                assign = (hh % np.uint64(num_actors)).astype(np.int64)
+            futs = []
+            for a in range(num_actors):
+                idx = np.flatnonzero(assign == a)
+                if len(idx):
+                    futs.append(
+                        nodes[a].enqueue.remote(frontier.take(pa.array(idx))))
+            return futs
+
+        epoch = 0
+        if resume_from is not None:
+            frontier, epoch = self._mesh_restore(resume_from, nodes,
+                                                 num_actors)
+            seed_rows = frontier.num_rows
+            ray.get(enqueue_frontier(frontier))
         else:
-            assign = owner_of
-        seed_futs = []
-        for a in range(num_actors):
-            idx = np.flatnonzero(assign == a)
-            if len(idx):
-                seed_futs.append(
-                    nodes[a].enqueue.remote(frontier.take(pa.array(idx))))
-        ray.get(seed_futs)
+            # seeds: pre-insert into the owning nodes' seen shards
+            # (src/index.ts:267-288), then enqueue each row with its
+            # fetch owner
+            paths = getattr(self, "_expanded_paths", None) \
+                or self._expand_paths()
+            urls, roots = [], []
+            for path in paths:
+                if urlkit.is_absolute_url(path):
+                    url = urlkit.normalize_url(path, keep_fragment=False)
+                else:
+                    url = urlkit.normalize_url(
+                        self.corpus_base + path.lstrip("/"),
+                        keep_fragment=False)
+                urls.append(url)
+                roots.append(url)
+            hashes = urlkit.hash64_array(urls)
+            owner_of = (hashes % np.uint64(num_actors)).astype(np.int64)
+            ray.get([nodes[a].seed.remote(hashes[owner_of == a])
+                     for a in range(num_actors) if (owner_of == a).any()])
+            frontier = _frontier_rows(
+                url=urls, url_hash=hashes,
+                host=[urlkit.host_of(u) for u in urls],
+                parent=[""] * len(urls), depth=[0] * len(urls),
+                do_crawl=[True] * len(urls), root_path=roots,
+                attempt=[0] * len(urls), not_before=[0.0] * len(urls))
+            seed_rows = frontier.num_rows
+            ray.get(enqueue_frontier(frontier))
 
         # quiescence: monotonic counters make in-flight messages visible
         # as a sum mismatch; a consistent all-idle snapshot is terminal
@@ -828,7 +881,17 @@ class LinkChecker:
         polls: list[dict] = []
         t_start = _time.perf_counter()
         last_progress = (None, _time.monotonic())
+        last_ckpt = _time.monotonic()
+        # a pause starves the mesh if it re-fires before any work ran —
+        # floor the epoch cadence
+        ckpt_interval = max(0.25, opts.checkpoint_interval_s)
         while True:
+            if opts.checkpoint_dir and _time.monotonic() - last_ckpt \
+                    > ckpt_interval:
+                epoch += 1
+                self._mesh_checkpoint(nodes, epoch, num_actors)
+                last_ckpt = _time.monotonic()
+                last_progress = (None, _time.monotonic())
             polls = ray.get([n.poll.remote() for n in nodes])
             for p in polls:
                 if p["errors"]:
@@ -886,13 +949,6 @@ class LinkChecker:
             call_log = [c for log in logs for c in log]
         else:
             call_log = []
-        # nodes hold handles to each other — a reference cycle Ray's
-        # distributed refcounting never collects. Without an explicit
-        # kill the actors (and their num_cpus reservations) leak and the
-        # NEXT mesh run blocks waiting for resources.
-        for actor in nodes:
-            ray.kill(actor, no_restart=True)
-
         class _MeshFacade:
             def call_log(self):
                 return call_log
@@ -903,6 +959,126 @@ class LinkChecker:
 
         self.seen = _SeenShim()
         return self._finish(_MeshFacade())
+
+    # ------------------------------------------------------------------
+    # mesh checkpoint / resume (driver-coordinated epoch snapshots)
+    # ------------------------------------------------------------------
+
+    def _mesh_checkpoint(self, nodes, epoch: int, num_actors: int) -> None:
+        """Pause the mesh, wait for in-flight messages to settle (two
+        identical consecutive counter snapshots under pause), drain the
+        result buffers, snapshot every node's state, write one atomic
+        checkpoint, resume. The pause costs one settle round-trip — the
+        cadence knob is opts.checkpoint_interval_s."""
+        import time as _time
+
+        import ray
+
+        from linkinator_ray.state.seen import seen_blob_to_table
+        ray.get([n.pause.remote() for n in nodes])
+        prev = None
+        while True:
+            polls = ray.get([n.poll.remote() for n in nodes])
+            for p in polls:
+                for table in p["results"]:
+                    self._emit(table)
+            # buffered coalesced sends must flush before the snapshot
+            # (kick flushes; pumps stay suppressed while paused)
+            for n, p in zip(nodes, polls):
+                if p["held_cand"]:
+                    n.kick.remote()
+            state = [(p["sent_cand"], p["received_cand"], p["sent_frontier"],
+                      p["received_frontier"], p["pump_scheduled"],
+                      p["held_cand"]) for p in polls]
+            if prev == state and not any(p["pump_scheduled"] for p in polls)                     and not any(p["held_cand"] for p in polls):
+                break
+            prev = state
+            _time.sleep(0.005)
+        self._maybe_spill_results()
+        snaps = ray.get([n.snapshot.remote() for n in nodes])
+
+        _empty_res = schema.empty(schema.RESULTS).append_column(
+            "frontier_level", pa.array([], pa.bool_()))
+        results = pa.concat_tables(self.results_tables) \
+            if self.results_tables else _empty_res
+        broken_first = pa.concat_tables(self.broken_first_tables) \
+            if self.broken_first_tables else _empty_res
+        delay_union: dict[str, float] = {}
+        for s in snaps:
+            for host, deadline in s["delay_map"].items():
+                cur = delay_union.get(host)
+                delay_union[host] = max(cur, deadline) \
+                    if cur is not None else deadline
+        counters = dict(self.counters)
+        for s in snaps:
+            for key, val in s["counters"].items():
+                counters[key] = counters.get(key, 0) + val
+        tables = {
+            "frontier": pa.concat_tables([s["frontier"] for s in snaps]),
+            "results": results,
+            "broken_first": broken_first,
+            # node buffers + any dups restored from an earlier epoch
+            # (held driver-side after a resume)
+            "dup_edges": pa.concat_tables(
+                [s["dup_edges"] for s in snaps]
+                + [t.select(["url", "parent"])
+                   for t in self.dup_edge_tables if t.num_rows]),
+            "delay_map": pa.table({
+                "host": pa.array(list(delay_union), pa.string()),
+                "deadline": pa.array(list(delay_union.values()), pa.float64()),
+            }),
+        }
+        for i, s in enumerate(snaps):
+            tables[f"edge_shard_{i:04d}"] = seen_blob_to_table(s["edge_seen"])
+        seen_tables = [seen_blob_to_table(s["url_seen"]) for s in snaps]
+        ckpt.save_round(
+            self.opts.checkpoint_dir, self.run_id, epoch, tables,
+            seen_tables, counters,
+            extra={"mesh": True, "mesh_nodes": num_actors,
+                   "spill_part": self._spill_part,
+                   "clock": self.clock.now()},
+        )
+        ray.get([n.resume_run.remote() for n in nodes])
+
+    def _mesh_restore(self, checkpoint_dir: str, nodes,
+                      num_actors: int) -> tuple[pa.Table, int]:
+        """Load the newest mesh epoch into a fresh mesh of the SAME
+        shard count (seen/edge filters are hash-sharded by url_hash % K
+        and are not re-shardable — the edge keys' owners are derived
+        from URL hashes that are not stored)."""
+        import ray
+
+        from linkinator_ray.state.seen import seen_table_to_blob
+        last = ckpt.latest_round(checkpoint_dir)
+        if last is None:
+            raise ValueError(f"no checkpoint found under {checkpoint_dir}")
+        manifest, tables, seen_tables = ckpt.load_round(checkpoint_dir, last)
+        saved_nodes = manifest["extra"].get("mesh_nodes")
+        if saved_nodes != num_actors:
+            raise ValueError(
+                f"mesh checkpoint was written with {saved_nodes} nodes; "
+                f"resume requires the same node count (got {num_actors}) — "
+                "seen/edge filters are hash-sharded and not re-shardable")
+        self.counters.update(manifest["counters"])
+        self.results_tables = [tables["results"]]
+        self._spill_part = int(manifest["extra"].get("spill_part", 0))
+        broken_first = tables.get("broken_first")
+        if broken_first is not None and broken_first.num_rows:
+            self.broken_first_tables = [broken_first]
+        dup = tables.get("dup_edges")
+        if dup is not None and dup.num_rows:
+            self.dup_edge_tables = [dup]
+        delay = tables["delay_map"]
+        delay_map = dict(zip(delay["host"].to_pylist(),
+                             delay["deadline"].to_pylist()))
+        ray.get([
+            nodes[i].restore_state.remote(
+                seen_table_to_blob(seen_tables[i]),
+                seen_table_to_blob(tables[f"edge_shard_{i:04d}"]),
+                delay_map)
+            for i in range(num_actors)
+        ])
+        return tables["frontier"], manifest["round"]
 
     # ------------------------------------------------------------------
 

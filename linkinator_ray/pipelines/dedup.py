@@ -132,11 +132,48 @@ class MinHasher:
     def signature(self, text: str) -> np.ndarray:
         return self.signature_from_shingles(_shingle_hashes(text, self.ngram))
 
+    def signatures_batch(self, texts) -> np.ndarray:
+        """Whole-batch signatures: concatenate every doc's shingles and
+        compute ONE (num_perms, total_shingles) universal hash, then a
+        segmented min per doc (minimum.reduceat) — one numpy pass for
+        the batch instead of a matmul per doc."""
+        shingle_lists = [_shingle_hashes(t, self.ngram) for t in texts]
+        lengths = np.fromiter((len(s) for s in shingle_lists), np.int64,
+                              len(shingle_lists))
+        out = np.zeros((len(texts), self.num_perms), dtype=np.uint64)
+        nonempty = np.flatnonzero(lengths)
+        if not len(nonempty):
+            return out
+        # sub-chunk by total shingle budget: the (perms, shingles)
+        # universal-hash temp must stay cache/bandwidth friendly
+        budget = 65_536
+        group: list[int] = []
+        acc = 0
+        chunks: list[list[int]] = []
+        for i in nonempty:
+            group.append(int(i))
+            acc += lengths[i]
+            if acc >= budget:
+                chunks.append(group)
+                group, acc = [], 0
+        if group:
+            chunks.append(group)
+        for group in chunks:
+            hs = np.concatenate([shingle_lists[i] for i in group])
+            with np.errstate(over="ignore"):
+                prod = (hs[None, :] * self.a[:, None] + self.b[:, None]) \
+                    % _MERSENNE
+            starts = np.concatenate(
+                ([0], np.cumsum(lengths[group])[:-1])).astype(np.int64)
+            mins = np.minimum.reduceat(prod, starts, axis=1)
+            out[group] = mins.T.astype(np.uint64)
+        return out
+
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = np.stack([self.signature(t) for t in batch["text"].fillna("")])
+        sigs = self.signatures_batch(list(batch["text"].fillna("")))
         return pd.DataFrame({
             "doc_id": batch["doc_id"],
-            "sig": list(sigs.astype(np.uint64)),
+            "sig": list(sigs),
         })
 
 

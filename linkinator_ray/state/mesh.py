@@ -96,6 +96,15 @@ class MeshNode:
         self.rng = np.random.default_rng(opts_blob.get("jitter_seed", 42)
                                          + actor_id)
         self.sticky_hosts = sticky_hosts
+        # robots rules are a pure function of the corpus — each node
+        # compiles them locally (no shared cache actor needed)
+        from linkinator_ray.state.robots import RobotsCache
+        corpus = getattr(self.worker.transport, "corpus", None)
+        if self.opts.respect_robots and corpus is not None:
+            self.robots = RobotsCache.from_corpus(
+                corpus, transport_blob.get("multi_host", False))
+        else:
+            self.robots = RobotsCache()
         self.url_seen = SeenShard(actor_id, seen_mode, seen_capacity)
         # edges outnumber URLs ~linkage-factor×; give the filter headroom
         self.edge_seen = SeenShard(actor_id ^ 0xFFFF, seen_mode,
@@ -115,6 +124,7 @@ class MeshNode:
         self.sent_cand = 0
         self.pump_scheduled = False
         self.pumping = False
+        self.paused = False
         self.self_handle = None
         self.peers = None
         self.host_memo: dict = {}
@@ -163,10 +173,52 @@ class MeshNode:
             self._accept_candidates(cand)
 
     def _schedule_pump(self) -> None:
-        if not self.pump_scheduled and self.self_handle is not None \
-                and self.queue:
+        if not self.pump_scheduled and not self.paused \
+                and self.self_handle is not None and self.queue:
             self.pump_scheduled = True
             self.self_handle.pump.remote()
+
+    # -- checkpoint coordination (driver-driven epoch snapshots) ----------
+
+    def pause(self) -> None:
+        """Stop scheduling new pumps; intake keeps queueing. The driver
+        waits for in-flight messages to settle (counters) then
+        snapshots."""
+        with self.lock:
+            self.paused = True
+            self._flush_peers(everything=True)
+
+    def resume_run(self) -> None:
+        with self.lock:
+            self.paused = False
+            self._schedule_pump()
+
+    def snapshot(self) -> dict:
+        """Consistent node state for a checkpoint — call only when
+        paused and settled (the driver's counter check guarantees no
+        in-flight messages)."""
+        with self.lock:
+            frontier = pa.concat_tables(self.queue + self.deferred) \
+                if (self.queue or self.deferred) \
+                else schema.empty(schema.FRONTIER)
+            dups = pa.concat_tables(self.dup_edges) \
+                if self.dup_edges else schema.empty(schema.EDGES)
+            return {
+                "frontier": frontier,
+                "url_seen": self.url_seen.dump(),
+                "edge_seen": self.edge_seen.dump(),
+                "delay_map": dict(self.delay_map),
+                "dup_edges": dups.group_by(["url", "parent"]).aggregate([])
+                if dups.num_rows else dups,
+                "counters": dict(self.counters),
+            }
+
+    def restore_state(self, url_blob: dict, edge_blob: dict,
+                      delay_map: dict) -> None:
+        with self.lock:
+            self.url_seen.restore(url_blob)
+            self.edge_seen.restore(edge_blob)
+            self.delay_map.update(delay_map)
 
     # -- dedup + frontier routing (the shard role) -------------------------
 
@@ -268,9 +320,11 @@ class MeshNode:
             with self.lock:
                 self.errors.append(traceback.format_exc())
         with self.lock:
-            # flush coalesced sends: everything when about to go idle,
-            # else only peers whose buffer crossed the threshold
-            self._flush_peers(everything=not self.queue)
+            # flush coalesced sends: everything when about to go idle
+            # or when a checkpoint pause is pending (the snapshot must
+            # not miss buffered candidates), else only peers whose
+            # buffer crossed the threshold
+            self._flush_peers(everything=not self.queue or self.paused)
             self.busy_sec += time.perf_counter() - t0
             self.counters["rounds"] += 1
             self.pumping = False
@@ -333,6 +387,10 @@ class MeshNode:
             rule_skip = self.worker._match_skip_vec(url_col)
         else:
             rule_skip = np.zeros(n, dtype=bool)
+        if self.robots.has_rules():
+            allowed = self.robots.allowed
+            urls = url_col.to_pylist()
+            rule_skip |= np.fromiter((not allowed(u) for u in urls), bool, n)
         skip_mask = ~is_http | (is_http & rule_skip)
         if not skip_mask.any():
             return batch

@@ -99,6 +99,37 @@ class SeenShard:
             self._keys = keys
 
 
+def seen_blob_to_table(blob: dict) -> pa.Table:
+    """Shard dump blob → Arrow checkpoint table (shared by SeenSet and
+    the mesh nodes)."""
+    if blob["mode"] == "exact":
+        return pa.table({
+            "kind": pa.array(["exact"] * len(blob["keys"]), pa.string()),
+            "value": pa.array(blob["keys"], pa.uint64()),
+        })
+    flat = blob["table"].reshape(-1).astype(np.uint64)
+    values = np.concatenate([flat, blob["victims"]])
+    kinds = ["slot"] * len(flat) + ["victim"] * len(blob["victims"])
+    return pa.table({
+        "kind": pa.array(kinds, pa.string()),
+        "value": pa.array(values, pa.uint64()),
+    })
+
+
+def seen_table_to_blob(tbl: pa.Table) -> dict:
+    """Checkpoint table → shard restore blob (inverse of the above)."""
+    kinds = tbl["kind"].to_pylist()
+    values = np.asarray(tbl["value"].to_numpy(zero_copy_only=False),
+                        dtype=np.uint64)
+    if not kinds or kinds[0] == "exact":
+        return {"mode": "exact", "keys": values}
+    n_slots = sum(1 for k in kinds if k == "slot")
+    table = values[:n_slots].astype(np.uint16).reshape(-1, 4)
+    return {"mode": "cuckoo", "table": table,
+            "count": int((table != 0).sum()) + (len(values) - n_slots),
+            "victims": values[n_slots:]}
+
+
 class _RemoteSeenShard(SeenShard):
     def __init__(self, *args, **kwargs):
         pa.set_cpu_count(1)  # keep actor-side Arrow pools single-threaded
@@ -165,23 +196,7 @@ class SeenSet:
     def dump_tables(self) -> list[pa.Table]:
         """One Arrow table per shard (exact mode: the key column; cuckoo:
         the filter table flattened + overflow)."""
-        blobs = self._dump_blobs()
-        tables = []
-        for blob in blobs:
-            if blob["mode"] == "exact":
-                tables.append(pa.table({
-                    "kind": pa.array(["exact"] * len(blob["keys"]), pa.string()),
-                    "value": pa.array(blob["keys"], pa.uint64()),
-                }))
-            else:
-                flat = blob["table"].reshape(-1).astype(np.uint64)
-                values = np.concatenate([flat, blob["victims"]])
-                kinds = ["slot"] * len(flat) + ["victim"] * len(blob["victims"])
-                tables.append(pa.table({
-                    "kind": pa.array(kinds, pa.string()),
-                    "value": pa.array(values, pa.uint64()),
-                }))
-        return tables
+        return [seen_blob_to_table(blob) for blob in self._dump_blobs()]
 
     def _dump_blobs(self) -> list[dict]:
         if self.use_ray:
@@ -191,16 +206,7 @@ class SeenSet:
 
     def restore_tables(self, tables: list[pa.Table]) -> None:
         for shard_id, tbl in enumerate(tables):
-            kinds = tbl["kind"].to_pylist()
-            values = np.asarray(tbl["value"].to_numpy(zero_copy_only=False), dtype=np.uint64)
-            if not kinds or kinds[0] == "exact":
-                blob = {"mode": "exact", "keys": values}
-            else:
-                n_slots = sum(1 for k in kinds if k == "slot")
-                table = values[:n_slots].astype(np.uint16).reshape(-1, 4)
-                blob = {"mode": "cuckoo", "table": table,
-                        "count": int((table != 0).sum()) + (len(values) - n_slots),
-                        "victims": values[n_slots:]}
+            blob = seen_table_to_blob(tbl)
             if self.use_ray:
                 import ray
                 ray.get(self._shards[shard_id].restore.remote(blob))

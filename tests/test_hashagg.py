@@ -1,0 +1,76 @@
+"""Two-level hash aggregation (pipelines/hashagg.py): property tests vs
+a plain pandas groupby oracle on randomized high-cardinality data."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from linkinator_ray.pipelines.hashagg import (hash_aggregate,
+                                              hash_map_groups,
+                                              hash_partition_apply)
+
+
+@pytest.fixture(scope="module")
+def frame():
+    rng = np.random.default_rng(11)
+    n = 20_000
+    return pd.DataFrame({
+        "k1": rng.integers(0, 50, n).astype(np.int64),
+        "k2": rng.integers(0, 400, n).astype(np.int64),
+        "v": rng.integers(-1000, 1000, n).astype(np.int64),
+    })
+
+
+def _ds(frame, blocks=6):
+    import ray.data as rd
+    return rd.from_pandas(
+        [frame.iloc[i::blocks].reset_index(drop=True) for i in range(blocks)])
+
+
+def test_hash_aggregate_matches_pandas(ray_session, frame):
+    got = hash_aggregate(
+        _ds(frame), ["k1", "k2"],
+        {"n": ("v", "count"), "s": ("v", "sum"),
+         "mn": ("v", "min"), "mx": ("v", "max")},
+        num_parts=7).to_pandas().sort_values(["k1", "k2"]).reset_index(drop=True)
+    want = frame.groupby(["k1", "k2"], as_index=False).agg(
+        n=("v", "size"), s=("v", "sum"), mn=("v", "min"), mx=("v", "max")) \
+        .sort_values(["k1", "k2"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    for col in ("n", "s", "mn", "mx"):
+        assert got[col].tolist() == want[col].tolist(), col
+
+
+def test_hash_aggregate_single_key_string(ray_session, frame):
+    frame = frame.assign(key=frame["k2"].map(lambda x: f"tok{x}"))
+    got = hash_aggregate(_ds(frame), "key", {"s": ("v", "sum")}) \
+        .to_pandas().sort_values("key").reset_index(drop=True)
+    want = frame.groupby("key", as_index=False).agg(s=("v", "sum")) \
+        .sort_values("key").reset_index(drop=True)
+    assert got["s"].tolist() == want["s"].tolist()
+
+
+def test_hash_partition_apply_colocates_keys(ray_session, frame):
+    """Every key's rows land in exactly one partition (hash
+    co-location), and no row is lost or duplicated."""
+    def tag(part: pd.DataFrame) -> pd.DataFrame:
+        out = part[["k2"]].copy()
+        out["part_tag"] = part["k2"].iloc[0] * 0 + id(part) % (1 << 31)
+        return out
+
+    got = hash_partition_apply(_ds(frame), "k2", tag, num_parts=5).to_pandas()
+    assert len(got) == len(frame)
+    parts_per_key = got.groupby("k2")["part_tag"].nunique()
+    assert (parts_per_key == 1).all()
+
+
+def test_hash_map_groups_matches_groupby(ray_session, frame):
+    def summarize(group: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({"k2": [group["k2"].iloc[0]],
+                             "total": [int(group["v"].sum())]})
+
+    got = hash_map_groups(_ds(frame), "k2", summarize).to_pandas() \
+        .sort_values("k2").reset_index(drop=True)
+    want = frame.groupby("k2", as_index=False).agg(total=("v", "sum")) \
+        .sort_values("k2").reset_index(drop=True)
+    assert got["total"].tolist() == want["total"].tolist()

@@ -107,3 +107,28 @@ def test_politeness_hosts_independent():
     assert res.passed
     elapsed = clock.now() - 1_000_000.0
     assert 2.0 <= elapsed < 4.0  # 3 per host in parallel, not 6 serial
+
+
+def test_mesh_respects_robots(ray_session):
+    """Mesh nodes compile robots rules from the corpus locally — same
+    SKIP behavior as the driver modes."""
+    fixture = fx.Fixture(
+        "robots-mesh",
+        fx.docs_table(
+            fx.doc("index.html",
+                   fx._anchor("/public/a.html"),
+                   fx._anchor("/private/b.html")),
+            fx.doc("public/a.html", fx.span("text", "", "ok")),
+            fx.doc("private/b.html", fx.span("text", "", "secret")),
+            fx.doc("robots.txt",
+                   fx.span("text", "", "User-agent: *\nDisallow: /private/\n")),
+        ),
+        [], [""], {"recurse": True, "respect_robots": True,
+                   "fetch_concurrency": 2, "mesh": True})
+    res = LinkChecker(CheckOptions(paths=fixture.seeds, **fixture.options),
+                      fixture.documents, fixture.http_map,
+                      use_ray=True).check()
+    rows = {r["url"]: r["state"] for r in res.results.to_pylist()}
+    assert rows["http://corpus.test/private/b.html"] == "SKIPPED"
+    assert rows["http://corpus.test/public/a.html"] == "OK"
+    assert not any("private" in c[0] for c in res.call_log)

@@ -217,3 +217,72 @@ class TestSpillResume:
         # same keys; it must not LOSE any
         assert full_keys <= resumed_keys
         assert resumed.passed == full.passed
+
+
+class TestMeshCheckpoint:
+    def test_mesh_checkpoint_resume(self, ray_session, tmp_path):
+        """Kill a mesh crawl mid-flight (abort after the first epoch
+        snapshot), resume from its checkpoint, same final sets as a
+        clean run — the driver-coordinated pause/snapshot protocol."""
+        import os
+
+        from linkinator_ray.pipelines import crawl as crawl_mod
+        from linkinator_ray.sources.synth import synth_crawl_corpus
+        docs, seeds, expected_seen, _ = synth_crawl_corpus(
+            num_hosts=2, docs_per_host=400)
+        base = dict(paths=seeds, recurse=True, fetch_concurrency=2,
+                    mesh=True)
+        full = LinkChecker(CheckOptions(**base), docs, [],
+                           multi_host=True, use_ray=True).check()
+
+        ck = str(tmp_path / "meshck")
+        partial = LinkChecker(
+            CheckOptions(**base, checkpoint_dir=ck,
+                         checkpoint_interval_s=0.2, batch_size=64),
+            docs, [], multi_host=True, use_ray=True)
+        orig = crawl_mod.LinkChecker._mesh_checkpoint
+        calls = {"n": 0}
+
+        def bomb(self, nodes, epoch, num_actors):
+            orig(self, nodes, epoch, num_actors)
+            calls["n"] += 1
+            if calls["n"] >= 1:
+                raise KeyboardInterrupt
+        partial._mesh_checkpoint = bomb.__get__(partial)
+        try:
+            partial.check()
+        except KeyboardInterrupt:
+            pass
+        assert os.path.isdir(ck) and os.listdir(ck), "no mesh checkpoint"
+
+        resumed = LinkChecker(CheckOptions(**base, checkpoint_dir=ck),
+                              docs, [], multi_host=True,
+                              use_ray=True).check(resume_from=ck)
+
+        def key(res):
+            return {(r["url"], r["state"], r["status"])
+                    for r in res.results.to_pylist()}
+
+        def broken_edges(res):
+            return {(r["url"], r["parent"])
+                    for r in res.results.to_pylist() if r["state"] == "BROKEN"}
+        assert key(resumed) == key(full)
+        assert broken_edges(resumed) == broken_edges(full)
+        assert resumed.stats["seen_urls"] == expected_seen
+
+    def test_mesh_resume_node_count_mismatch(self, ray_session, tmp_path):
+        from linkinator_ray.sources.synth import synth_crawl_corpus
+        docs, seeds, _, _ = synth_crawl_corpus(num_hosts=2, docs_per_host=400)
+        ck = str(tmp_path / "ck2")
+        LinkChecker(CheckOptions(paths=seeds, recurse=True, mesh=True,
+                                 fetch_concurrency=2, checkpoint_dir=ck,
+                                 checkpoint_interval_s=0.3, batch_size=32),
+                    docs, [], multi_host=True, use_ray=True).check()
+        import os
+        if not os.listdir(ck):
+            pytest.skip("crawl finished before the first epoch fired")
+        with pytest.raises(ValueError, match="same node count"):
+            LinkChecker(CheckOptions(paths=seeds, recurse=True, mesh=True,
+                                     fetch_concurrency=3, checkpoint_dir=ck),
+                        docs, [], multi_host=True, use_ray=True) \
+                .check(resume_from=ck)
