@@ -36,9 +36,12 @@ in-process (no message, no counter — symmetric).
 Reference semantics preserved: edge + URL dedup order
 (src/index.ts:800-817 — edge-fresh rows only consult/insert the URL
 set), duplicate-broken re-reporting input (:840-875), retry handling
-(:1019-1109). Fragment validation and robots need cross-actor
-accounting the mesh does not carry — LinkChecker falls back to the
-pipelined mode when those options are set.
+(:1019-1109). robots.txt rules are compiled per node from the corpus.
+Checkpoints are driver-coordinated epoch snapshots (pause → settle →
+snapshot every node → one atomic write → resume); resume requires the
+same node count (filters are hash-sharded). Fragment validation needs
+cross-actor pending-fragment accounting the mesh does not carry —
+LinkChecker falls back to the pipelined mode for check_fragments.
 
 Scale notes: actor queues are unbounded in-memory — at 10^10 URLs add
 spill-to-parquet per node and acked sends; counters make loss visible

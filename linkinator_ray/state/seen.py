@@ -101,28 +101,47 @@ class SeenShard:
 
 def seen_blob_to_table(blob: dict) -> pa.Table:
     """Shard dump blob → Arrow checkpoint table (shared by SeenSet and
-    the mesh nodes)."""
+    the mesh nodes). Exact mode: one uint64 row per key. Cuckoo mode:
+    ONE row carrying the slot table as a binary blob — a 4M-slot filter
+    serializes as one 8 MB buffer, not 4M tagged rows."""
     if blob["mode"] == "exact":
         return pa.table({
             "kind": pa.array(["exact"] * len(blob["keys"]), pa.string()),
             "value": pa.array(blob["keys"], pa.uint64()),
         })
-    flat = blob["table"].reshape(-1).astype(np.uint64)
-    values = np.concatenate([flat, blob["victims"]])
-    kinds = ["slot"] * len(flat) + ["victim"] * len(blob["victims"])
+    table = np.ascontiguousarray(blob["table"], dtype=np.uint16)
+    victims = np.ascontiguousarray(blob["victims"], dtype=np.uint64)
     return pa.table({
-        "kind": pa.array(kinds, pa.string()),
-        "value": pa.array(values, pa.uint64()),
+        "kind": pa.array(["cuckoo"], pa.string()),
+        "n_buckets": pa.array([table.shape[0]], pa.int64()),
+        "count": pa.array([int(blob.get("count", (table != 0).sum()))],
+                          pa.int64()),
+        "data": pa.array([table.tobytes()], pa.binary()),
+        "victims": pa.array([victims.tobytes()], pa.binary()),
     })
 
 
 def seen_table_to_blob(tbl: pa.Table) -> dict:
-    """Checkpoint table → shard restore blob (inverse of the above)."""
+    """Checkpoint table → shard restore blob (inverse of the above;
+    also reads the legacy per-slot row format)."""
+    if tbl.num_rows == 0:
+        return {"mode": "exact", "keys": np.empty(0, dtype=np.uint64)}
+    first_kind = tbl["kind"][0].as_py()
+    if first_kind == "exact":
+        values = np.asarray(tbl["value"].to_numpy(zero_copy_only=False),
+                            dtype=np.uint64)
+        return {"mode": "exact", "keys": values}
+    if first_kind == "cuckoo":  # compact blob row
+        n_buckets = int(tbl["n_buckets"][0].as_py())
+        data = np.frombuffer(tbl["data"][0].as_py(), dtype=np.uint16) \
+            .reshape(n_buckets, 4)
+        victims = np.frombuffer(tbl["victims"][0].as_py(), dtype=np.uint64)
+        return {"mode": "cuckoo", "table": data.copy(),
+                "count": int(tbl["count"][0].as_py()), "victims": victims}
+    # legacy: per-slot "slot"/"victim" rows
     kinds = tbl["kind"].to_pylist()
     values = np.asarray(tbl["value"].to_numpy(zero_copy_only=False),
                         dtype=np.uint64)
-    if not kinds or kinds[0] == "exact":
-        return {"mode": "exact", "keys": values}
     n_slots = sum(1 for k in kinds if k == "slot")
     table = values[:n_slots].astype(np.uint16).reshape(-1, 4)
     return {"mode": "cuckoo", "table": table,
