@@ -117,6 +117,43 @@ def compute_requeues(fetched: pa.Table, now: float, delay_map: dict,
     return fetched, requeues, n_retries
 
 
+def validate_fragment_wants(fetched: pa.Table, frags: pa.Table,
+                            states: np.ndarray, is_html: np.ndarray,
+                            pending: dict) -> list[tuple]:
+    """Fragment validation at target-fetch time (src/index.ts:616-673,
+    :878-920): requested fragments anti-joined against the page's
+    fragment-target ids (extracted in the fetch actor). Satisfied pages
+    pop from ``pending``; misses → (url#frag, status, parent,
+    failure_json) tuples, reported BROKEN with the page's status and the
+    page's own parent. Shared by the driver loop and the mesh nodes."""
+    has_body = fetched["has_body"].to_numpy(zero_copy_only=False)
+    ok_pages = np.flatnonzero((states == "OK") & is_html & has_body)
+    out: list[tuple] = []
+    if len(ok_pages) == 0:
+        return out
+    present_by_page: dict[str, set[str]] = {}
+    for page, frag in zip(frags["page_url"].to_pylist(),
+                          frags["fragment_id"].to_pylist()):
+        present_by_page.setdefault(page, set()).add(frag)
+    urls = fetched["url"].to_pylist()
+    parents = fetched["parent"].to_pylist()
+    statuses = fetched["status"].to_numpy(zero_copy_only=False)
+    soft404s = fetched["soft404"].to_numpy(zero_copy_only=False)
+    for i in ok_pages:
+        url = urls[i]
+        wanted = pending.pop(url, None)
+        if not wanted:
+            continue
+        if soft404s[i]:  # soft-404 heuristic (src/index.ts:630-637)
+            continue
+        present = present_by_page.get(url, set())
+        for frag in sorted(wanted - present):
+            out.append((
+                f"{url}#{frag}", int(statuses[i]), parents[i],
+                f'[{{"error": "Fragment identifier \'#{frag}\' not found on page"}}]'))
+    return out
+
+
 def assemble_result_tables(fetched: pa.Table, link_results: pa.Table,
                            round_no: int, counters: dict,
                            check_css: bool = False) -> tuple[list, pa.Table]:
@@ -487,16 +524,12 @@ class LinkChecker:
         return self._run_rounds(pool, frontier, round_no)
 
     def _mesh_supported(self, resume_from) -> bool:
-        """Mesh precondition: fragment validation needs cross-actor
-        pending-fragment accounting the mesh does not carry — those runs
-        use pipelined/rounds. Robots and checkpoints ARE mesh-supported
-        (per-node robots compilation; driver-coordinated epoch
-        snapshots). A resume only goes through the mesh when the
-        checkpoint was written BY the mesh (same shard count — filters
-        are not re-shardable across K)."""
-        opts = self.opts
-        if opts.check_fragments:
-            return False
+        """Everything the driver modes support runs in the mesh too:
+        robots compile per node, fragment wants route to the target's
+        fetch owner, checkpoints are driver-coordinated epoch snapshots.
+        A resume only goes through the mesh when the checkpoint was
+        written BY the mesh (same shard count — filters are not
+        re-shardable across K)."""
         if resume_from is not None:
             import json
             import os
@@ -841,7 +874,7 @@ class LinkChecker:
         epoch = 0
         if resume_from is not None:
             frontier, epoch = self._mesh_restore(resume_from, nodes,
-                                                 num_actors)
+                                                 num_actors, sticky)
             seed_rows = frontier.num_rows
             ray.get(enqueue_frontier(frontier))
         else:
@@ -904,6 +937,8 @@ class LinkChecker:
             busy = any(p["pump_scheduled"] or p["queued_rows"] for p in polls)
             sent_c = sum(p["sent_cand"] for p in polls)
             recv_c = sum(p["received_cand"] for p in polls)
+            sent_w = sum(p["sent_wants"] for p in polls)
+            recv_w = sum(p["received_wants"] for p in polls)
             sent_f = sum(p["sent_frontier"] for p in polls)
             recv_f = sum(p["received_frontier"] for p in polls)
             deferred = sum(p["deferred_rows"] for p in polls)
@@ -914,13 +949,13 @@ class LinkChecker:
                 if (p["queued_rows"] and not p["pump_scheduled"]) or \
                         (p["held_cand"] and not p["pump_scheduled"]):
                     n.kick.remote()
-            progress = (sent_c, recv_c, sent_f, recv_f)
+            progress = (sent_c, recv_c, sent_f, recv_f, sent_w, recv_w)
             if progress != last_progress[0]:
                 last_progress = (progress, _time.monotonic())
             elif _time.monotonic() - last_progress[1] > 60:
                 raise RuntimeError(
                     f"mesh stalled 60s: nodes={polls}")
-            if not busy and sent_c == recv_c \
+            if not busy and sent_c == recv_c and sent_w == recv_w \
                     and sent_f + seed_rows == recv_f:
                 if deferred:
                     earliest = min(p["earliest_deadline"] for p in polls
@@ -987,7 +1022,8 @@ class LinkChecker:
             for n, p in zip(nodes, polls):
                 if p["held_cand"]:
                     n.kick.remote()
-            state = [(p["sent_cand"], p["received_cand"], p["sent_frontier"],
+            state = [(p["sent_cand"], p["received_cand"], p["sent_wants"],
+                      p["received_wants"], p["sent_frontier"],
                       p["received_frontier"], p["pump_scheduled"],
                       p["held_cand"]) for p in polls]
             if prev == state and not any(p["pump_scheduled"] for p in polls)                     and not any(p["held_cand"] for p in polls):
@@ -1028,6 +1064,8 @@ class LinkChecker:
                 "deadline": pa.array(list(delay_union.values()), pa.float64()),
             }),
         }
+        tables["pending_fragments"] = pa.concat_tables(
+            [s["pending_fragments"] for s in snaps])
         for i, s in enumerate(snaps):
             tables[f"edge_shard_{i:04d}"] = seen_blob_to_table(s["edge_seen"])
         seen_tables = [seen_blob_to_table(s["url_seen"]) for s in snaps]
@@ -1041,7 +1079,7 @@ class LinkChecker:
         ray.get([n.resume_run.remote() for n in nodes])
 
     def _mesh_restore(self, checkpoint_dir: str, nodes,
-                      num_actors: int) -> tuple[pa.Table, int]:
+                      num_actors: int, sticky: bool = False) -> tuple[pa.Table, int]:
         """Load the newest mesh epoch into a fresh mesh of the SAME
         shard count (seen/edge filters are hash-sharded by url_hash % K
         and are not re-shardable — the edge keys' owners are derived
@@ -1071,11 +1109,29 @@ class LinkChecker:
         delay = tables["delay_map"]
         delay_map = dict(zip(delay["host"].to_pylist(),
                              delay["deadline"].to_pylist()))
+        wants = tables.get("pending_fragments")
+        want_pieces: list = [None] * num_actors
+        if wants is not None and wants.num_rows:
+            # route each want to its target's fetch owner — same
+            # assignment frontier rows use
+            from linkinator_ray.state import mesh as mesh_mod
+            if sticky:
+                hosts = [urlkit.host_of_normalized(u)
+                         for u in wants["target_url"].to_pylist()]
+                assign = mesh_mod._host_assignment(hosts, num_actors, {})
+            else:
+                hashes = urlkit.hash64_arrow(
+                    wants["target_url"].combine_chunks())
+                assign = (hashes % np.uint64(num_actors)).astype(np.int64)
+            for a in range(num_actors):
+                idx = np.flatnonzero(assign == a)
+                if len(idx):
+                    want_pieces[a] = wants.take(pa.array(idx))
         ray.get([
             nodes[i].restore_state.remote(
                 seen_table_to_blob(seen_tables[i]),
                 seen_table_to_blob(tables[f"edge_shard_{i:04d}"]),
-                delay_map)
+                delay_map, want_pieces[i])
             for i in range(num_actors)
         ])
         return tables["frontier"], manifest["round"]
@@ -1338,43 +1394,15 @@ class LinkChecker:
     def _validate_fragments(self, fetched: pa.Table, frags: pa.Table,
                             states: np.ndarray, is_html: np.ndarray,
                             round_no: int) -> None:
-        """Fragment validation at target-fetch time (src/index.ts:616-673,
-        :878-920): requested fragments anti-joined against the page's
-        fragment-target ids (extracted in the fetch actor); misses →
-        BROKEN ``url#frag`` rows with the page's status and the page's
-        own parent."""
-        has_body = fetched["has_body"].to_numpy(zero_copy_only=False)
-        ok_pages = np.flatnonzero((states == "OK") & is_html & has_body)
-        if len(ok_pages) == 0:
-            return
-        present_by_page: dict[str, set[str]] = {}
-        for page, frag in zip(frags["page_url"].to_pylist(),
-                              frags["fragment_id"].to_pylist()):
-            present_by_page.setdefault(page, set()).add(frag)
-        urls = fetched["url"].to_pylist()
-        parents = fetched["parent"].to_pylist()
-        statuses = fetched["status"].to_numpy(zero_copy_only=False)
-        soft404s = fetched["soft404"].to_numpy(zero_copy_only=False)
-        for i in ok_pages:
-            url = urls[i]
-            wanted = self.pending_fragments.pop(url, None)
-            if not wanted:
-                continue
-            if soft404s[i]:  # soft-404 heuristic (src/index.ts:630-637)
-                continue
-            present = present_by_page.get(url, set())
-            missing = sorted(wanted - present)
-            if missing:
-                self._push_results(
-                    round_no,
-                    [f"{url}#{frag}" for frag in missing],
-                    [int(statuses[i])] * len(missing),
-                    ["BROKEN"] * len(missing),
-                    [parents[i]] * len(missing),
-                    failures=[
-                        f'[{{"error": "Fragment identifier \'#{frag}\' not found on page"}}]'
-                        for frag in missing],
-                )
+        rows = validate_fragment_wants(fetched, frags, states, is_html,
+                                       self.pending_fragments)
+        if rows:
+            self._push_results(
+                round_no,
+                [r[0] for r in rows], [r[1] for r in rows],
+                ["BROKEN"] * len(rows), [r[2] for r in rows],
+                failures=[r[3] for r in rows],
+            )
 
     # ------------------------------------------------------------------
 

@@ -141,12 +141,22 @@ class MeshNode:
         self.flush_rows = opts_blob.get("flush_rows", 4096)
         self.peer_buf: list[list[pa.Table]] = []
         self.peer_buf_rows: list[int] = []
+        # fragment wants: registered unconditionally on arrival
+        # (reference registers at link-processing time,
+        # src/index.ts:754-784); validated only when the target page is
+        # fetched AFTERWARDS — a want for an already-fetched page simply
+        # never validates, same as the reference's cached-page path
+        self.pending_fragments: dict[str, set] = {}
+        self.peer_wants: list[list[pa.Table]] = []
+        self.sent_wants = 0
+        self.received_wants = 0
 
     def set_peers(self, self_handle, peers) -> None:
         self.self_handle = self_handle
         self.peers = peers
         self.peer_buf = [[] for _ in peers]
         self.peer_buf_rows = [0] * len(peers)
+        self.peer_wants = [[] for _ in peers]
 
     # -- intake ------------------------------------------------------------
 
@@ -174,6 +184,17 @@ class MeshNode:
         with self.lock:
             self.received_cand += cand.num_rows
             self._accept_candidates(cand)
+
+    def submit_wants(self, wants: pa.Table) -> None:
+        """Fragment wants whose target page this node will fetch."""
+        with self.lock:
+            self.received_wants += wants.num_rows
+            self._register_wants(wants)
+
+    def _register_wants(self, wants: pa.Table) -> None:
+        for url, frag in zip(wants["target_url"].to_pylist(),
+                             wants["fragment"].to_pylist()):
+            self.pending_fragments.setdefault(url, set()).add(frag)
 
     def _schedule_pump(self) -> None:
         if not self.pump_scheduled and not self.paused \
@@ -206,10 +227,19 @@ class MeshNode:
                 else schema.empty(schema.FRONTIER)
             dups = pa.concat_tables(self.dup_edges) \
                 if self.dup_edges else schema.empty(schema.EDGES)
+            pending = pa.table({
+                "target_url": pa.array(
+                    [u for u, fs in self.pending_fragments.items()
+                     for _ in fs], pa.string()),
+                "fragment": pa.array(
+                    [f for fs in self.pending_fragments.values()
+                     for f in fs], pa.string()),
+            })
             return {
                 "frontier": frontier,
                 "url_seen": self.url_seen.dump(),
                 "edge_seen": self.edge_seen.dump(),
+                "pending_fragments": pending,
                 "delay_map": dict(self.delay_map),
                 "dup_edges": dups.group_by(["url", "parent"]).aggregate([])
                 if dups.num_rows else dups,
@@ -217,11 +247,13 @@ class MeshNode:
             }
 
     def restore_state(self, url_blob: dict, edge_blob: dict,
-                      delay_map: dict) -> None:
+                      delay_map: dict, wants: pa.Table | None = None) -> None:
         with self.lock:
             self.url_seen.restore(url_blob)
             self.edge_seen.restore(edge_blob)
             self.delay_map.update(delay_map)
+            if wants is not None and wants.num_rows:
+                self._register_wants(wants)
 
     # -- dedup + frontier routing (the shard role) -------------------------
 
@@ -335,16 +367,18 @@ class MeshNode:
 
     def _process(self, batch: pa.Table, now: float) -> None:
         from linkinator_ray.pipelines.crawl import (assemble_result_tables,
-                                                    compute_requeues)
+                                                    compute_requeues,
+                                                    validate_fragment_wants)
         batch = self._apply_rewrites(batch)
         with self.lock:
             batch = self._skip_stage(batch)
             batch = self._politeness_gate(batch, now)
+            pending_list = list(self.pending_fragments)                 if self.opts.check_fragments else []
         if batch.num_rows == 0:
             return
         # the long fetch/extract section runs WITHOUT the lock so peer
         # messages (enqueue/submit/poll) land concurrently
-        output = self.worker.fetch_batch(batch, [], now)
+        output = self.worker.fetch_batch(batch, pending_list, now)
         fetched = output["fetched"]
         with self.lock:
             self.counters["urls_checked"] += fetched.num_rows
@@ -352,10 +386,37 @@ class MeshNode:
                 fetched, now, self.delay_map, self.opts, self.rng)
             self.counters["retries"] += n_retries
             self.deferred.extend(t for t in requeues if t.num_rows)
-            results, _ = assemble_result_tables(
+            results, remaining = assemble_result_tables(
                 fetched, output["link_results"], self.counters["rounds"],
                 self.counters, check_css=self.opts.check_css)
             self.results_buf.extend(results)
+            if self.opts.check_fragments:
+                # own-range wants register BEFORE validating this
+                # batch's pages, so same-page/same-batch fragments
+                # validate now — identical ordering to the driver loop
+                self._route_wants(output["pending_frags"])
+                if remaining.num_rows:
+                    states = np.asarray(remaining["state"].to_pylist(),
+                                        dtype=object)
+                    is_html = remaining["recurse_html"].to_numpy(
+                        zero_copy_only=False)
+                    bad = validate_fragment_wants(
+                        remaining, output["frag_targets"], states, is_html,
+                        self.pending_fragments)
+                    if bad:
+                        k = len(bad)
+                        self.results_buf.append(pa.Table.from_arrays([
+                            pa.array([r[0] for r in bad], pa.string()),
+                            pa.array([r[1] for r in bad], pa.int32()),
+                            pa.array(["BROKEN"] * k, pa.string()),
+                            pa.array([r[2] for r in bad], pa.string()),
+                            pa.array([r[3] for r in bad], pa.string()),
+                            pa.array(np.full(k, self.counters["rounds"],
+                                             dtype=np.int32)),
+                            pa.array(np.zeros(k, dtype=bool)),
+                        ], names=["url", "status", "state", "parent",
+                                  "failure_details", "round",
+                                  "frontier_level"]))
             self._route_candidates(output["candidates"])
 
     def _apply_rewrites(self, batch: pa.Table) -> pa.Table:
@@ -446,6 +507,32 @@ class MeshNode:
                 batch = batch.filter(pa.array(~later))
         return batch
 
+    def _route_wants(self, wants: pa.Table) -> None:
+        """Route fragment wants to the node that will FETCH the target
+        (host owner in sticky mode, url_hash owner in balanced mode —
+        the same assignment frontier rows use). Own-range wants register
+        immediately so same-batch pages validate in this pump (driver-
+        mode ordering)."""
+        if wants.num_rows == 0:
+            return
+        if self.sticky_hosts:
+            hosts = [urlkit.host_of_normalized(u)
+                     for u in wants["target_url"].to_pylist()]
+            assign = _host_assignment(hosts, self.num_nodes, self.host_memo)
+        else:
+            hashes = urlkit.hash64_arrow(
+                wants["target_url"].combine_chunks())
+            assign = (hashes % np.uint64(self.num_nodes)).astype(np.int64)
+        for a in range(self.num_nodes):
+            idx = np.flatnonzero(assign == a)
+            if not len(idx):
+                continue
+            piece = wants.take(pa.array(idx))
+            if a == self.actor_id:
+                self._register_wants(piece)
+            else:
+                self.peer_wants[a].append(piece)
+
     def _route_candidates(self, cand: pa.Table) -> None:
         if cand.num_rows == 0:
             return
@@ -465,15 +552,20 @@ class MeshNode:
 
     def _flush_peers(self, everything: bool) -> None:
         for a, bufs in enumerate(self.peer_buf):
-            if not bufs:
-                continue
-            if not everything and self.peer_buf_rows[a] < self.flush_rows:
-                continue
-            piece = bufs[0] if len(bufs) == 1 else pa.concat_tables(bufs)
-            self.peer_buf[a] = []
-            self.peer_buf_rows[a] = 0
-            self.sent_cand += piece.num_rows
-            self.peers[a].submit_candidates.remote(piece)
+            if bufs and (everything
+                         or self.peer_buf_rows[a] >= self.flush_rows):
+                piece = bufs[0] if len(bufs) == 1 else pa.concat_tables(bufs)
+                self.peer_buf[a] = []
+                self.peer_buf_rows[a] = 0
+                self.sent_cand += piece.num_rows
+                self.peers[a].submit_candidates.remote(piece)
+            wbufs = self.peer_wants[a] if self.peer_wants else []
+            if wbufs and (everything
+                          or not self.peer_buf[a]):  # ride along with flushes
+                piece = wbufs[0] if len(wbufs) == 1 else pa.concat_tables(wbufs)
+                self.peer_wants[a] = []
+                self.sent_wants += piece.num_rows
+                self.peers[a].submit_wants.remote(piece)
 
     # -- driver interface --------------------------------------------------
 
@@ -496,8 +588,11 @@ class MeshNode:
             "sent_frontier": self.sent_frontier,
             "received_cand": self.received_cand,
             "sent_cand": self.sent_cand,
+            "sent_wants": self.sent_wants,
+            "received_wants": self.received_wants,
             "queued_rows": self.queued_rows,
-            "held_cand": sum(self.peer_buf_rows),
+            "held_cand": sum(self.peer_buf_rows)
+            + sum(t.num_rows for bufs in self.peer_wants for t in bufs),
             "deferred_rows": deferred_rows,
             "earliest_deadline": earliest,
             "pump_scheduled": self.pump_scheduled or self.pumping,

@@ -92,3 +92,22 @@ def test_cross_page_fragment_discovered_before_fetch():
         [], ["pend/"], {"recurse": True, "check_fragments": True})
     res = run(fixture)
     assert CB + "pend/target.html#nope" in broken_urls(res)
+
+
+def test_mesh_fragment_parity(ray_session):
+    """The mesh execution mode produces the identical fragment results
+    as the round mode on the fragment fixtures — wants route to the
+    target's fetch owner and validate at fetch time."""
+    for name in ("fragments",):
+        fixture = getattr(fx, name)()
+        rounds = run(fixture)
+        opts = dict(fixture.options, mesh=True, fetch_concurrency=2)
+        mesh = LinkChecker(CheckOptions(paths=fixture.seeds, **opts),
+                           fixture.documents, fixture.http_map,
+                           use_ray=True).check()
+
+        def key(res):
+            return {(r["url"], r["state"], r["status"])
+                    for r in res.results.to_pylist()}
+        assert key(rounds) == key(mesh), name
+        assert rounds.passed == mesh.passed, name
