@@ -1074,6 +1074,7 @@ class LinkChecker:
             seen_tables, counters,
             extra={"mesh": True, "mesh_nodes": num_actors,
                    "spill_part": self._spill_part,
+                   "node_spill_parts": [s["spill_part"] for s in snaps],
                    "clock": self.clock.now()},
         )
         ray.get([n.resume_run.remote() for n in nodes])
@@ -1127,11 +1128,13 @@ class LinkChecker:
                 idx = np.flatnonzero(assign == a)
                 if len(idx):
                     want_pieces[a] = wants.take(pa.array(idx))
+        node_parts = manifest["extra"].get("node_spill_parts",
+                                           [0] * num_actors)
         ray.get([
             nodes[i].restore_state.remote(
                 seen_table_to_blob(seen_tables[i]),
                 seen_table_to_blob(tables[f"edge_shard_{i:04d}"]),
-                delay_map, want_pieces[i])
+                delay_map, want_pieces[i], node_parts[i])
             for i in range(num_actors)
         ])
         return tables["frontier"], manifest["round"]

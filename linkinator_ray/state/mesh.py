@@ -36,12 +36,12 @@ in-process (no message, no counter — symmetric).
 Reference semantics preserved: edge + URL dedup order
 (src/index.ts:800-817 — edge-fresh rows only consult/insert the URL
 set), duplicate-broken re-reporting input (:840-875), retry handling
-(:1019-1109). robots.txt rules are compiled per node from the corpus.
-Checkpoints are driver-coordinated epoch snapshots (pause → settle →
-snapshot every node → one atomic write → resume); resume requires the
-same node count (filters are hash-sharded). Fragment validation needs
-cross-actor pending-fragment accounting the mesh does not carry —
-LinkChecker falls back to the pipelined mode for check_fragments.
+(:1019-1109), fragment wants registered at link-processing time and
+validated at target fetch (:754-784, :616-673). robots.txt rules are
+compiled per node from the corpus. Checkpoints are driver-coordinated
+epoch snapshots (pause → settle → snapshot every node → one atomic
+write → resume); resume requires the same node count (filters are
+hash-sharded). Every LinkChecker feature runs in this mode.
 
 Scale notes: actor queues are unbounded in-memory — at 10^10 URLs add
 spill-to-parquet per node and acked sends; counters make loss visible
@@ -150,6 +150,12 @@ class MeshNode:
         self.peer_wants: list[list[pa.Table]] = []
         self.sent_wants = 0
         self.received_wants = 0
+        # node-local streaming results sink (options.results_dir): OK /
+        # SKIPPED rows spill straight from the node to partitioned
+        # parquet — at 10^10 URLs result rows never route through the
+        # driver. Frontier-level BROKEN rows are retained in the buffer
+        # (the driver's duplicate-broken join needs them).
+        self.spill_part = 0
 
     def set_peers(self, self_handle, peers) -> None:
         self.self_handle = self_handle
@@ -244,16 +250,19 @@ class MeshNode:
                 "dup_edges": dups.group_by(["url", "parent"]).aggregate([])
                 if dups.num_rows else dups,
                 "counters": dict(self.counters),
+                "spill_part": self.spill_part,
             }
 
     def restore_state(self, url_blob: dict, edge_blob: dict,
-                      delay_map: dict, wants: pa.Table | None = None) -> None:
+                      delay_map: dict, wants: pa.Table | None = None,
+                      spill_part: int = 0) -> None:
         with self.lock:
             self.url_seen.restore(url_blob)
             self.edge_seen.restore(edge_blob)
             self.delay_map.update(delay_map)
             if wants is not None and wants.num_rows:
                 self._register_wants(wants)
+            self.spill_part = spill_part
 
     # -- dedup + frontier routing (the shard role) -------------------------
 
@@ -418,6 +427,36 @@ class MeshNode:
                                   "failure_details", "round",
                                   "frontier_level"]))
             self._route_candidates(output["candidates"])
+            self._maybe_spill_results()
+
+    def _maybe_spill_results(self) -> None:
+        opts = self.opts
+        if not opts.results_dir:
+            return
+        held = sum(t.num_rows for t in self.results_buf)
+        threshold = max(1, opts.results_flush_rows // max(1, self.num_nodes))
+        if held < threshold:
+            return
+        import os
+
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        merged = pa.concat_tables(self.results_buf).combine_chunks()
+        keep_mask = pc.and_(merged["frontier_level"],
+                            pc.equal(merged["state"], "BROKEN"))
+        keep = merged.filter(keep_mask)
+        spill = merged.filter(pc.invert(keep_mask))
+        if spill.num_rows:
+            os.makedirs(opts.results_dir, exist_ok=True)
+            part = os.path.join(
+                opts.results_dir,
+                f"node{self.actor_id:02d}_part_{self.spill_part:05d}.parquet")
+            pq.write_table(spill.drop_columns(["frontier_level"]),
+                           part + ".tmp")
+            os.replace(part + ".tmp", part)
+            self.spill_part += 1
+            self.counters["spilled_rows"] =                 self.counters.get("spilled_rows", 0) + spill.num_rows
+        self.results_buf = [keep] if keep.num_rows else []
 
     def _apply_rewrites(self, batch: pa.Table) -> pa.Table:
         if not self.rewrites:

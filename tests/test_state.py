@@ -286,3 +286,46 @@ class TestMeshCheckpoint:
                                      fetch_concurrency=3, checkpoint_dir=ck),
                         docs, [], multi_host=True, use_ray=True) \
                 .check(resume_from=ck)
+
+
+class TestMeshResultsSpill:
+    def test_node_local_results_spill(self, ray_session, tmp_path):
+        """With results_dir set, mesh nodes spill OK/SKIPPED rows to
+        partitioned parquet directly (never through the driver); the
+        union of spilled parts + final in-memory results equals a
+        no-spill run, and BROKEN totals stay correct."""
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from linkinator_ray.sources.synth import synth_crawl_corpus
+        docs, seeds, expected_seen, _ = synth_crawl_corpus(
+            num_hosts=2, docs_per_host=300)
+        base = dict(paths=seeds, recurse=True, fetch_concurrency=2,
+                    mesh=True)
+        full = LinkChecker(CheckOptions(**base), docs, [],
+                           multi_host=True, use_ray=True).check()
+
+        res_dir = str(tmp_path / "meshres")
+        spilled = LinkChecker(
+            CheckOptions(**base, results_dir=res_dir,
+                         results_flush_rows=50, batch_size=64),
+            docs, [], multi_host=True, use_ray=True).check()
+        parts = sorted(os.listdir(res_dir))
+        assert parts, "expected node-spilled parquet parts"
+        assert any(p.startswith("node") for p in parts)
+
+        tables = [pq.read_table(os.path.join(res_dir, p)) for p in parts]
+        all_rows = pa.concat_tables(
+            tables + [spilled.results.select(tables[0].column_names)])
+
+        def key(table):
+            return {(r["url"], r["state"], r["status"])
+                    for r in table.to_pylist()}
+        assert key(all_rows) == key(full.results)
+        assert spilled.passed == full.passed
+        assert spilled.stats["seen_urls"] == expected_seen
+        # BROKEN accounting includes node-spilled rows (they are
+        # retained driver-side, never node-spilled)
+        assert spilled.stats["broken"] == full.stats["broken"]
