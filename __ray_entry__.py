@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, limit=100, ngram=1, threshold=0.5),
         "dedup_embedding": embedding_pairs,
         "dedup_minhash": lambda sf: dedup.dedup_minhash(sf, threshold=0.7),  # rows-only
+        "corpus_dedup_keep": lambda sf: dedup.corpus_dedup_keep(sf),  # rows-only (near-dup leg)
         "dedup_embedding_lsh": lambda sf: dedup.dedup_embedding_lsh(
             sf, threshold=0.9),  # rows-only (scale path)
         "dedup_simhash": lambda sf: dedup.dedup_simhash(sf, max_hamming=3),  # rows-only

@@ -133,6 +133,7 @@ def run_queries() -> dict:
         "top_tokens": lambda: text.top_tokens(SF_DIR),
         "dedup_exact": lambda: dedup.dedup_exact(SF_DIR),
         "dedup_minhash": lambda: dedup.dedup_minhash(SF_DIR),
+        "corpus_dedup_keep": lambda: dedup.corpus_dedup_keep(SF_DIR),
         "dedup_simhash": lambda: dedup.dedup_simhash(SF_DIR),
         "dedup_embedding_lsh": lambda: dedup.dedup_embedding_lsh(SF_DIR),
         "knn_bruteforce": lambda: similarity.knn_bruteforce(SF_DIR, k=5, num_queries=4),

@@ -574,6 +574,78 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.95, limit: int | None = 20
     return pa.Table.from_pandas(pairs, preserve_index=False)
 
 
+def corpus_dedup_keep(sf_dir: str, threshold: float = 0.7,
+                      out_dir: str | None = None):
+    """The end-to-end training-data dedup pipeline: documents → exact
+    dedup (keep the lowest doc_id per identical text) → MinHash+LSH
+    near-dup (drop every cluster member except the cluster minimum) →
+    the KEEP list. With ``out_dir``, the kept documents stream to
+    hash-partitioned parquet (one file per partition — resumable,
+    never one giant file).
+
+    Returns a pyarrow Table (doc_id, reason) for every DROPPED doc —
+    reason 'exact' | 'near' — small by construction (the keep side is
+    the corpus; only drops materialize on the driver).
+    """
+    # exact drops: every non-minimum doc of an identical-text group —
+    # computed WHERE the groups live (hash partitions); only the drops
+    # (tiny by construction) reach the driver
+    from linkinator_ray.pipelines.hashagg import hash_partition_apply
+
+    def hash_kernel(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "doc_id": batch["doc_id"],
+            "text_hash": [hashlib.md5(t.encode()).hexdigest()
+                          for t in batch["text"].fillna("")],
+        })
+
+    def exact_drops_part(part: pd.DataFrame) -> pd.DataFrame:
+        gmin = part.groupby("text_hash")["doc_id"].transform("min")
+        return part.loc[part["doc_id"] != gmin, ["doc_id"]]
+
+    hashed = read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        hash_kernel, batch_format="pandas", batch_size=8192)
+    exact_df = hash_partition_apply(hashed, "text_hash",
+                                    exact_drops_part).to_pandas()
+    hashed_drop = exact_df["doc_id"].to_numpy() if len(exact_df) else \
+        np.empty(0, dtype=np.int64)
+    near = dedup_minhash(sf_dir, threshold=threshold).to_pandas()
+    near_drop = set()
+    if len(near):
+        cluster_min = near.groupby("cluster_id")["doc_id"].transform("min")
+        near_drop = set(near.loc[near["doc_id"] != cluster_min, "doc_id"])
+    exact_drop = set(hashed_drop.tolist())
+    near_drop -= exact_drop
+    drops = sorted((d, "exact") for d in exact_drop) \
+        + sorted((d, "near") for d in near_drop)
+    drops.sort()
+    dropped = pa.table({
+        "doc_id": pa.array([d for d, _ in drops], pa.int64()),
+        "reason": pa.array([r for _, r in drops], pa.string()),
+    })
+    if out_dir:
+        drop_ids = set(d for d, _ in drops)
+        try:
+            import ray
+            drop_ref = ray.put(drop_ids) if ray.is_initialized() else drop_ids
+        except Exception:
+            drop_ref = drop_ids
+
+        class _KeepFilter:
+            def __init__(self, ref):
+                import ray as _ray
+                self.drop = _ray.get(ref) if not isinstance(ref, set) else ref
+
+            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+                return batch[~batch["doc_id"].isin(self.drop)]
+
+        read_docs(sf_dir).map_batches(
+            _KeepFilter, batch_format="pandas", batch_size=4096,
+            concurrency=(1, 4), fn_constructor_kwargs={"ref": drop_ref}) \
+            .write_parquet(out_dir)
+    return dropped
+
+
 def embedding_dim(sf_dir: str) -> int:
     """Vector dimensionality — one row-group peek, not a table scan."""
     import pyarrow.parquet as pq

@@ -291,3 +291,36 @@ def test_token_count_bpe_matches_re(ray_session):
     expected = [len(pat.findall(t or "")) for t in docs["text"]]
     assert out["n_bpe_tokens"].tolist() == expected
     assert (out["n_bpe_tokens"] > 0).all()
+
+
+def test_corpus_dedup_keep_planted(ray_session, tmp_path):
+    """End-to-end corpus dedup: planted exact duplicates drop with
+    reason 'exact' (lowest doc_id kept), planted near-duplicates with
+    reason 'near', and the written keep-side parquet is the complement."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.dedup import corpus_dedup_keep
+    base = "the quick brown fox jumps over the lazy dog again and again " * 8
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},                       # exact dup of 0
+        {"doc_id": 2, "text": base + "tail minor edit"},   # near dup of 0
+        {"doc_id": 3, "text": "completely different words entirely " * 20},
+        {"doc_id": 4, "text": "another unrelated document body here " * 20},
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
+    out = str(tmp_path / "kept")
+    dropped = corpus_dedup_keep(sf, out_dir=out)
+    by_id = dict(zip(dropped["doc_id"].to_pylist(),
+                     dropped["reason"].to_pylist()))
+    assert by_id.get(1) == "exact"
+    assert by_id.get(2) == "near"
+    kept = sorted(pads.dataset(out).to_table(
+        columns=["doc_id"])["doc_id"].to_pylist())
+    assert kept == [0, 3, 4]
