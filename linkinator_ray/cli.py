@@ -132,6 +132,32 @@ def _register_live_output(checker, verbosity: str) -> None:
     checker.on("link", on_link)
 
 
+def _register_csv_output(checker, verbosity: str) -> None:
+    """Streaming CSV rows per link event with the reference's header +
+    shouldShowResult gating (src/cli.ts:248-251, :318-339)."""
+    level = _LOG_LEVEL[verbosity]
+    print("url,status,state,parent,failureDetails")
+
+    def esc(field) -> str:
+        field = "" if field is None else str(field)
+        if any(ch in field for ch in ',"\n'):
+            return '"' + field.replace('"', '""') + '"'
+        return field
+
+    def on_link(link):
+        state = link["state"]
+        show = ((state == "OK" and level <= 2)
+                or (state == "BROKEN" and level <= 3)
+                or (state == "SKIPPED" and level <= 1))
+        if not show:
+            return
+        status = link["status"] if link["status"] is not None else ""
+        details = link["failureDetails"] if level <= 0 else ""
+        print(f"{esc(link['url'])},{status},{state},"
+              f"{esc(link['parent'] or '')},{esc(details)}")
+    checker.on("link", on_link)
+
+
 def main(argv: list[str] | None = None) -> int:
     from linkinator_ray.options import CheckOptions, load_config, merge_config
     from linkinator_ray.pipelines.crawl import LinkChecker
@@ -185,6 +211,8 @@ def main(argv: list[str] | None = None) -> int:
     checker = LinkChecker(opts, documents, use_ray=args.use_ray)
     if args.format == "text":
         _register_live_output(checker, args.verbosity)
+    elif args.format == "csv":
+        _register_csv_output(checker, args.verbosity)
     result = checker.check(resume_from=args.resume_from)
     elapsed = time.time() - t0
 
@@ -193,7 +221,7 @@ def main(argv: list[str] | None = None) -> int:
     if args.format == "json":
         print(report.render_json(shown, result.passed))
     elif args.format == "csv":
-        print(report.render_csv(shown))
+        pass  # rows streamed live per link event (src/cli.ts:318-339)
     else:
         # render_text filters rows itself; totals come from the full set.
         print(report.render_text(result.results, elapsed, checker.static_host,
