@@ -90,7 +90,7 @@ class CheckOptions:
     paths: list[str] = dataclasses.field(default_factory=list)
     concurrency: int = 100  # per-fetch-actor async fan-out cap (src/index.ts:256-258)
     recurse: bool = False
-    timeout: float = 0.0  # 0 = no timeout (src/cli.ts:118-119)
+    timeout: float = 0.0  # MILLISECONDS, 0 = no timeout (reference --timeout unit, src/cli.ts:118-119)
     markdown: bool = False
     links_to_skip: list[str] | Callable[[str], bool] = dataclasses.field(default_factory=list)
     server_root: str | None = None

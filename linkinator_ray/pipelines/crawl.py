@@ -922,7 +922,7 @@ class LinkChecker:
             if opts.checkpoint_dir and _time.monotonic() - last_ckpt \
                     > ckpt_interval:
                 epoch += 1
-                self._mesh_checkpoint(nodes, epoch, num_actors)
+                self._mesh_checkpoint(nodes, epoch, num_actors, seed_rows)
                 last_ckpt = _time.monotonic()
                 last_progress = (None, _time.monotonic())
             polls = ray.get([n.poll.remote() for n in nodes])
@@ -999,10 +999,14 @@ class LinkChecker:
     # mesh checkpoint / resume (driver-coordinated epoch snapshots)
     # ------------------------------------------------------------------
 
-    def _mesh_checkpoint(self, nodes, epoch: int, num_actors: int) -> None:
+    def _mesh_checkpoint(self, nodes, epoch: int, num_actors: int,
+                         seed_rows: int) -> None:
         """Pause the mesh, wait for in-flight messages to settle (two
-        identical consecutive counter snapshots under pause), drain the
-        result buffers, snapshot every node's state, write one atomic
+        identical consecutive counter snapshots under pause AND matching
+        send/receive totals across nodes — a message still on the wire
+        between two polls would otherwise be in neither a sender buffer
+        nor a receiver queue, silently missing from the snapshot), drain
+        the result buffers, snapshot every node's state, write one atomic
         checkpoint, resume. The pause costs one settle round-trip — the
         cadence knob is opts.checkpoint_interval_s."""
         import time as _time
@@ -1026,7 +1030,19 @@ class LinkChecker:
                       p["received_wants"], p["sent_frontier"],
                       p["received_frontier"], p["pump_scheduled"],
                       p["held_cand"]) for p in polls]
-            if prev == state and not any(p["pump_scheduled"] for p in polls)                     and not any(p["held_cand"] for p in polls):
+            # totals must balance too (mirrors the quiescence check in
+            # _run_mesh_body): stable counters alone can't see a message
+            # in flight across two ~5 ms polls
+            totals_ok = (
+                sum(p["sent_cand"] for p in polls)
+                == sum(p["received_cand"] for p in polls)
+                and sum(p["sent_wants"] for p in polls)
+                == sum(p["received_wants"] for p in polls)
+                and sum(p["sent_frontier"] for p in polls) + seed_rows
+                == sum(p["received_frontier"] for p in polls))
+            if prev == state and totals_ok \
+                    and not any(p["pump_scheduled"] for p in polls) \
+                    and not any(p["held_cand"] for p in polls):
                 break
             prev = state
             _time.sleep(0.005)

@@ -574,76 +574,91 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.95, limit: int | None = 20
     return pa.Table.from_pandas(pairs, preserve_index=False)
 
 
+def corpus_dedup_drops(sf_dir: str, threshold: float = 0.7):
+    """Drop set of the end-to-end dedup pipeline as a DATASET —
+    (doc_id, reason) with reason 'exact' | 'near' — never materialized
+    on the driver. One row per dropped doc (a doc that is both an exact
+    and a near dup reports 'exact': min() over the reason column, and
+    'exact' < 'near').
+
+    Exact drops (every non-minimum doc of an identical-text group) are
+    computed WHERE the groups live, via the hash-partitioned exchange.
+    Near drops come from the MinHash cluster table — cluster members
+    only, orders smaller than the corpus by construction.
+    """
+    import ray.data as rd
+
+    from linkinator_ray.pipelines.hashagg import (hash_aggregate,
+                                                  hash_partition_apply)
+
+    def hash_kernel(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").fill_null("").to_pylist()
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text_hash": pa.array([hashlib.md5(t.encode()).hexdigest()
+                                   for t in texts], pa.string()),
+        })
+
+    def exact_drops_part(part: pd.DataFrame) -> pd.DataFrame:
+        gmin = part.groupby("text_hash")["doc_id"].transform("min")
+        out = part.loc[part["doc_id"] != gmin, ["doc_id"]].copy()
+        out["reason"] = pd.array(["exact"] * len(out), dtype="string")
+        return out
+
+    hashed = read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        hash_kernel, batch_format="pyarrow", batch_size=8192)
+    exact_drops = hash_partition_apply(hashed, "text_hash",
+                                       exact_drops_part)
+
+    # near drops: cluster table = members of near-dup clusters only
+    near = dedup_minhash(sf_dir, threshold=threshold).to_pandas()
+    if len(near):
+        cluster_min = near.groupby("cluster_id")["doc_id"].transform("min")
+        nd = near.loc[near["doc_id"] != cluster_min, ["doc_id"]]
+        near_tbl = pa.table({
+            "doc_id": pa.array(nd["doc_id"].to_numpy(), pa.int64()),
+            "reason": pa.array(["near"] * len(nd), pa.string())})
+    else:
+        near_tbl = pa.table({"doc_id": pa.array([], pa.int64()),
+                             "reason": pa.array([], pa.string())})
+    drops = exact_drops.union(rd.from_arrow(near_tbl))
+    # one row per doc_id; 'exact' wins over 'near' (min). Stays a Dataset.
+    return hash_aggregate(drops, "doc_id", {"reason": ("reason", "min")})
+
+
 def corpus_dedup_keep(sf_dir: str, threshold: float = 0.7,
                       out_dir: str | None = None):
     """The end-to-end training-data dedup pipeline: documents → exact
     dedup (keep the lowest doc_id per identical text) → MinHash+LSH
     near-dup (drop every cluster member except the cluster minimum) →
-    the KEEP list. With ``out_dir``, the kept documents stream to
-    hash-partitioned parquet (one file per partition — resumable,
-    never one giant file).
+    the KEEP side. With ``out_dir``, kept documents stream to
+    hash-partitioned parquet (one file per partition — resumable, never
+    one giant file) through a distributed LEFT ANTI join: documents and
+    drops are hash-partitioned on doc_id and filtered in workers — the
+    drop set never lands on the driver or broadcasts as a Python set
+    (it can be billions of ids at 100 TB with a realistic dup rate).
 
     Returns a pyarrow Table (doc_id, reason) for every DROPPED doc —
-    reason 'exact' | 'near' — small by construction (the keep side is
-    the corpus; only drops materialize on the driver).
+    the driver-side materialization happens ONLY for this return
+    contract (the correctness-check surface); the keep path reads the
+    drops as a Dataset end-to-end.
     """
-    # exact drops: every non-minimum doc of an identical-text group —
-    # computed WHERE the groups live (hash partitions); only the drops
-    # (tiny by construction) reach the driver
-    from linkinator_ray.pipelines.hashagg import hash_partition_apply
+    from linkinator_ray.pipelines.hashagg import default_parts
 
-    def hash_kernel(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"],
-            "text_hash": [hashlib.md5(t.encode()).hexdigest()
-                          for t in batch["text"].fillna("")],
-        })
-
-    def exact_drops_part(part: pd.DataFrame) -> pd.DataFrame:
-        gmin = part.groupby("text_hash")["doc_id"].transform("min")
-        return part.loc[part["doc_id"] != gmin, ["doc_id"]]
-
-    hashed = read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        hash_kernel, batch_format="pandas", batch_size=8192)
-    exact_df = hash_partition_apply(hashed, "text_hash",
-                                    exact_drops_part).to_pandas()
-    hashed_drop = exact_df["doc_id"].to_numpy() if len(exact_df) else \
-        np.empty(0, dtype=np.int64)
-    near = dedup_minhash(sf_dir, threshold=threshold).to_pandas()
-    near_drop = set()
-    if len(near):
-        cluster_min = near.groupby("cluster_id")["doc_id"].transform("min")
-        near_drop = set(near.loc[near["doc_id"] != cluster_min, "doc_id"])
-    exact_drop = set(hashed_drop.tolist())
-    near_drop -= exact_drop
-    drops = sorted((d, "exact") for d in exact_drop) \
-        + sorted((d, "near") for d in near_drop)
-    drops.sort()
-    dropped = pa.table({
-        "doc_id": pa.array([d for d, _ in drops], pa.int64()),
-        "reason": pa.array([r for _, r in drops], pa.string()),
-    })
+    drops = corpus_dedup_drops(sf_dir, threshold=threshold)
     if out_dir:
-        drop_ids = set(d for d, _ in drops)
-        try:
-            import ray
-            drop_ref = ray.put(drop_ids) if ray.is_initialized() else drop_ids
-        except Exception:
-            drop_ref = drop_ids
-
-        class _KeepFilter:
-            def __init__(self, ref):
-                import ray as _ray
-                self.drop = _ray.get(ref) if not isinstance(ref, set) else ref
-
-            def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-                return batch[~batch["doc_id"].isin(self.drop)]
-
-        read_docs(sf_dir).map_batches(
-            _KeepFilter, batch_format="pandas", batch_size=4096,
-            concurrency=(1, 4), fn_constructor_kwargs={"ref": drop_ref}) \
-            .write_parquet(out_dir)
-    return dropped
+        # materialize once (object store, distributed) so the keep join
+        # and the returned table don't re-run the dedup pipeline
+        drops = drops.materialize()
+        keeps = read_docs(sf_dir).join(
+            drops, join_type="left_anti",
+            num_partitions=default_parts(), on=("doc_id",))
+        keeps.write_parquet(out_dir)
+    dropped = drops.to_pandas().sort_values("doc_id")
+    return pa.table({
+        "doc_id": pa.array(dropped["doc_id"].to_numpy(), pa.int64()),
+        "reason": pa.array(dropped["reason"].astype(object), pa.string()),
+    })
 
 
 def embedding_dim(sf_dir: str) -> int:

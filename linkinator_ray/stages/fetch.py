@@ -894,7 +894,9 @@ def build_transport(blob: dict):
     builds the real stdlib HTTP transport instead (stages/http_transport)."""
     if blob.get("transport") == "http":
         from linkinator_ray.stages.http_transport import HttpTransport
-        return HttpTransport(timeout=blob.get("timeout", 0.0) or 0.0,
+        # CheckOptions.timeout is milliseconds (reference --timeout unit,
+        # src/cli.ts:118-119); the transport's socket knob is seconds
+        return HttpTransport(timeout=(blob.get("timeout", 0.0) or 0.0) / 1000.0,
                              user_agent=blob.get("user_agent", ""),
                              allow_insecure_certs=blob.get(
                                  "allow_insecure_certs", False))

@@ -59,7 +59,9 @@ class HttpTransport:
     def __init__(self, timeout: float = 0.0, user_agent: str = "",
                  allow_insecure_certs: bool = False,
                  max_body_bytes: int = 8 << 20):
-        self.timeout = timeout or 30.0
+        # seconds; 0 = genuinely no timeout (http.client blocks), matching
+        # the reference default (src/cli.ts:118-119, src/index.ts:1214-1216)
+        self.timeout = timeout if timeout and timeout > 0 else None
         self.user_agent = user_agent
         self.allow_insecure_certs = allow_insecure_certs
         self.max_body_bytes = max_body_bytes
@@ -131,6 +133,11 @@ class HttpTransport:
             return TResponse(resp.status, resp_headers, ct, body_doc_id, url)
         except TimeoutError as exc:
             self._drop(parts.scheme, host, parts.port)
+            if self.record_calls:
+                # timed-out requests must appear in the call log like any
+                # other transport error (status 0) or retry/conformance
+                # assertions undercount them
+                self.calls.append((url, method, 0))
             raise TransportError(f"request timeout: {url}") from exc
         except OSError as exc:
             self._drop(parts.scheme, host, parts.port)

@@ -97,13 +97,22 @@ def test_transport_timeout(server):
     t = HttpTransport(timeout=0.3)
     with pytest.raises(TransportError):
         t.request(f"{server}/slow", "GET")
+    # timed-out requests land in the call log like any other error
+    assert t.calls[-1] == (f"{server}/slow", "GET", 0)
+
+
+def test_transport_zero_timeout_means_unlimited():
+    # reference parity: timeout 0 = no timeout (src/cli.ts:118-119)
+    assert HttpTransport(timeout=0).timeout is None
+    assert HttpTransport(timeout=2.5).timeout == 2.5
 
 
 def test_crawl_over_the_wire(server):
     """Full engine crawl against the loopback site: recursion, redirect
     following, 404 detection, non-HTML leaf checks."""
+    # CheckOptions.timeout is milliseconds (reference --timeout unit)
     opts = CheckOptions(paths=[f"{server}/"], recurse=True,
-                        transport="http", timeout=5)
+                        transport="http", timeout=5000)
     result = LinkChecker(opts, use_ray=False).check()
     rows = {r["url"]: r for r in result.results.to_pylist()}
     assert not result.passed

@@ -324,3 +324,31 @@ def test_corpus_dedup_keep_planted(ray_session, tmp_path):
     kept = sorted(pads.dataset(out).to_table(
         columns=["doc_id"])["doc_id"].to_pylist())
     assert kept == [0, 3, 4]
+
+
+def test_corpus_dedup_drops_stay_distributed(ray_session, tmp_path):
+    """Scale contract of the keep path: the drop set is a Ray Dataset
+    end-to-end (hash-partitioned left-anti join in workers), never a
+    driver-side Python set — at 100 TB the drop set is billions of ids."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data
+
+    from linkinator_ray.pipelines.dedup import corpus_dedup_drops
+    base = "the quick brown fox jumps over the lazy dog again and again " * 8
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},                       # exact dup of 0
+        {"doc_id": 2, "text": base + "tail minor edit"},   # near dup of 0
+        {"doc_id": 3, "text": "an entirely different document about rayons"},
+        {"doc_id": 4, "text": "yet another unrelated text with many words"},
+    ]
+    sf = str(tmp_path / "sf")
+    os.makedirs(sf)
+    pq.write_table(pa.Table.from_pylist(rows), f"{sf}/documents.parquet")
+    drops = corpus_dedup_drops(sf)
+    assert isinstance(drops, ray.data.Dataset)
+    got = {r["doc_id"]: r["reason"] for r in drops.take_all()}
+    assert got == {1: "exact", 2: "near"}
