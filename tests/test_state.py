@@ -243,8 +243,8 @@ class TestMeshCheckpoint:
         orig = crawl_mod.LinkChecker._mesh_checkpoint
         calls = {"n": 0}
 
-        def bomb(self, nodes, epoch, num_actors):
-            orig(self, nodes, epoch, num_actors)
+        def bomb(self, nodes, epoch, num_actors, seed_rows):
+            orig(self, nodes, epoch, num_actors, seed_rows)
             calls["n"] += 1
             if calls["n"] >= 1:
                 raise KeyboardInterrupt
