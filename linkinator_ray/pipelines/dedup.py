@@ -255,30 +255,37 @@ class _VerifyAgainstAnchors:
 
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
-                  bands: int = 16, ngram: int = 3):
+                  bands: int = 16, ngram: int = 3,
+                  verify: str = "broadcast"):
     """MinHash+LSH near-dup: shingle → minhash → band → bucket groupby →
-    anchor broadcast → distributed exact-Jaccard verify → min-label
-    clusters.
+    anchor pairing → exact-Jaccard verify → min-label clusters.
 
-    One shuffle total (the bucket count/min aggregate). Verification is
-    a second MAP-ONLY pass over documents: each doc re-shingles (needed
-    for the exact Jaccard anyway), re-derives its band hashes, looks up
-    its hot-bucket anchors and verifies against the broadcast anchor
-    shingles — candidate texts never route through the driver and no
-    join shuffle is paid. Each member verifies each distinct anchor once
-    (per-row set), so band-duplicate candidates cost nothing extra.
+    ``verify="broadcast"`` (default): one shuffle total (the bucket
+    count/min aggregate). Verification is a second MAP-ONLY pass over
+    documents: each doc re-shingles (needed for the exact Jaccard
+    anyway), re-derives its band hashes, looks up its hot-bucket anchors
+    and verifies against the broadcast anchor shingles — candidate texts
+    never route through the driver and no join shuffle is paid. Each
+    member verifies each distinct anchor once (per-row set), so
+    band-duplicate candidates cost nothing extra.
 
-    Partitioning assumption (documented per SURVEY.md §4): the anchor
-    set — one doc per hot bucket — fits in the object store as a
-    broadcast map. The prior design already assumed this for the anchor
-    ids; this extends it to their shingle arrays (~text-sized). A corpus
-    whose near-dup cluster count breaks that assumption needs a
-    hash-join verify (3 extra shuffles) — deliberately not the default.
+    Partitioning assumption of the broadcast mode (SURVEY.md §4): the
+    anchor set — one doc per hot bucket — fits in the object store as a
+    broadcast map (anchor ids + their shingle arrays, ~text-sized). A
+    high-dup-rate corpus whose near-dup cluster count breaks that
+    assumption should pass ``verify="partitioned"``: hot buckets stay a
+    Dataset keyed by (band_id, band_hash), candidate (anchor, member)
+    pairs come from a hash join of the band rows against the hot
+    buckets, and the exact-Jaccard verify joins the pair list against
+    the document texts (hash-partitioned ``Dataset.join`` both times) —
+    3 extra shuffles, nothing anchor-shaped on the driver.
 
     Returns a pyarrow Table (doc_id, cluster_id) for every doc in a
     near-dup cluster of size ≥ 2; union-find runs on the driver over the
     VERIFIED pairs only (true near-dups, orders smaller than candidates).
     """
+    if verify not in ("broadcast", "partitioned"):
+        raise ValueError(f"verify must be broadcast|partitioned: {verify}")
     rows = num_perms // bands
     docs = read_docs(sf_dir, ["doc_id", "text"])
     sigs = docs.map_batches(MinHasher, batch_format="pandas", batch_size=512,
@@ -296,6 +303,9 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
     counts = hash_aggregate(
         banded, ["band_id", "band_hash"],
         {"n": ("doc_id", "count"), "anchor": ("doc_id", "min")})
+    if verify == "partitioned":
+        return _minhash_verify_partitioned(
+            sf_dir, banded, counts, ngram, threshold)
     hot = counts.filter(expr="n > 1").to_pandas()
     anchor_of = {(b, h): a for b, h, a in
                  zip(hot["band_id"], hot["band_hash"], hot["anchor"])}
@@ -332,6 +342,64 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
             "num_perms": num_perms, "bands": bands, "ngram": ngram,
             "threshold": threshold})
     kept = verified.to_pandas()
+    return _clusters_from_pairs(zip(kept["a"], kept["b"]))
+
+
+def _minhash_verify_partitioned(sf_dir: str, banded, counts, ngram: int,
+                                threshold: float) -> pa.Table:
+    """The no-driver-state verify path of ``dedup_minhash``.
+
+    Hot buckets stay a Dataset; candidate (anchor, member) pairs come
+    from a hash-partitioned join of the band rows against the hot
+    buckets; the exact-Jaccard verify joins the distinct pair list
+    against document texts (two more hash joins) and re-shingles both
+    sides in workers. Only the VERIFIED pairs — true near-dups — reach
+    the driver for union-find.
+    """
+    import pyarrow.compute as pc
+
+    from linkinator_ray.pipelines.hashagg import (default_parts,
+                                                  hash_aggregate)
+    parts = default_parts()
+    hot = counts.filter(expr="n > 1").select_columns(
+        ["band_id", "band_hash", "anchor"]).materialize()
+    if hot.count() == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "cluster_id": pa.array([], pa.int64())})
+    cands = banded.join(hot, join_type="inner", num_partitions=parts,
+                        on=("band_id", "band_hash"))
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.not_equal(t["doc_id"], t["anchor"]))
+        return pa.table({"a": t["anchor"], "b": t["doc_id"]})
+
+    pairs = hash_aggregate(
+        cands.map_batches(to_pairs, batch_format="pyarrow"),
+        ["a", "b"], {"n_bands": ("b", "count")}).select_columns(["a", "b"])
+
+    texts = read_docs(sf_dir, ["doc_id", "text"])
+    with_a = pairs.join(texts, join_type="inner", num_partitions=parts,
+                        on=("a",), right_on=("doc_id",)) \
+        .map_batches(lambda t: pa.table(
+            {"a": t["a"], "b": t["b"], "text_a": t["text"]}),
+            batch_format="pyarrow")
+    with_ab = with_a.join(texts, join_type="inner", num_partitions=parts,
+                          on=("b",), right_on=("doc_id",))
+
+    def verify_kernel(t: pa.Table) -> pa.Table:
+        a_out, b_out = [], []
+        for a, b, ta, tb in zip(t["a"].to_pylist(), t["b"].to_pylist(),
+                                t["text_a"].to_pylist(),
+                                t["text"].to_pylist()):
+            if _jaccard(_shingle_hashes(ta or "", ngram),
+                        _shingle_hashes(tb or "", ngram)) >= threshold:
+                a_out.append(a)
+                b_out.append(b)
+        return pa.table({"a": pa.array(a_out, pa.int64()),
+                         "b": pa.array(b_out, pa.int64())})
+
+    kept = with_ab.map_batches(verify_kernel, batch_format="pyarrow",
+                               batch_size=512).to_pandas()
     return _clusters_from_pairs(zip(kept["a"], kept["b"]))
 
 

@@ -88,6 +88,11 @@ def test_minhash_finds_planted_neardups(ray_session, tmp_path):
     for orig, dup in planted:
         assert orig in cluster_of and dup in cluster_of, (orig, dup)
         assert cluster_of[orig] == cluster_of[dup]
+    # partitioned verify (no driver anchor maps) must produce the
+    # identical cluster table — both modes share banding + threshold
+    part = dedup_minhash(str(out_dir), threshold=0.5,
+                         verify="partitioned").to_pandas()
+    assert part.values.tolist() == clusters.values.tolist()
 
 
 def test_simhash_exact_dup_distance_zero(ray_session):
