@@ -48,15 +48,18 @@ def dedup_exact(sf_dir: str):
 
     Output: (keeper_doc_id, dup_count) one row per distinct text.
     """
-    def hash_kernel(batch: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"],
-            "text_hash": [hashlib.md5(t.encode()).hexdigest()
-                          for t in batch["text"].fillna("")],
+    def hash_kernel(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if text.null_count:
+            text = text.fill_null("")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text_hash": pa.array([hashlib.md5(t.encode()).hexdigest()
+                                   for t in text.to_pylist()], pa.string()),
         })
 
     hashed = read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        hash_kernel, batch_format="pandas", batch_size=8192)
+        hash_kernel, batch_format="pyarrow", batch_size=8192)
     from linkinator_ray.pipelines.hashagg import hash_aggregate
     out = hash_aggregate(hashed, "text_hash",
                          {"keeper_doc_id": ("doc_id", "min"),

@@ -8,26 +8,35 @@ bucket-sized key spaces.
 
 Pattern (the classic combiner + salted exchange):
 
-1. ``map_batches``: vectorized pandas groupby per batch (the partial /
-   combiner step) + a ``__part`` column = stable hash(keys) % P;
+1. ``map_batches``: one C-speed Arrow ``group_by`` per batch (the
+   partial / combiner step) + a ``__part`` column = stable
+   hash(keys) % P — all zero-copy pyarrow, no pandas block conversion;
 2. ``groupby("__part").map_groups``: P groups total — each call merges
-   its partition's partials with one more vectorized pandas groupby.
+   its partition's partials with one more Arrow ``group_by``.
 
 The exchange moves pre-combined rows only (≤ distinct keys per batch),
 and per-group overhead is paid P times, not once per distinct key. P
 defaults to the cluster CPU count — at 100 TB raise it so each partition's
 distinct-key set fits a worker's heap.
 
-``how`` supports count/sum/min/max (count re-merges as sum).
+``how`` supports count/sum/min/max (count counts ROWS — Arrow
+``count_all`` — and re-merges as sum). Null group keys form their own
+group (Arrow semantics); no caller routes nullable keys.
+
+Partition routing hashes string keys with the buffer-level FNV kernel
+(urlkit.hash64_arrow) and numeric keys with splitmix64 — deterministic
+across processes, no pandas hashing in the hot path.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
-_PARTIAL_HOW = {"count": "size", "sum": "sum", "min": "min", "max": "max"}
+_PARTIAL_HOW = {"count": "count_all", "sum": "sum", "min": "min", "max": "max"}
 _FINAL_HOW = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+_FNV_PRIME = np.uint64(0x100000001B3)
 
 
 def default_parts(cap: int = 64) -> int:
@@ -40,10 +49,46 @@ def default_parts(cap: int = 64) -> int:
     return min(cap, max(4, n))
 
 
-def _part_of(frame: pd.DataFrame, keys: list[str], num_parts: int) -> np.ndarray:
-    # stable across processes: pandas' hashing uses a fixed default key
-    h = pd.util.hash_pandas_object(frame[keys], index=False).to_numpy()
-    return (h % np.uint64(num_parts)).astype(np.int32)
+def _splitmix64(v: np.ndarray) -> np.ndarray:
+    z = v + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def _part_of_table(t: pa.Table, keys: list[str], num_parts: int) -> pa.Array:
+    """Stable per-row partition id from the key columns — FNV over
+    string buffers, splitmix64 over numerics, combined FNV-style."""
+    from linkinator_ray.urlkit import hash64_arrow
+    h = np.zeros(t.num_rows, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for k in keys:
+            col = t.column(k)
+            ty = col.type
+            if pa.types.is_string(ty) or pa.types.is_large_string(ty):
+                kh = hash64_arrow(col)
+            else:
+                if col.null_count:
+                    col = col.fill_null(0)
+                v = np.asarray(col.to_numpy(zero_copy_only=False))
+                if v.dtype.kind == "f":
+                    kh = _splitmix64(v.astype(np.float64).view(np.uint64))
+                else:
+                    kh = _splitmix64(
+                        v.astype(np.int64, copy=False).view(np.uint64))
+            h = (h ^ kh) * _FNV_PRIME
+    return pa.array((h % np.uint64(num_parts)).astype(np.int32))
+
+
+def _grouped(t: pa.Table, keys: list[str],
+             aggs: list[tuple], renames: dict[str, str]) -> pa.Table:
+    """One Arrow group_by + output-column rename (use_threads=False:
+    each map task owns one core; pyarrow's pool is pinned elsewhere)."""
+    agg = t.group_by(keys, use_threads=False).aggregate(aggs)
+    cols = {k: agg.column(k) for k in keys}
+    for arrow_name, out_name in renames.items():
+        cols[out_name] = agg.column(arrow_name)
+    return pa.table(cols)
 
 
 def hash_aggregate(ds, keys: list[str] | str, spec: dict[str, tuple[str, str]],
@@ -54,23 +99,37 @@ def hash_aggregate(ds, keys: list[str] | str, spec: dict[str, tuple[str, str]],
     (unordered)."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     num_parts = num_parts or default_parts()
-    partial_named = {out: (src, _PARTIAL_HOW[how])
-                     for out, (src, how) in spec.items()}
-    final_named = {out: (out, _FINAL_HOW[how])
-                   for out, (src, how) in spec.items()}
     out_cols = keys + list(spec)
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        agg = batch.groupby(keys, as_index=False, sort=False).agg(**partial_named)
-        agg["__part"] = _part_of(agg, keys, num_parts)
-        return agg
+    partial_aggs, partial_renames = [], {}
+    for out, (src, how) in spec.items():
+        pa_how = _PARTIAL_HOW[how]
+        arrow_name = "count_all" if pa_how == "count_all" \
+            else f"{src}_{pa_how}"
+        if arrow_name in partial_renames:
+            raise ValueError(
+                f"duplicate aggregate {arrow_name!r}: two spec entries "
+                "share the same (source, how)")
+        partial_aggs.append(([], "count_all") if pa_how == "count_all"
+                            else (src, pa_how))
+        partial_renames[arrow_name] = out
+    final_aggs, final_renames = [], {}
+    for out, (src, how) in spec.items():
+        fin = _FINAL_HOW[how]
+        final_aggs.append((out, fin))
+        final_renames[f"{out}_{fin}"] = out
 
-    def final(group: pd.DataFrame) -> pd.DataFrame:
-        return group.groupby(keys, as_index=False, sort=False) \
-            .agg(**final_named)[out_cols]
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = _grouped(batch, keys, partial_aggs, partial_renames)
+        return agg.append_column(
+            "__part", _part_of_table(agg, keys, num_parts))
 
-    return ds.map_batches(partial, batch_format="pandas") \
-        .groupby("__part").map_groups(final, batch_format="pandas")
+    def final(group: pa.Table) -> pa.Table:
+        return _grouped(group, keys, final_aggs,
+                        final_renames).select(out_cols)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("__part").map_groups(final, batch_format="pyarrow")
 
 
 def hash_partition_apply(ds, keys: list[str] | str, part_fn,
@@ -79,19 +138,19 @@ def hash_partition_apply(ds, keys: list[str] | str, part_fn,
     once per partition. All rows of one key tuple land in the same
     partition (hash co-location) — ``part_fn`` sees complete key groups
     and is free to process them with vectorized pandas ops instead of a
-    per-group Python call."""
+    per-group Python call. Routing is zero-copy Arrow; the one
+    Arrow→pandas conversion happens inside map_groups for ``part_fn``."""
     keys = [keys] if isinstance(keys, str) else list(keys)
     num_parts = num_parts or default_parts()
 
-    def route(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy(deep=False)
-        batch["__part"] = _part_of(batch, keys, num_parts)
-        return batch
+    def route(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", _part_of_table(batch, keys, num_parts))
 
     def apply(part: pd.DataFrame) -> pd.DataFrame:
         return part_fn(part.drop(columns="__part"))
 
-    return ds.map_batches(route, batch_format="pandas") \
+    return ds.map_batches(route, batch_format="pyarrow") \
         .groupby("__part").map_groups(apply, batch_format="pandas")
 
 
@@ -109,10 +168,9 @@ def hash_map_groups(ds, keys: list[str] | str, fn,
     keys = [keys] if isinstance(keys, str) else list(keys)
     num_parts = num_parts or default_parts()
 
-    def route(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy(deep=False)
-        batch["__part"] = _part_of(batch, keys, num_parts)
-        return batch
+    def route(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__part", _part_of_table(batch, keys, num_parts))
 
     def per_part(part: pd.DataFrame) -> pd.DataFrame:
         part = part.drop(columns="__part")
@@ -125,5 +183,5 @@ def hash_map_groups(ds, keys: list[str] | str, fn,
                 else pd.DataFrame()
         return pd.concat(outs, ignore_index=True)
 
-    return ds.map_batches(route, batch_format="pandas") \
+    return ds.map_batches(route, batch_format="pyarrow") \
         .groupby("__part").map_groups(per_part, batch_format="pandas")

@@ -41,28 +41,45 @@ def read_docs(sf_dir: str, columns: list[str] | None = None):
 # token / quality stats — stateless vectorized kernel
 # ---------------------------------------------------------------------------
 
-def _stats_kernel(batch: pd.DataFrame) -> pd.DataFrame:
-    text = batch["text"].fillna("")
-    tokens = text.str.strip().str.split(_WS)
-    n_tokens = tokens.map(len).astype("int64")
-    n_chars = text.str.len().astype("int64")
-    alpha = text.str.count(r"[A-Za-z]").astype("int64")
-    punct = text.str.count(r"[.,;:!?]").astype("int64")
+def _int64(arr) -> np.ndarray:
+    return np.asarray(arr.to_numpy(zero_copy_only=False), dtype=np.int64)
+
+
+def _text_col(batch: pa.Table):
+    col = batch.column("text")
+    return col.fill_null("") if col.null_count else col
+
+
+def _stats_kernel(batch: pa.Table) -> pa.Table:
+    """Zero-copy Arrow stats kernel: pyarrow.compute regex counters on
+    the string buffers, no pandas block conversion (VERDICT r2 item 2;
+    same pattern as graph.py's edge kernel)."""
+    import pyarrow.compute as pc
+    text = _text_col(batch)
+    trimmed = pc.utf8_trim_whitespace(text)
+    # len(ws-split(trim(text))) == 1 + count of \s+ runs in the trimmed
+    # text (empty text → 1, matching pandas str.split and the oracle)
+    n_tokens = _int64(pc.count_substring_regex(trimmed, r"\s+")) + 1
+    n_chars = _int64(pc.utf8_length(text))
+    alpha = _int64(pc.count_substring_regex(text, "[A-Za-z]"))
+    punct = _int64(pc.count_substring_regex(text, "[.,;:!?]"))
     # ratios as exact parts-per-million integers so the DuckDB oracle
     # hashes identically (float rounding is not portable)
-    return pd.DataFrame({
-        "doc_id": batch["doc_id"],
-        "n_tokens": n_tokens,
-        "n_chars": n_chars,
-        "alpha_ppm": (alpha * 1_000_000) // n_chars.clip(lower=1),
-        "punct_ppm": (punct * 1_000_000) // n_tokens.clip(lower=1),
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(n_tokens),
+        "n_chars": pa.array(n_chars),
+        "alpha_ppm": pa.array((alpha * 1_000_000)
+                              // np.maximum(n_chars, 1)),
+        "punct_ppm": pa.array((punct * 1_000_000)
+                              // np.maximum(n_tokens, 1)),
     })
 
 
 def doc_stats(sf_dir: str):
     """Per-doc token/char counts + ratios (quality-score features)."""
     return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _stats_kernel, batch_format="pandas", batch_size=8192)
+        _stats_kernel, batch_format="pyarrow", batch_size=8192)
 
 
 
@@ -82,17 +99,22 @@ def token_count_by_lang(sf_dir: str):
     """Σ tokens per language — partial aggregation inside map_batches,
     tiny groupby after (the pre-aggregate pattern; ray_guide
     'Aggregation at scale')."""
-    import ray.data as rd
-    from ray.data.aggregate import Count, Sum
+    from ray.data.aggregate import Sum
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].fillna("").str.strip().str.split(_WS).map(len)
-        g = pd.DataFrame({"lang": batch["lang"], "t": toks}).groupby(
-            "lang", as_index=False).agg(tokens=("t", "sum"), docs=("t", "size"))
-        return g
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        trimmed = pc.utf8_trim_whitespace(_text_col(batch))
+        toks = pa.array(
+            _int64(pc.count_substring_regex(trimmed, r"\s+")) + 1)
+        t = pa.table({"lang": batch.column("lang"), "t": toks})
+        agg = t.group_by("lang", use_threads=False).aggregate(
+            [("t", "sum"), ([], "count_all")])
+        return pa.table({"lang": agg.column("lang"),
+                         "tokens": agg.column("t_sum"),
+                         "docs": agg.column("count_all")})
 
     partials = read_docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
-        partial, batch_format="pandas", batch_size=8192)
+        partial, batch_format="pyarrow", batch_size=8192)
     out = _fanout(partials).groupby("lang").aggregate(
         Sum("tokens", alias_name="total_tokens"),
         Sum("docs", alias_name="n_docs"))
@@ -111,10 +133,10 @@ class LangId:
         self.profiles = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
         self.token_re = re.compile(r"\w+", re.UNICODE)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         preds = []
         confs = []
-        for text in batch["text"].fillna(""):
+        for text in _text_col(batch).to_pylist():
             words = self.token_re.findall(text.lower())
             # CJK shortcut: any profile char hit dominates
             best, best_score = "en", 0.0
@@ -128,32 +150,36 @@ class LangId:
                     best, best_score = lang, float(score)
             preds.append(best)
             confs.append(best_score / max(1, len(wordset)))
-        return pd.DataFrame({"doc_id": batch["doc_id"],
-                             "predicted_lang": preds,
-                             "confidence": np.round(confs, 6)})
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "predicted_lang": pa.array(preds, pa.string()),
+                         "confidence": pa.array(np.round(confs, 6),
+                                                pa.float64())})
 
 
 def lang_id(sf_dir: str):
     return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pandas", batch_size=2048, concurrency=(1, 8))
+        LangId, batch_format="pyarrow", batch_size=2048, concurrency=(1, 8))
 
 
 # ---------------------------------------------------------------------------
 # fingerprints
 # ---------------------------------------------------------------------------
 
-def _md5_kernel(batch: pd.DataFrame) -> pd.DataFrame:
-    return pd.DataFrame({
-        "doc_id": batch["doc_id"],
-        "fingerprint": [hashlib.md5(t.encode("utf-8")).hexdigest()
-                        for t in batch["text"].fillna("")],
+def _md5_kernel(batch: pa.Table) -> pa.Table:
+    # md5 is an inherent per-row digest (hashlib loop); the batch stays
+    # Arrow so the only copies are the digest strings themselves
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "fingerprint": pa.array(
+            [hashlib.md5(t.encode("utf-8")).hexdigest()
+             for t in _text_col(batch).to_pylist()], pa.string()),
     })
 
 
 def fingerprint_md5(sf_dir: str):
     """Exact-dup key: md5 of the raw text (DuckDB-checkable)."""
     return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        _md5_kernel, batch_format="pandas", batch_size=8192)
+        _md5_kernel, batch_format="pyarrow", batch_size=8192)
 
 
 def rolling_fingerprint(sf_dir: str, window: int = 8):
@@ -164,9 +190,9 @@ def rolling_fingerprint(sf_dir: str, window: int = 8):
 
     B = np.uint64(1000003)
 
-    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+    def kernel(batch: pa.Table) -> pa.Table:
         fps = []
-        for text in batch["text"].fillna(""):
+        for text in _text_col(batch).to_pylist():
             toks = _WS.split(text.strip())
             hs = np.fromiter(
                 (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
@@ -186,11 +212,12 @@ def rolling_fingerprint(sf_dir: str, window: int = 8):
                     acc = (acc - hs[i - 1] * pow_b) * B + hs[i + window - 1]
                     roll[i] = acc
             fps.append(int(roll.min()))
-        return pd.DataFrame({"doc_id": batch["doc_id"],
-                             "rolling_fp": np.array(fps, dtype=np.uint64)})
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "rolling_fp": pa.array(
+                             np.array(fps, dtype=np.uint64))})
 
     return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        kernel, batch_format="pandas", batch_size=4096)
+        kernel, batch_format="pyarrow", batch_size=4096)
 
 
 # GPT2-style pre-tokenizer shape (contractions, letter runs, digit runs,
@@ -202,19 +229,19 @@ BPE_PRETOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+
 def token_count_bpe(sf_dir: str):
     """Per-doc token count under a BPE-ish pre-tokenizer regex (the
     training-data 'how many tokens is this corpus' primitive). The
-    compiled pattern lives in the kernel's closure — compiled once per
-    process, C-speed findall per doc."""
-    pat = re.compile(BPE_PRETOKEN_RE)
+    pattern is RE2-compatible, so the count runs entirely in Arrow's
+    C++ regex kernel (count of non-overlapping matches == len(findall))
+    — no per-doc Python at all."""
 
-    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
-        counts = [len(pat.findall(t)) for t in batch["text"].fillna("")]
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"],
-            "n_bpe_tokens": pd.Series(counts, dtype="int64"),
-        })
+    def kernel(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        n = _int64(pc.count_substring_regex(_text_col(batch),
+                                            BPE_PRETOKEN_RE))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "n_bpe_tokens": pa.array(n)})
 
     return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        kernel, batch_format="pandas", batch_size=8192)
+        kernel, batch_format="pyarrow", batch_size=8192)
 
 
 def quality_filter(sf_dir: str, min_tokens: int = 20, max_tokens: int = 1000,
@@ -223,15 +250,17 @@ def quality_filter(sf_dir: str, min_tokens: int = 20, max_tokens: int = 1000,
     with enough alphabetic content. Vectorized predicate inside
     map_batches (ds.filter(row_fn) would be per-row Python)."""
 
-    def kernel(batch: pd.DataFrame) -> pd.DataFrame:
+    def kernel(batch: pa.Table) -> pa.Table:
         stats = _stats_kernel(batch)
-        keep = ((stats["n_tokens"] >= min_tokens)
-                & (stats["n_tokens"] <= max_tokens)
-                & (stats["alpha_ppm"] >= min_alpha_ppm))
-        return stats.loc[keep, ["doc_id", "n_tokens", "alpha_ppm"]]
+        nt = _int64(stats.column("n_tokens"))
+        ap = _int64(stats.column("alpha_ppm"))
+        keep = ((nt >= min_tokens) & (nt <= max_tokens)
+                & (ap >= min_alpha_ppm))
+        return stats.select(["doc_id", "n_tokens", "alpha_ppm"]) \
+            .filter(pa.array(keep))
 
     return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        kernel, batch_format="pandas", batch_size=8192)
+        kernel, batch_format="pyarrow", batch_size=8192)
 
 
 def top_tokens(sf_dir: str, k: int = 20):
@@ -241,15 +270,24 @@ def top_tokens(sf_dir: str, k: int = 20):
     P×k rows, never the vocabulary (deterministic
     (count desc, token asc) order)."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        counts: dict[str, int] = {}
-        for text in batch["text"].fillna(""):
-            for tok in set(_WS.split(text.strip())) if text.strip() else ():
-                counts[tok] = counts.get(tok, 0) + 1
-        return pd.DataFrame({"token": list(counts), "n": list(counts.values())})
+    def partial(batch: pa.Table) -> pa.Table:
+        # Arrow-native distinct-token doc counts: regex split to a list
+        # column, flatten with parent indices, two C-speed group_bys
+        # (per-doc distinct, then per-token count) — no Python dict loop
+        import pyarrow.compute as pc
+        trimmed = pc.utf8_trim_whitespace(_text_col(batch))
+        lst = pc.split_pattern_regex(trimmed, r"\s+")
+        pairs = pa.table({"p": pc.list_parent_indices(lst),
+                          "token": pc.list_flatten(lst)})
+        distinct = pairs.group_by(["p", "token"],
+                                  use_threads=False).aggregate([])
+        agg = distinct.group_by("token", use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"token": agg.column("token"),
+                         "n": agg.column("count_all")})
 
     partials = read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        partial, batch_format="pandas", batch_size=8192)
+        partial, batch_format="pyarrow", batch_size=8192)
     from linkinator_ray.pipelines.hashagg import hash_aggregate
     merged = hash_aggregate(partials, "token", {"doc_freq": ("n", "sum")})
 
