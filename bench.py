@@ -161,6 +161,9 @@ def run_queries() -> dict:
     for name, job in jobs.items():
         best = float("inf")
         for _ in range(q_repeats):
+            # crawl results memoize per corpus (crawl_summary derives
+            # from the same crawl) — clear so every repeat is a real run
+            graph._REACH_CACHE.clear()
             t0 = time.time()
             consume(job())
             best = min(best, time.time() - t0)
