@@ -121,6 +121,7 @@ class CheckOptions:
     batch_size: int = 4096  # rows per Arrow batch in map_batches stages
     pipelined: bool = False  # continuous-queue execution (no round barriers)
     mesh: bool = False  # actor-mesh frontier: dedup + routing in actors, driver only seeds/quiesces
+    mesh_frontier_spill_rows: int = 0  # per-node frontier queue cap; past it the tail spills to parquet (0 = unbounded in-memory)
     max_rounds: int = 10_000  # BFS safety valve
     checkpoint_dir: str | None = None  # per-round frontier/seen/lineage checkpoints
     checkpoint_interval_s: float = 10.0  # mesh mode: seconds between epoch snapshots

@@ -819,7 +819,8 @@ class LinkChecker:
         # pump computes (MeshNode guards shared state with its own lock)
         node_cls = ray.remote(num_cpus=1, max_concurrency=2)(mesh_mod.MeshNode)
         blob_ref = ray.put(transport_blob)
-        opts_blob = {"batch_cap": opts.batch_size * 4, "jitter_seed": 42}
+        opts_blob = {"batch_cap": opts.batch_size * 4, "jitter_seed": 42,
+                     "frontier_spill_rows": opts.mesh_frontier_spill_rows}
         # host affinity only when per-host actor state matters (scripted
         # sequences, Retry-After delay maps, politeness); else balance by
         # url_hash — same policy as FetchPool.sticky_hosts

@@ -43,8 +43,11 @@ epoch snapshots (pause → settle → snapshot every node → one atomic
 write → resume); resume requires the same node count (filters are
 hash-sharded). Every LinkChecker feature runs in this mode.
 
-Scale notes: actor queues are unbounded in-memory — at 10^10 URLs add
-spill-to-parquet per node and acked sends; counters make loss visible
+Scale notes: the frontier queue spills to node-local parquet past
+``mesh_frontier_spill_rows`` (FIFO tail out, parts reloaded as the head
+drains; snapshots include spilled parts), bounding per-node frontier
+heap at 10^10 URLs. Candidate/result buffers are pump-bounded. Sends
+are not individually acked; the monotonic counters make loss visible
 (sent != received never converges, and the driver's stall detector
 raises with a full state dump).
 """
@@ -156,6 +159,16 @@ class MeshNode:
         # driver. Frontier-level BROKEN rows are retained in the buffer
         # (the driver's duplicate-broken join needs them).
         self.spill_part = 0
+        # frontier queue spill (options.mesh_frontier_spill_rows): when
+        # the in-memory queue exceeds the cap, the FIFO tail spills to a
+        # node-local parquet part; pumps reload parts as the head drains.
+        # At 10^10 URLs a node's frontier share can't live in heap —
+        # this bounds it to ~cap rows + one part in flight. 0 = off.
+        self.frontier_spill_rows = opts_blob.get("frontier_spill_rows", 0)
+        self._frontier_spill_dir: str | None = None
+        self._frontier_parts: list[str] = []
+        self._spilled_frontier_rows = 0
+        self._frontier_part_seq = 0
 
     def set_peers(self, self_handle, peers) -> None:
         self.self_handle = self_handle
@@ -183,7 +196,50 @@ class MeshNode:
     def _append_local(self, table: pa.Table) -> None:
         self.queue.append(table)
         self.queued_rows += table.num_rows
+        if self.frontier_spill_rows \
+                and self.queued_rows > self.frontier_spill_rows:
+            self._spill_frontier()
         self._schedule_pump()
+
+    def _spill_frontier(self) -> None:
+        """Keep the FIFO head (half the cap) in memory, write the tail
+        to a node-local parquet part — mirrors _maybe_spill_results."""
+        import os
+        import tempfile
+
+        import pyarrow.parquet as pq
+        merged = pa.concat_tables(self.queue).combine_chunks()
+        keep = max(1, self.frontier_spill_rows // 2)
+        head = merged.slice(0, keep)
+        tail = merged.slice(keep)
+        if tail.num_rows == 0:
+            return
+        if self._frontier_spill_dir is None:
+            self._frontier_spill_dir = tempfile.mkdtemp(
+                prefix=f"mesh-frontier-{self.actor_id:02d}-")
+        path = os.path.join(self._frontier_spill_dir,
+                            f"part{self._frontier_part_seq:06d}.parquet")
+        self._frontier_part_seq += 1
+        pq.write_table(tail, path + ".tmp")
+        os.replace(path + ".tmp", path)
+        self._frontier_parts.append(path)
+        self._spilled_frontier_rows += tail.num_rows
+        self.queue = [head]
+        self.queued_rows = head.num_rows
+        self.counters["frontier_spilled_rows"] = \
+            self.counters.get("frontier_spilled_rows", 0) + tail.num_rows
+
+    def _unspill_frontier(self) -> None:
+        """Reload the oldest spilled part into the queue (FIFO)."""
+        import os
+
+        import pyarrow.parquet as pq
+        path = self._frontier_parts.pop(0)
+        part = pq.read_table(path)
+        os.unlink(path)
+        self._spilled_frontier_rows -= part.num_rows
+        self.queue.append(part)
+        self.queued_rows += part.num_rows
 
     def submit_candidates(self, cand: pa.Table) -> None:
         """Candidate links whose url_hash this node owns."""
@@ -204,7 +260,8 @@ class MeshNode:
 
     def _schedule_pump(self) -> None:
         if not self.pump_scheduled and not self.paused \
-                and self.self_handle is not None and self.queue:
+                and self.self_handle is not None \
+                and (self.queue or self._frontier_parts):
             self.pump_scheduled = True
             self.self_handle.pump.remote()
 
@@ -228,8 +285,14 @@ class MeshNode:
         paused and settled (the driver's counter check guarantees no
         in-flight messages)."""
         with self.lock:
-            frontier = pa.concat_tables(self.queue + self.deferred) \
-                if (self.queue or self.deferred) \
+            spilled = []
+            if self._frontier_parts:
+                import pyarrow.parquet as pq
+                # parts stay on disk (the live run keeps draining them);
+                # the checkpoint reads them into the frontier snapshot
+                spilled = [pq.read_table(p) for p in self._frontier_parts]
+            frontier = pa.concat_tables(self.queue + spilled + self.deferred) \
+                if (self.queue or spilled or self.deferred) \
                 else schema.empty(schema.FRONTIER)
             dups = pa.concat_tables(self.dup_edges) \
                 if self.dup_edges else schema.empty(schema.EDGES)
@@ -344,6 +407,8 @@ class MeshNode:
                 return  # the active pump reschedules on exit
             self.pumping = True
             self._wake_deferred(now)
+            if not self.queue and self._frontier_parts:
+                self._unspill_frontier()
             if not self.queue:
                 self.pumping = False
                 self._flush_peers(everything=True)
@@ -629,7 +694,7 @@ class MeshNode:
             "sent_cand": self.sent_cand,
             "sent_wants": self.sent_wants,
             "received_wants": self.received_wants,
-            "queued_rows": self.queued_rows,
+            "queued_rows": self.queued_rows + self._spilled_frontier_rows,
             "held_cand": sum(self.peer_buf_rows)
             + sum(t.num_rows for bufs in self.peer_wants for t in bufs),
             "deferred_rows": deferred_rows,

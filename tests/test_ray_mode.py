@@ -127,6 +127,31 @@ class TestMeshMode:
         assert key(rounds) == key(mesh)
         assert rounds.passed == mesh.passed
 
+    def test_mesh_frontier_spill_equality(self, ray_session):
+        """An artificially tiny per-node frontier cap forces constant
+        queue spill/reload through the parquet parts; the final sets
+        must equal the unbounded-queue mesh run (the 10^10-URL memory
+        bound must not change semantics)."""
+        from linkinator_ray.sources.synth import synth_crawl_corpus
+        docs, seeds, expected_seen, _ = synth_crawl_corpus(
+            num_hosts=3, docs_per_host=150)
+        base = dict(paths=seeds, recurse=True, fetch_concurrency=2,
+                    mesh=True)
+        nocap = LinkChecker(CheckOptions(**base), docs, [],
+                            multi_host=True, use_ray=True).check()
+        capped = LinkChecker(
+            CheckOptions(**base, mesh_frontier_spill_rows=16, batch_size=32),
+            docs, [], multi_host=True, use_ray=True).check()
+
+        def key(res):
+            return {(r["url"], r["state"], r["status"])
+                    for r in res.results.to_pylist()}
+        assert key(nocap) == key(capped)
+        assert nocap.stats["seen_urls"] == capped.stats["seen_urls"] \
+            == expected_seen
+        # the cap actually engaged (tiny vs ~450 URLs/host spread)
+        assert capped.stats.get("frontier_spilled_rows", 0) > 0
+
     def test_mesh_back_to_back_no_actor_leak(self, ray_session):
         """Two consecutive mesh crawls in one session must not block on
         leaked actor resources (peer-handle cycles are explicitly
