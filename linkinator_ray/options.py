@@ -106,6 +106,7 @@ class CheckOptions:
     redirects: RedirectsMode = RedirectsMode.ALLOW
     require_https: RequireHttpsMode = RequireHttpsMode.OFF
     allow_insecure_certs: bool = False
+    proxy: str | None = None  # explicit HTTP(S) proxy URL; None → env https_proxy/HTTPS_PROXY/http_proxy/HTTP_PROXY (src/index.ts:17-62)
     check_css: bool = False
     check_fragments: bool = False
     fragments_to_skip: list[str] | Callable[[str], bool] = dataclasses.field(default_factory=list)

@@ -471,6 +471,7 @@ class LinkChecker:
             "timeout": opts.timeout,
             "user_agent": opts.user_agent,
             "allow_insecure_certs": opts.allow_insecure_certs,
+            "proxy": opts.proxy,
             # the per-request call log exists for the conformance tests;
             # at bench/cluster scale it is an O(requests) memory and
             # end-of-run serialization cost

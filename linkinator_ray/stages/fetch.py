@@ -899,7 +899,8 @@ def build_transport(blob: dict):
         return HttpTransport(timeout=(blob.get("timeout", 0.0) or 0.0) / 1000.0,
                              user_agent=blob.get("user_agent", ""),
                              allow_insecure_certs=blob.get(
-                                 "allow_insecure_certs", False))
+                                 "allow_insecure_certs", False),
+                             proxy=blob.get("proxy"))
     corpus = None
     documents = blob.get("documents")
     if documents is not None:

@@ -52,24 +52,63 @@ class LiveBodyStore:
         return None
 
 
+def proxy_url_from_env() -> str | None:
+    """Reference precedence (src/index.ts:37-44):
+    https_proxy > HTTPS_PROXY > http_proxy > HTTP_PROXY."""
+    import os
+    for name in ("https_proxy", "HTTPS_PROXY", "http_proxy", "HTTP_PROXY"):
+        val = os.environ.get(name)
+        if val:
+            return val
+    return None
+
+
+def no_proxy_hosts() -> list[str]:
+    import os
+    raw = os.environ.get("no_proxy") or os.environ.get("NO_PROXY") or ""
+    return [h.strip() for h in raw.split(",") if h.strip()]
+
+
+def _matches_no_proxy(host: str, entries: list[str]) -> bool:
+    host = host.lower()
+    for entry in entries:
+        e = entry.lower().lstrip(".")
+        if host == e or host.endswith("." + e):
+            return True
+    return False
+
+
 class HttpTransport:
     """Single-hop HTTP(S) over stdlib ``http.client`` with keep-alive
-    per (scheme, host, port), timeout, and optional insecure TLS."""
+    per (scheme, host, port), timeout, optional insecure TLS, and
+    HTTP(S) proxy support (explicit or env, reference src/index.ts:17-62).
+
+    Proxying tunnels ALL traffic via HTTP CONNECT — the reference's
+    undici EnvHttpProxyAgent does the same even for plain-http targets
+    (test/test.proxy.ts:41-43). no_proxy / NO_PROXY host entries bypass
+    the proxy."""
 
     def __init__(self, timeout: float = 0.0, user_agent: str = "",
                  allow_insecure_certs: bool = False,
-                 max_body_bytes: int = 8 << 20):
+                 max_body_bytes: int = 8 << 20,
+                 proxy: str | None = None):
         # seconds; 0 = genuinely no timeout (http.client blocks), matching
         # the reference default (src/cli.ts:118-119, src/index.ts:1214-1216)
         self.timeout = timeout if timeout and timeout > 0 else None
         self.user_agent = user_agent
         self.allow_insecure_certs = allow_insecure_certs
         self.max_body_bytes = max_body_bytes
+        # explicit option wins; else the well-known env vars
+        self.proxy = proxy or proxy_url_from_env()
+        self.no_proxy = no_proxy_hosts()
         self.corpus = LiveBodyStore()
         self._conns: dict[tuple, object] = {}
         self._seq = 0
         self.calls: list[tuple[str, str, int]] = []
         self.record_calls = True
+
+    def _use_proxy(self, host: str) -> bool:
+        return bool(self.proxy) and not _matches_no_proxy(host, self.no_proxy)
 
     def _connection(self, scheme: str, host: str, port: int | None):
         import http.client
@@ -77,11 +116,26 @@ class HttpTransport:
         conn = self._conns.get(key)
         if conn is not None:
             return conn
+        ctx = None
         if scheme == "https":
             ctx = ssl.create_default_context()
             if self.allow_insecure_certs:
                 ctx.check_hostname = False
                 ctx.verify_mode = ssl.CERT_NONE
+        if self._use_proxy(host):
+            pp = urlsplit(self.proxy)
+            proxy_host = pp.hostname or ""
+            proxy_port = pp.port or 80
+            if scheme == "https":
+                conn = http.client.HTTPSConnection(
+                    proxy_host, proxy_port, timeout=self.timeout,
+                    context=ctx)
+            else:
+                conn = http.client.HTTPConnection(
+                    proxy_host, proxy_port, timeout=self.timeout)
+            # CONNECT tunnel to the target (default port by scheme)
+            conn.set_tunnel(host, port or (443 if scheme == "https" else 80))
+        elif scheme == "https":
             conn = http.client.HTTPSConnection(
                 host, port, timeout=self.timeout, context=ctx)
         else:

@@ -107,6 +107,164 @@ def test_transport_zero_timeout_means_unlimited():
     assert HttpTransport(timeout=2.5).timeout == 2.5
 
 
+# ---------------------------------------------------------------------------
+# proxy (reference src/index.ts:17-62, test/test.proxy.ts): requests
+# tunnel via HTTP CONNECT even for plain-http targets; env precedence
+# https_proxy > HTTPS_PROXY > http_proxy > HTTP_PROXY; no_proxy bypass
+# ---------------------------------------------------------------------------
+
+import socket
+
+
+class _ConnectProxy:
+    """Minimal CONNECT-tunneling proxy: records each tunneled host:port,
+    answers 200, splices sockets (the python analogue of the reference's
+    proxy fixture, test/test.proxy.ts:41-57)."""
+
+    def __init__(self):
+        self.proxied_hosts = []
+        self._srv = socket.create_server(("127.0.0.1", 0))
+        self.port = self._srv.getsockname()[1]
+        self._alive = True
+        threading.Thread(target=self._accept_loop, daemon=True).start()
+
+    def _accept_loop(self):
+        while self._alive:
+            try:
+                client, _ = self._srv.accept()
+            except OSError:
+                return
+            threading.Thread(target=self._handle, args=(client,),
+                             daemon=True).start()
+
+    def _handle(self, client):
+        try:
+            head = b""
+            while b"\r\n\r\n" not in head:
+                chunk = client.recv(4096)
+                if not chunk:
+                    client.close()
+                    return
+                head += chunk
+            first = head.split(b"\r\n", 1)[0].decode()
+            method, target, _ = first.split(" ", 2)
+            if method != "CONNECT":
+                client.sendall(b"HTTP/1.1 400 Bad Request\r\n\r\n")
+                client.close()
+                return
+            self.proxied_hosts.append(target)
+            host, port = target.rsplit(":", 1)
+            upstream = socket.create_connection((host, int(port)))
+            client.sendall(b"HTTP/1.1 200 Connection Established\r\n\r\n")
+
+            def pipe(a, b):
+                try:
+                    while True:
+                        data = a.recv(8192)
+                        if not data:
+                            break
+                        b.sendall(data)
+                except OSError:
+                    pass
+                finally:
+                    try:
+                        b.shutdown(socket.SHUT_WR)
+                    except OSError:
+                        pass
+
+            t = threading.Thread(target=pipe, args=(upstream, client),
+                                 daemon=True)
+            t.start()
+            pipe(client, upstream)
+            t.join(timeout=5)
+            client.close()
+            upstream.close()
+        except Exception:
+            try:
+                client.close()
+            except OSError:
+                pass
+
+    def close(self):
+        self._alive = False
+        self._srv.close()
+
+
+@pytest.fixture()
+def proxy():
+    p = _ConnectProxy()
+    yield p
+    p.close()
+
+
+def test_proxy_routes_requests(server, proxy, monkeypatch):
+    for name in ("http_proxy", "HTTP_PROXY", "https_proxy", "HTTPS_PROXY",
+                 "no_proxy", "NO_PROXY"):
+        monkeypatch.delenv(name, raising=False)
+    monkeypatch.setenv("http_proxy", f"http://127.0.0.1:{proxy.port}")
+    t = HttpTransport(timeout=5)
+    resp = t.request(f"{server}/a.html", "GET")
+    assert resp.status == 200
+    assert proxy.proxied_hosts, "request should have tunneled via CONNECT"
+    host_port = server.split("//")[1]
+    assert proxy.proxied_hosts[0] == host_port
+
+
+def test_proxy_explicit_option_beats_env(server, proxy, monkeypatch):
+    for name in ("http_proxy", "HTTP_PROXY", "https_proxy", "HTTPS_PROXY",
+                 "no_proxy", "NO_PROXY"):
+        monkeypatch.delenv(name, raising=False)
+    t = HttpTransport(timeout=5, proxy=f"http://127.0.0.1:{proxy.port}")
+    resp = t.request(f"{server}/a.html", "HEAD")
+    assert resp.status == 200
+    assert proxy.proxied_hosts
+
+
+def test_proxy_env_precedence(monkeypatch):
+    for name in ("http_proxy", "HTTP_PROXY", "https_proxy", "HTTPS_PROXY"):
+        monkeypatch.delenv(name, raising=False)
+    monkeypatch.setenv("HTTP_PROXY", "http://low:1")
+    monkeypatch.setenv("https_proxy", "http://high:2")
+    # https_proxy > HTTPS_PROXY > http_proxy > HTTP_PROXY (src/index.ts:37-44)
+    assert HttpTransport().proxy == "http://high:2"
+
+
+def test_no_proxy_bypass(server, proxy, monkeypatch):
+    for name in ("https_proxy", "HTTPS_PROXY", "http_proxy"):
+        monkeypatch.delenv(name, raising=False)
+    monkeypatch.setenv("HTTP_PROXY", f"http://127.0.0.1:{proxy.port}")
+    monkeypatch.setenv("NO_PROXY", "127.0.0.1")
+    t = HttpTransport(timeout=5)
+    resp = t.request(f"{server}/a.html", "HEAD")
+    assert resp.status == 200
+    assert proxy.proxied_hosts == []
+
+
+def test_no_proxy_nonmatching_still_proxies(server, proxy, monkeypatch):
+    for name in ("https_proxy", "HTTPS_PROXY", "http_proxy"):
+        monkeypatch.delenv(name, raising=False)
+    monkeypatch.setenv("HTTP_PROXY", f"http://127.0.0.1:{proxy.port}")
+    monkeypatch.setenv("NO_PROXY", "example.com")
+    t = HttpTransport(timeout=5)
+    resp = t.request(f"{server}/a.html", "HEAD")
+    assert resp.status == 200
+    assert proxy.proxied_hosts
+
+
+def test_proxied_crawl_over_the_wire(server, proxy, monkeypatch):
+    """Full engine crawl with every request tunneled through the proxy
+    (CheckOptions.proxy plumbed through the broadcast transport blob)."""
+    for name in ("http_proxy", "HTTP_PROXY", "https_proxy", "HTTPS_PROXY",
+                 "no_proxy", "NO_PROXY"):
+        monkeypatch.delenv(name, raising=False)
+    opts = CheckOptions(paths=[f"{server}/"], recurse=True,
+                        transport="http", timeout=5000,
+                        proxy=f"http://127.0.0.1:{proxy.port}")
+    result = LinkChecker(opts, use_ray=False).check()
+    assert not result.passed  # /missing is 404, as in the direct crawl
+    assert proxy.proxied_hosts
+
+
 def test_crawl_over_the_wire(server):
     """Full engine crawl against the loopback site: recursion, redirect
     following, 404 detection, non-HTML leaf checks."""
