@@ -63,6 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--markdown", action="store_true")
     p.add_argument("--server-root", default=None)
     p.add_argument("--directory-listing", action="store_true")
+    p.add_argument("--clean-urls", action="store_true",
+                   help="resolve extensionless paths to .html (server.ts:119-143)")
+    p.add_argument("--allow-insecure-certs", action="store_true",
+                   help="accept self-signed/invalid TLS certificates")
+    p.add_argument("--proxy", default=None,
+                   help="HTTP(S) proxy URL (overrides *_proxy env vars)")
     p.add_argument("--retry", action="store_true")
     p.add_argument("--retry-errors", action="store_true")
     p.add_argument("--retry-errors-count", type=int, default=5)
@@ -171,6 +177,9 @@ def main(argv: list[str] | None = None) -> int:
         "concurrency": args.concurrency, "timeout": args.timeout or None,
         "markdown": args.markdown or None, "server_root": args.server_root,
         "directory_listing": args.directory_listing or None,
+        "clean_urls": args.clean_urls or None,
+        "allow_insecure_certs": args.allow_insecure_certs or None,
+        "proxy": args.proxy,
         "retry": args.retry or None, "retry_errors": args.retry_errors or None,
         "retry_errors_count": args.retry_errors_count,
         "retry_errors_jitter": args.retry_errors_jitter,

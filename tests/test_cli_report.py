@@ -272,6 +272,38 @@ def test_cli_url_rewrite(tmp_path):
     assert not any(u.endswith("/rw/old-name.html") for u in urls)
 
 
+def test_cli_clean_urls_flag(tmp_path):
+    """--clean-urls resolves extensionless links to .html
+    (server.ts:119-143); without it the same link is a 404."""
+    docs = fx.docs_table(
+        fx.doc("cu/index.html", fx._anchor("/cu/about")),
+        fx.doc("cu/about.html", fx.span("text", "", "about page")))
+    corpus = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, corpus)
+    base = [sys.executable, "-m", "linkinator_ray.cli", corpus, "cu/",
+            "--recurse", "--format", "json", "--verbosity", "debug"]
+    without = subprocess.run(base, capture_output=True, text=True,
+                             cwd="/root/repo")
+    assert without.returncode == 1
+    with_flag = subprocess.run(base + ["--clean-urls"], capture_output=True,
+                               text=True, cwd="/root/repo")
+    assert with_flag.returncode == 0, with_flag.stderr
+    assert json.loads(with_flag.stdout)["passed"] is True
+
+
+def test_cli_allow_insecure_certs_flag_parses(tmp_path):
+    """--allow-insecure-certs and --proxy plumb into CheckOptions (the
+    TLS/proxy behavior itself is loopback-tested in test_tls/
+    test_http_transport)."""
+    from linkinator_ray.cli import build_parser
+    args = build_parser().parse_args(
+        ["corpus.parquet", "x/", "--allow-insecure-certs",
+         "--clean-urls", "--proxy", "http://proxy:8080"])
+    assert args.allow_insecure_certs is True
+    assert args.clean_urls is True
+    assert args.proxy == "http://proxy:8080"
+
+
 def test_cli_markdown_auto_detect(tmp_path):
     """.md seed auto-enables markdown mode (src/options.ts:156-164)."""
     from linkinator_ray.stages.htmlparse import markdown_to_spans
