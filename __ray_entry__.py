@@ -54,8 +54,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_by_lang": text.token_count_by_lang,
         "token_count_bpe": text.token_count_bpe,
         "fingerprint_md5": text.fingerprint_md5,
-        "lang_id": text.lang_id,                      # rows-only
-        "rolling_fingerprint": text.rolling_fingerprint,  # rows-only
+        "lang_id": text.lang_id,                      # exact SQL oracle
+        "rolling_fingerprint": text.rolling_fingerprint,  # exact SQL oracle
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
@@ -111,6 +111,45 @@ _REACH_CTE = _EDGES_CTE + """,
     SELECT e.dst FROM reach r JOIN edges e ON e.src = r.doc
       WHERE e.src % 13 <> 7
   )
+"""
+
+
+# rolling-fingerprint oracle constants: window 8, base 1000003, prime
+# 2^61-1 — the per-offset coefficients B^(w-1-j) mod p are precomputed
+# here so the SQL window sum is a flat inner product
+_RFP_P = (1 << 61) - 1
+_RFP_COEFS = [pow(1000003, 7 - j, _RFP_P) for j in range(8)]
+_ROLLING_FP_SQL = f"""
+    WITH lists AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+        FROM documents
+    ), toks AS (
+        SELECT doc_id, unnest(l) AS tok,
+               generate_subscripts(l, 1) AS pos
+        FROM lists
+    ), th AS (
+        SELECT doc_id, pos,
+               ('0x' || substr(md5(tok), 1, 16))::UBIGINT % {_RFP_P} AS h
+        FROM toks
+    ), cnt AS (SELECT doc_id, max(pos) AS n FROM th GROUP BY doc_id),
+    wins AS (
+        SELECT a.doc_id, a.pos,
+               CAST(sum(CAST(b.h AS HUGEINT)
+                    * ({_RFP_COEFS}[b.pos - a.pos + 1]))
+                    % {_RFP_P} AS BIGINT) AS wh
+        FROM th a
+        JOIN th b ON b.doc_id = a.doc_id
+                 AND b.pos BETWEEN a.pos AND a.pos + 7
+        JOIN cnt c ON c.doc_id = a.doc_id
+        WHERE a.pos + 7 <= c.n
+        GROUP BY a.doc_id, a.pos
+    )
+    SELECT doc_id, min(wh) AS rolling_fp FROM wins GROUP BY doc_id
+    UNION ALL
+    SELECT t.doc_id, CAST(min(t.h) AS BIGINT) AS rolling_fp
+    FROM th t JOIN cnt c ON c.doc_id = t.doc_id
+    WHERE c.n < 8 GROUP BY t.doc_id
+    ORDER BY doc_id
 """
 
 
@@ -173,6 +212,50 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_md5": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
         """,
+        # stopword-profile language ID: ASCII tokens (RE2 parity), first
+        # 200 words scored per profile, zh scored on the raw 400-char
+        # head, first-wins argmax in profile order, integer-ppm
+        # confidence — byte-for-byte the LangId kernel (text.py)
+        "lang_id": """
+            WITH f AS (
+                SELECT doc_id,
+                       list_slice(regexp_extract_all(lower(text),
+                                  '[0-9a-z_]+'), 1, 200) AS words,
+                       substr(text, 1, 400) AS head
+                FROM documents
+            ), s AS (
+                SELECT doc_id, len(words) AS nw,
+                    len(list_filter(words, w -> w IN ('the','and','of','a',
+                        'to','in','is','it','that','for'))) AS s_en,
+                    len(list_filter(words, w -> w IN ('der','die','das','und',
+                        'ist','ein','zu','mit','von','nicht'))) AS s_de,
+                    len(list_filter(words, w -> w IN ('el','la','de','que',
+                        'y','en','un','es','no','por'))) AS s_es,
+                    len(list_filter(words, w -> w IN ('le','la','de','et',
+                        'un','est','en','que','pour','dans'))) AS s_fr,
+                    length(regexp_replace(head,
+                        '[^的是在了和有我不这人]',
+                        '', 'g')) AS s_zh
+                FROM f
+            ), m AS (
+                SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS mx FROM s
+            )
+            SELECT doc_id,
+                   CASE WHEN mx <= 0 THEN 'en'
+                        WHEN s_en = mx THEN 'en'
+                        WHEN s_de = mx THEN 'de'
+                        WHEN s_es = mx THEN 'es'
+                        WHEN s_fr = mx THEN 'fr'
+                        ELSE 'zh' END AS predicted_lang,
+                   CAST(CASE WHEN mx <= 0 THEN 0
+                        ELSE (1000000 * mx) // greatest(nw, 1) END
+                        AS BIGINT) AS confidence_ppm
+            FROM m ORDER BY doc_id
+        """,
+        # Rabin-Karp winnowing fingerprint: md5-derived token hashes mod
+        # 2^61-1, windowed polynomial sums in HUGEINT — exactly the
+        # rolling kernel's field arithmetic (text.py:rolling_fingerprint)
+        "rolling_fingerprint": _ROLLING_FP_SQL,
         "dedup_exact": """
             SELECT min(doc_id) AS keeper_doc_id, count(*) AS dup_count
             FROM documents GROUP BY md5(text) ORDER BY keeper_doc_id

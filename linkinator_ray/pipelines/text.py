@@ -127,33 +127,35 @@ def token_count_by_lang(sf_dir: str):
 
 class LangId:
     """Stopword-profile language classifier. Stateful setup in
-    ``__init__`` (once per actor), vectorized-ish scoring per batch."""
+    ``__init__`` (once per actor). Deterministic and fully
+    SQL-expressible (exact DuckDB oracle in __ray_entry__): ASCII
+    tokenization (RE2-parity ``[0-9a-z_]+`` over the lowered text),
+    integer parts-per-million confidence, first-wins tie-break in
+    profile order (en, de, es, fr, zh)."""
 
     def __init__(self):
         self.profiles = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
-        self.token_re = re.compile(r"\w+", re.UNICODE)
+        self.token_re = re.compile(r"[0-9a-z_]+")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         preds = []
         confs = []
         for text in _text_col(batch).to_pylist():
-            words = self.token_re.findall(text.lower())
-            # CJK shortcut: any profile char hit dominates
-            best, best_score = "en", 0.0
-            wordset = words[:200]
+            words = self.token_re.findall(text.lower())[:200]
+            # CJK shortcut: profile char hits over the raw head dominate
+            best, best_score = "en", 0
             for lang, profile in self.profiles.items():
                 if lang == "zh":
                     score = sum(ch in profile for ch in text[:400])
                 else:
-                    score = sum(w in profile for w in wordset)
+                    score = sum(w in profile for w in words)
                 if score > best_score:
-                    best, best_score = lang, float(score)
+                    best, best_score = lang, score
             preds.append(best)
-            confs.append(best_score / max(1, len(wordset)))
+            confs.append((1_000_000 * best_score) // max(1, len(words)))
         return pa.table({"doc_id": batch.column("doc_id"),
                          "predicted_lang": pa.array(preds, pa.string()),
-                         "confidence": pa.array(np.round(confs, 6),
-                                                pa.float64())})
+                         "confidence_ppm": pa.array(confs, pa.int64())})
 
 
 def lang_id(sf_dir: str):
@@ -182,39 +184,42 @@ def fingerprint_md5(sf_dir: str):
         _md5_kernel, batch_format="pyarrow", batch_size=8192)
 
 
+# Rabin-Karp parameters shared with the DuckDB oracle: md5-derived token
+# hashes reduced mod the Mersenne prime 2^61-1 (field arithmetic is
+# exactly reproducible in SQL via HUGEINT; uint64 wraparound is not)
+ROLLING_P = (1 << 61) - 1
+ROLLING_B = 1000003
+
+
 def rolling_fingerprint(sf_dir: str, window: int = 8):
     """Rabin-Karp rolling-hash document fingerprint: min of rolling
     window hashes over the token stream (winnowing-style; a content-
-    defined signature robust to local edits). Not SQL-expressible —
-    rows-only oracle."""
-
-    B = np.uint64(1000003)
+    defined signature robust to local edits). Token hash = first 8
+    bytes of md5 (big-endian) mod 2^61-1; window hash = polynomial in
+    base 1000003 over the field — both chosen so the EXACT same numbers
+    come out of the DuckDB oracle (md5 + HUGEINT window sums)."""
+    P, B = ROLLING_P, ROLLING_B
+    pow_b = pow(B, window - 1, P)
 
     def kernel(batch: pa.Table) -> pa.Table:
         fps = []
         for text in _text_col(batch).to_pylist():
             toks = _WS.split(text.strip())
-            hs = np.fromiter(
-                (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                                "little") for t in toks),
-                dtype=np.uint64, count=len(toks))
+            hs = [int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
+                                 "big") % P for t in toks]
             if len(hs) < window:
-                fps.append(int(hs.min()) if len(hs) else 0)
+                fps.append(min(hs) if hs else 0)
                 continue
-            with np.errstate(over="ignore"):
-                roll = np.zeros(len(hs) - window + 1, dtype=np.uint64)
-                acc = np.uint64(0)
-                for i in range(window):
-                    acc = acc * B + hs[i]
-                roll[0] = acc
-                pow_b = B ** np.uint64(window - 1)
-                for i in range(1, len(roll)):
-                    acc = (acc - hs[i - 1] * pow_b) * B + hs[i + window - 1]
-                    roll[i] = acc
-            fps.append(int(roll.min()))
+            acc = 0
+            for i in range(window):
+                acc = (acc * B + hs[i]) % P
+            best = acc
+            for i in range(1, len(hs) - window + 1):
+                acc = ((acc - hs[i - 1] * pow_b) * B + hs[i + window - 1]) % P
+                best = acc if acc < best else best
+            fps.append(best)
         return pa.table({"doc_id": batch.column("doc_id"),
-                         "rolling_fp": pa.array(
-                             np.array(fps, dtype=np.uint64))})
+                         "rolling_fp": pa.array(fps, pa.int64())})
 
     return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         kernel, batch_format="pyarrow", batch_size=4096)
