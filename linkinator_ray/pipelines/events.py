@@ -11,11 +11,19 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def read_events(sf_dir: str, columns=None):
     import ray.data as rd
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def _epoch_s(ts_col) -> np.ndarray:
+    """timestamp[us] column → epoch seconds (int64, zero-copy cast)."""
+    import pyarrow.compute as pc
+    us = pc.cast(ts_col, pa.int64()).to_numpy(zero_copy_only=False)
+    return np.asarray(us, dtype=np.int64) // 1_000_000
 
 
 
@@ -36,20 +44,27 @@ def tumbling_window(sf_dir: str, window_s: int = 3600):
     per batch, then the two-level hashagg merge (the window key space is
     thousands of groups — Ray's aggregate pays ~0.2 ms per group)."""
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        epoch = batch["ts"].astype("int64") // 1_000_000
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = _epoch_s(batch["ts"])
         win = (epoch // window_s) * window_s
         # sum in exact integer cents — float sums are order-dependent
         # across a distributed merge, integer sums are not
-        g = pd.DataFrame({
-            "event_type": batch["event_type"], "window_start": win,
-            "cents": np.floor(batch["value"] * 100).astype("int64"),
-        }).groupby(["event_type", "window_start"], as_index=False).agg(
-            n=("cents", "size"), total=("cents", "sum"))
-        return g
+        cents = np.floor(np.asarray(
+            batch["value"].to_numpy(zero_copy_only=False)) * 100) \
+            .astype(np.int64)
+        t = pa.table({"event_type": batch["event_type"],
+                      "window_start": pa.array(win),
+                      "cents": pa.array(cents)})
+        agg = t.group_by(["event_type", "window_start"],
+                         use_threads=False).aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return pa.table({"event_type": agg.column("event_type"),
+                         "window_start": agg.column("window_start"),
+                         "n": agg.column("count_all"),
+                         "total": agg.column("cents_sum")})
 
     partials = read_events(sf_dir, ["ts", "event_type", "value"]).map_batches(
-        partial, batch_format="pandas", batch_size=16384)
+        partial, batch_format="pyarrow", batch_size=16384)
     from linkinator_ray.pipelines.hashagg import hash_aggregate
     out = hash_aggregate(partials, ["event_type", "window_start"],
                          {"n_events": ("n", "sum"),
@@ -86,20 +101,23 @@ def sliding_window(sf_dir: str, window_s: int = 7200, step_s: int = 3600):
     merged by the two-level hashagg exchange."""
     hops = window_s // step_s
 
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        epoch = batch["ts"].astype("int64") // 1_000_000
-        frames = []
-        for h in range(hops):
-            start = ((epoch - h * step_s) // step_s) * step_s
-            frames.append(pd.DataFrame({
-                "event_type": batch["event_type"], "window_start": start}))
-        g = pd.concat(frames, ignore_index=True)
-        g["n"] = 1
-        return g.groupby(["event_type", "window_start"], as_index=False).agg(
-            n=("n", "sum"))
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = _epoch_s(batch["ts"])
+        etype = batch["event_type"]
+        hop_tables = [
+            pa.table({"event_type": etype,
+                      "window_start": pa.array(
+                          ((epoch - h * step_s) // step_s) * step_s)})
+            for h in range(hops)]
+        agg = pa.concat_tables(hop_tables).group_by(
+            ["event_type", "window_start"], use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"event_type": agg.column("event_type"),
+                         "window_start": agg.column("window_start"),
+                         "n": agg.column("count_all")})
 
     partials = read_events(sf_dir, ["ts", "event_type"]).map_batches(
-        partial, batch_format="pandas", batch_size=16384)
+        partial, batch_format="pyarrow", batch_size=16384)
     from linkinator_ray.pipelines.hashagg import hash_aggregate
     return hash_aggregate(partials, ["event_type", "window_start"],
                           {"n_events": ("n", "sum")})
