@@ -55,9 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--skip", "-s", action="append", default=[],
                    help="regex of URLs to skip (repeatable, comma/space lists)")
     p.add_argument("--format", "-f", choices=["text", "json", "csv"],
-                   default="text")
+                   default=None)
     p.add_argument("--verbosity", choices=["none", "error", "warning", "info", "debug"],
-                   default="warning")
+                   default=None)
     p.add_argument("--concurrency", type=int, default=100)
     p.add_argument("--timeout", type=float, default=0)
     p.add_argument("--markdown", action="store_true")
@@ -165,7 +165,8 @@ def _register_csv_output(checker, verbosity: str) -> None:
 
 
 def main(argv: list[str] | None = None) -> int:
-    from linkinator_ray.options import CheckOptions, load_config, merge_config
+    from linkinator_ray.options import (
+        CheckOptions, load_config, merge_config, normalize_config_keys)
     from linkinator_ray.pipelines.crawl import LinkChecker
     from linkinator_ray.sources.documents import read_documents
     from linkinator_ray.stages import report
@@ -199,7 +200,17 @@ def main(argv: list[str] | None = None) -> int:
     elif bool(args.url_rewrite_search) != bool(args.url_rewrite_replace):
         raise SystemExit("--url-rewrite-search and --url-rewrite-replace "
                          "must be used together")
-    config = load_config(args.config) if args.config else {}
+    config = normalize_config_keys(load_config(args.config)) if args.config else {}
+    config.pop("config", None)
+    # CLI-level keys configure output, not CheckOptions; flag wins over
+    # config, silent ⇒ verbosity ERROR (src/cli.ts:607-620)
+    cfg_silent = bool(config.pop("silent", False))
+    if cfg_silent and (args.verbosity or config.get("verbosity")):
+        raise SystemExit("The SILENT and VERBOSITY flags cannot both be "
+                         "defined. Please consider using VERBOSITY only.")
+    args.format = args.format or config.pop("format", None) or "text"
+    args.verbosity = (args.verbosity or config.pop("verbosity", None)
+                      or ("error" if cfg_silent else "warning"))
     merged = merge_config({k: v for k, v in flags.items()}, config)
     merged = {k: v for k, v in merged.items() if v is not None}
     merged.setdefault("links_to_skip", [])

@@ -162,17 +162,304 @@ class CheckOptions:
         return [re.compile(p) for p in self.fragments_to_skip]
 
 
+VALID_CONFIG_EXTENSIONS = (".js", ".mjs", ".cjs", ".json", ".toml")
+
+
+class _JsLiteralParser:
+    """Recursive-descent parser for *static* JS object literals — the
+    shape every real-world linkinator JS config takes (see the
+    reference's own fixtures, test/fixtures/config/linkinator.config.js
+    etc.: `export default {...}` / `module.exports = {...}` with plain
+    values). Supports objects, arrays, single/double/template-quoted
+    strings, numbers, true/false/null/undefined, unquoted identifier
+    keys, trailing commas, and // and /* */ comments. Computed
+    expressions (function calls, require(), arithmetic) are rejected
+    with a clear message — a Python engine cannot execute JS; pass
+    CheckOptions programmatically for computed config."""
+
+    def __init__(self, src: str):
+        self.src = src
+        self.i = 0
+        self.n = len(src)
+
+    def error(self, msg: str):
+        line = self.src.count("\n", 0, self.i) + 1
+        raise ValueError(f"JS config parse error at line {line}: {msg}")
+
+    def skip_ws(self):
+        while self.i < self.n:
+            c = self.src[self.i]
+            if c in " \t\r\n":
+                self.i += 1
+            elif self.src.startswith("//", self.i):
+                nl = self.src.find("\n", self.i)
+                self.i = self.n if nl < 0 else nl + 1
+            elif self.src.startswith("/*", self.i):
+                end = self.src.find("*/", self.i + 2)
+                if end < 0:
+                    self.error("unterminated /* comment")
+                self.i = end + 2
+            else:
+                return
+
+    def parse_value(self):
+        self.skip_ws()
+        if self.i >= self.n:
+            self.error("unexpected end of input")
+        c = self.src[self.i]
+        if c == "{":
+            return self.parse_object()
+        if c == "[":
+            return self.parse_array()
+        if c in "'\"`":
+            return self.parse_string(c)
+        if c == "-" or c.isdigit():
+            return self.parse_number()
+        word = re.match(r"[A-Za-z_$][A-Za-z0-9_$]*", self.src[self.i:])
+        if word:
+            w = word.group(0)
+            consts = {"true": True, "false": False, "null": None,
+                      "undefined": None}
+            if w in consts:
+                self.i += len(w)
+                return consts[w]
+            self.error(f"computed JS config not supported (saw '{w}'); "
+                       "use a static object literal, JSON/TOML, or pass "
+                       "CheckOptions programmatically")
+        self.error(f"unexpected character {c!r}")
+
+    def parse_object(self) -> dict:
+        self.i += 1  # {
+        out: dict[str, Any] = {}
+        while True:
+            self.skip_ws()
+            if self.i < self.n and self.src[self.i] == "}":
+                self.i += 1
+                return out
+            key = self.parse_key()
+            self.skip_ws()
+            if self.i >= self.n or self.src[self.i] != ":":
+                self.error("expected ':' after object key")
+            self.i += 1
+            out[key] = self.parse_value()
+            self.skip_ws()
+            if self.i < self.n and self.src[self.i] == ",":
+                self.i += 1
+            elif self.i < self.n and self.src[self.i] == "}":
+                continue
+            else:
+                self.error("expected ',' or '}' in object")
+
+    def parse_key(self) -> str:
+        c = self.src[self.i]
+        if c in "'\"":
+            return self.parse_string(c)
+        word = re.match(r"[A-Za-z_$][A-Za-z0-9_$]*", self.src[self.i:])
+        if not word:
+            self.error("expected object key")
+        self.i += len(word.group(0))
+        return word.group(0)
+
+    def parse_array(self) -> list:
+        self.i += 1  # [
+        out: list[Any] = []
+        while True:
+            self.skip_ws()
+            if self.i < self.n and self.src[self.i] == "]":
+                self.i += 1
+                return out
+            out.append(self.parse_value())
+            self.skip_ws()
+            if self.i < self.n and self.src[self.i] == ",":
+                self.i += 1
+            elif self.i < self.n and self.src[self.i] == "]":
+                continue
+            else:
+                self.error("expected ',' or ']' in array")
+
+    def parse_string(self, quote: str) -> str:
+        self.i += 1
+        buf = []
+        escapes = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+                   "0": "\0", "\\": "\\", "'": "'", '"': '"', "`": "`",
+                   "\n": ""}
+        while self.i < self.n:
+            c = self.src[self.i]
+            if c == quote:
+                self.i += 1
+                return "".join(buf)
+            if c == "\\":
+                self.i += 1
+                if self.i >= self.n:
+                    break
+                e = self.src[self.i]
+                if e == "u":
+                    if self.src[self.i + 1: self.i + 2] == "{":
+                        end = self.src.find("}", self.i)
+                        buf.append(chr(int(self.src[self.i + 2:end], 16)))
+                        self.i = end + 1
+                    else:
+                        buf.append(chr(int(self.src[self.i + 1:self.i + 5], 16)))
+                        self.i += 5
+                    continue
+                if e == "x":
+                    buf.append(chr(int(self.src[self.i + 1:self.i + 3], 16)))
+                    self.i += 3
+                    continue
+                buf.append(escapes.get(e, e))
+                self.i += 1
+                continue
+            if quote == "`" and self.src.startswith("${", self.i):
+                self.error("template-literal interpolation is computed "
+                           "config; use a static string")
+            buf.append(c)
+            self.i += 1
+        self.error("unterminated string")
+
+    def parse_number(self):
+        m = re.match(r"-?(?:0[xX][0-9a-fA-F]+|\d+\.?\d*(?:[eE][+-]?\d+)?|"
+                     r"\.\d+(?:[eE][+-]?\d+)?)", self.src[self.i:])
+        if not m:
+            self.error("malformed number")
+        self.i += len(m.group(0))
+        text = m.group(0)
+        if "0x" in text.lower():
+            return int(text, 16)
+        if "." in text or "e" in text or "E" in text:
+            return float(text)
+        return int(text)
+
+
+# `export default {...}` / `module.exports = {...}` /
+# `exports.default = {...}` / `const config = {...}; export default config`
+_JS_EXPORT_RE = re.compile(
+    r"(?:export\s+default|module\.exports\s*=|exports\.default\s*=)\s*",
+)
+
+
+def parse_js_config(source: str, path: str = "<config>") -> dict[str, Any]:
+    """Extract the exported object from a static JS/MJS/CJS config
+    module (src/config.ts:113-118 does a dynamic import(); here the
+    static literal is parsed directly — same result for every config a
+    linkinator user actually writes)."""
+    m = _JS_EXPORT_RE.search(source)
+    if not m:
+        raise ValueError(
+            f"{path}: no `export default`/`module.exports` object found; "
+            "only static object-literal JS configs are supported")
+    parser = _JsLiteralParser(source)
+    parser.i = m.end()
+    parser.skip_ws()
+    if parser.i >= parser.n or parser.src[parser.i] != "{":
+        # `export default config` referencing a const defined above:
+        # resolve one level of identifier indirection.
+        word = re.match(r"[A-Za-z_$][A-Za-z0-9_$]*",
+                        source[parser.i:])
+        if word:
+            decl = re.search(
+                r"(?:const|let|var)\s+" + re.escape(word.group(0)) +
+                r"\s*=\s*\{", source)
+            if decl:
+                parser.i = decl.end() - 1
+                return parser.parse_object()
+        raise ValueError(f"{path}: exported value is not a static object "
+                         "literal")
+    value = parser.parse_object()
+    if not isinstance(value, dict):
+        raise ValueError(f"{path}: config must be an object")
+    return value
+
+
 def load_config(path: str) -> dict[str, Any]:
-    """Load a config file. The reference supports .json/.js/.mjs/.cjs
-    (src/config.ts:35-118); the Python-world equivalents here are JSON
-    and TOML (stdlib tomllib) — the code-module flavors' job (computed
-    config) is served by passing CheckOptions programmatically."""
-    if path.endswith(".toml"):
+    """Load a config file. Flavors mirror the reference
+    (src/config.ts:35,78-118): .json, and .js/.mjs/.cjs as static
+    object-literal modules (parsed, not executed — computed config is
+    served by passing CheckOptions programmatically), plus .toml as a
+    Python-world extension. No extension ⇒ JSON (src/config.ts:100);
+    any other extension is invalid (src/config.ts:105-110)."""
+    ext = os.path.splitext(path)[1] or ".json"
+    if ext not in VALID_CONFIG_EXTENSIONS:
+        raise ValueError(
+            "Config file should be either of extensions "
+            + ",".join(VALID_CONFIG_EXTENSIONS))
+    if ext == ".toml":
         import tomllib
         with open(path, "rb") as f:
             return tomllib.load(f)
+    if ext in (".js", ".mjs", ".cjs"):
+        with open(path, encoding="utf-8") as f:
+            return parse_js_config(f.read(), path)
     with open(path) as f:
-        return json.load(f)
+        try:
+            return json.load(f)
+        except json.JSONDecodeError as error:
+            raise ValueError(f"Error parsing {path}: {error}") from error
+
+
+_SPLIT_LIST_RE = re.compile(r"[\s,]+")
+
+# Reference flag names that don't map to a CheckOptions field by a pure
+# camelCase→snake_case rename (src/cli.ts:146-173; note the reference's
+# own 'urlReWriteReplace' spelling at :171).
+_REFERENCE_KEY_ALIASES = {
+    "path": "paths",
+    "skip": "links_to_skip",
+    "skipFragment": "fragments_to_skip",
+    "statusCode": "status_codes",
+    "statusCodes": "status_codes",
+    "urlReWriteReplace": "url_rewrite_replace",
+}
+
+# Config keys that configure the CLI (output), not CheckOptions
+# (src/cli.ts:217-219); cli.main pops these before building options.
+CLI_LEVEL_CONFIG_KEYS = ("format", "verbosity", "silent")
+
+
+def _camel_to_snake(key: str) -> str:
+    return re.sub(r"(?<=[a-z0-9])([A-Z])",
+                  lambda m: "_" + m.group(1).lower(), key)
+
+
+def _split_skip_list(value: Any) -> Any:
+    """Reference skip semantics: each entry may itself be a comma/space
+    list (src/cli.ts:365-386)."""
+    if isinstance(value, str):
+        value = [value]
+    if isinstance(value, list) and all(isinstance(v, str) for v in value):
+        return [r for v in value for r in _SPLIT_LIST_RE.split(v) if r]
+    return value
+
+
+def normalize_config_keys(config: dict[str, Any]) -> dict[str, Any]:
+    """Accept a config file written against the REFERENCE flag surface
+    (camelCase keys, reference units/shapes — what an existing
+    linkinator user's linkinator.config.* contains) and translate it to
+    CheckOptions field names. snake_case keys pass through untouched,
+    so configs written for this engine are unaffected; unit conversions
+    apply only to the reference-form spellings."""
+    out: dict[str, Any] = {}
+    for key, value in config.items():
+        reference_form = key in _REFERENCE_KEY_ALIASES or key != key.lower()
+        nk = _REFERENCE_KEY_ALIASES.get(key, _camel_to_snake(key))
+        if reference_form:
+            if nk in ("links_to_skip", "fragments_to_skip"):
+                value = _split_skip_list(value)
+            elif nk == "paths" and isinstance(value, str):
+                value = [value]
+            elif nk == "status_codes" and isinstance(value, list):
+                pairs = [str(v).split(":", 1) for v in value]
+                value = {c: a for c, a in pairs}
+            elif nk == "retry_errors_jitter" and isinstance(value, (int, float)):
+                value = value / 1000.0  # reference unit is ms (src/cli.ts:169)
+        out[nk] = value
+    search = out.pop("url_rewrite_search", None)
+    replace = out.pop("url_rewrite_replace", None)
+    if search is not None and replace is not None:
+        out["url_rewrites"] = [(search, replace)]
+    elif search is not None or replace is not None:
+        raise ValueError("urlRewriteSearch and urlRewriteReplace must be "
+                         "used together")
+    return out
 
 
 def merge_config(flags: dict[str, Any], config: dict[str, Any]) -> dict[str, Any]:
@@ -186,11 +473,13 @@ def merge_config(flags: dict[str, Any], config: dict[str, Any]) -> dict[str, Any
 
 
 def find_config(start_dir: str = ".") -> str | None:
-    """Config file discovery (src/config.ts:38-61):
-    linkinator.config.{json,toml} in the working directory, JSON first
-    (mirroring the reference's flavor precedence order)."""
-    for name in ("linkinator.config.json", "linkinator.config.toml"):
-        candidate = os.path.join(start_dir, name)
+    """Config file discovery. The reference auto-discovers only
+    linkinator.config.json (src/config.ts:64-75); this engine extends
+    discovery to the other valid flavors in validConfigExtensions order
+    (src/config.ts:35), JSON first for reference parity, TOML last as
+    the Python-world extension."""
+    for ext in (".json", ".js", ".mjs", ".cjs", ".toml"):
+        candidate = os.path.join(start_dir, "linkinator.config" + ext)
         if os.path.exists(candidate):
             return candidate
     return None

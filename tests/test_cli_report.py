@@ -323,3 +323,62 @@ def test_cli_markdown_auto_detect(tmp_path):
     payload = json.loads(proc.stdout)
     assert payload["passed"] is True
     assert any(l["url"].endswith("/md/other.md") for l in payload["links"])
+
+
+def test_cli_reference_style_js_config(tmp_path):
+    """A config written against the REFERENCE flag surface — camelCase
+    keys, .mjs flavor, silent, skip string list — drives the CLI
+    (src/cli.ts:146-173 + test/test.config.ts mjs suite)."""
+    docs = fx.docs_table(
+        fx.doc("jscfg/index.html",
+               fx._anchor("/jscfg/a.html"), fx._anchor("/jscfg/skipme.html")),
+        fx.doc("jscfg/a.html", fx.span("text", "", "hi")))
+    corpus = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, corpus)
+    cfg = tmp_path / "linkinator.config.mjs"
+    cfg.write_text("""export default {
+\tformat: 'json',
+\trecurse: true,
+\tverbosity: 'debug',
+\tconcurrency: 17,
+\tskip: 'skipme other-pattern',
+\tdirectoryListing: false,
+};
+""")
+    proc = subprocess.run(
+        [sys.executable, "-m", "linkinator_ray.cli", corpus, "jscfg/",
+         "--config", str(cfg)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr
+    payload = json.loads(proc.stdout)  # format came from the config
+    urls = {l["url"]: l["state"] for l in payload["links"]}
+    assert any(u.endswith("/jscfg/a.html") for u in urls)  # recursed
+    skipped = [s for u, s in urls.items() if "skipme" in u]
+    assert skipped == ["SKIPPED"]
+
+    # silent in config ⇒ verbosity ERROR (src/cli.ts:614-616): OK and
+    # SKIPPED links are pruned from the JSON payload, run still passes
+    cfg.write_text("export default { format: 'json', recurse: true, "
+                   "silent: true, skip: 'skipme' };\n")
+    proc = subprocess.run(
+        [sys.executable, "-m", "linkinator_ray.cli", corpus, "jscfg/",
+         "--config", str(cfg)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr
+    payload = json.loads(proc.stdout)
+    assert payload["passed"] is True
+    assert payload["links"] == []
+
+
+def test_cli_config_silent_verbosity_conflict(tmp_path):
+    docs = fx.docs_table(fx.doc("s/index.html", fx.span("text", "", "x")))
+    corpus = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, corpus)
+    cfg = tmp_path / "linkinator.config.json"
+    cfg.write_text('{"silent": true, "verbosity": "debug"}')
+    proc = subprocess.run(
+        [sys.executable, "-m", "linkinator_ray.cli", corpus, "s/",
+         "--config", str(cfg)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert proc.returncode != 0
+    assert "SILENT and VERBOSITY" in proc.stderr

@@ -83,3 +83,90 @@ def test_toml_config_flavor(tmp_path):
     assert find_config(str(tmp_path)) == str(cfg)
     (tmp_path / "linkinator.config.json").write_text('{"concurrency": 1}')
     assert find_config(str(tmp_path)).endswith(".json")
+
+
+# --- JS config flavors (test/test.config.ts js/mjs/cjs suites) ---
+
+JS_BODY = """{
+\t// static linkinator config
+\tformat: 'json',
+\trecurse: true,
+\tsilent: true,
+\tconcurrency: 17,
+\tskip: 'oranges',
+\tdirectoryListing: false,
+}"""
+
+
+@pytest.mark.parametrize("name,prefix", [
+    ("linkinator.config.js", "export default "),
+    ("linkinator.config.mjs", "export default "),
+    ("linkinator.config.cjs", "module.exports = "),
+])
+def test_load_js_config_flavors(tmp_path, name, prefix):
+    cfg = tmp_path / name
+    cfg.write_text(prefix + JS_BODY + ";\n")
+    loaded = load_config(str(cfg))
+    assert loaded == {"format": "json", "recurse": True, "silent": True,
+                      "concurrency": 17, "skip": "oranges",
+                      "directoryListing": False}
+
+
+def test_js_config_literal_features(tmp_path):
+    cfg = tmp_path / "linkinator.config.mjs"
+    cfg.write_text("""
+/* multi-line
+   header comment */
+const config = {
+  "quoted-key": [1, 2.5, -3, 0x10, 'a', "b", `tmpl`],  // trailing , next
+  nested: { deep: { ok: true, }, none: null, undef: undefined },
+  esc: 'a\\n\\u0041\\u{1F600}b',
+};
+export default config;
+""")
+    loaded = load_config(str(cfg))
+    assert loaded["quoted-key"] == [1, 2.5, -3, 16, "a", "b", "tmpl"]
+    assert loaded["nested"] == {"deep": {"ok": True}, "none": None,
+                               "undef": None}
+    assert loaded["esc"] == "a\nA\U0001F600b"
+
+
+def test_js_config_computed_rejected(tmp_path):
+    cfg = tmp_path / "linkinator.config.js"
+    cfg.write_text("module.exports = { skip: buildSkips() };\n")
+    with pytest.raises(ValueError, match="computed"):
+        load_config(str(cfg))
+    cfg.write_text("const x = 1;\n")
+    with pytest.raises(ValueError, match="export"):
+        load_config(str(cfg))
+
+
+def test_invalid_config_extension(tmp_path):
+    # src/config.ts:105-110: unknown extension is an error;
+    # test.config.ts 'should throw with invalid config extensions'
+    cfg = tmp_path / "invalid_extension.cfg"
+    cfg.write_text("{}")
+    with pytest.raises(ValueError, match="extensions"):
+        load_config(str(cfg))
+
+
+def test_no_extension_defaults_to_json(tmp_path):
+    # src/config.ts:100: missing extension => json for back-compat
+    cfg = tmp_path / "linkconfig"
+    cfg.write_text(json.dumps({"recurse": True}))
+    assert load_config(str(cfg)) == {"recurse": True}
+
+
+def test_bad_json_clear_error(tmp_path):
+    cfg = tmp_path / "linkinator.config.json"
+    cfg.write_text("{not json]")
+    with pytest.raises(ValueError, match="Error parsing"):
+        load_config(str(cfg))
+
+
+def test_find_config_flavor_precedence(tmp_path):
+    (tmp_path / "linkinator.config.cjs").write_text("module.exports = {};")
+    (tmp_path / "linkinator.config.js").write_text("export default {};")
+    assert find_config(str(tmp_path)).endswith(".js")
+    (tmp_path / "linkinator.config.json").write_text("{}")
+    assert find_config(str(tmp_path)).endswith(".json")
