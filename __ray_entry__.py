@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_md5": text.fingerprint_md5,
         "lang_id": text.lang_id,                      # exact SQL oracle
         "rolling_fingerprint": text.rolling_fingerprint,  # exact SQL oracle
+        "repetition_stats": text.repetition_stats,
+        "pii_scrub": text.pii_scrub,
         # dedup family
         "dedup_exact": dedup.dedup_exact,
         "ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
@@ -211,6 +213,71 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_md5": """
             SELECT doc_id, md5(text) AS fingerprint FROM documents
+        """,
+        # Gopher-style repetition signals; same integer-ppm arithmetic
+        # as the Arrow kernel (text.py:_repetition_kernel)
+        "repetition_stats": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS tok,
+                     generate_subscripts(
+                         string_split_regex(trim(text), '\s+'), 1) AS i
+              FROM documents
+            ), tc AS (
+              SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+            ), per_tok AS (
+              SELECT doc_id, sum(c) AS n_tokens, max(c) AS top_tok,
+                     sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tok
+              FROM tc GROUP BY doc_id
+            ), bg AS (
+              SELECT t1.doc_id AS doc_id, t1.tok || ' ' || t2.tok AS bigram
+              FROM toks t1 JOIN toks t2
+                ON t1.doc_id = t2.doc_id AND t2.i = t1.i + 1
+            ), bgc AS (
+              SELECT doc_id, bigram, count(*) AS c
+              FROM bg GROUP BY doc_id, bigram
+            ), per_bg AS (
+              SELECT doc_id, max(c) AS top_big FROM bgc GROUP BY doc_id
+            )
+            SELECT p.doc_id AS doc_id,
+                   CAST(p.n_tokens AS BIGINT) AS n_tokens,
+                   CAST(1000000 * p.top_tok // p.n_tokens AS BIGINT)
+                       AS top_token_ppm,
+                   CAST(1000000 * p.dup_tok // p.n_tokens AS BIGINT)
+                       AS dup_token_ppm,
+                   CAST(1000000 * coalesce(b.top_big, 0)
+                        // greatest(p.n_tokens - 1, 1) AS BIGINT)
+                       AS top_bigram_ppm
+            FROM per_tok p LEFT JOIN per_bg b ON p.doc_id = b.doc_id
+        """,
+        # identical RE2 patterns applied in the same order on both
+        # engines (text.py:PII_PATTERNS); match count via split-1
+        "pii_scrub": r"""
+            WITH s1 AS (
+              SELECT doc_id, text,
+                CAST(len(regexp_split_to_array(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) - 1
+                  AS BIGINT) AS n_email,
+                regexp_replace(text,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g') AS t1
+              FROM documents
+            ), s2 AS (
+              SELECT doc_id, n_email,
+                CAST(len(regexp_split_to_array(t1,
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) - 1
+                  AS BIGINT) AS n_ipv4,
+                regexp_replace(t1,
+                  '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+                  '<IP>', 'g') AS t2
+              FROM s1
+            )
+            SELECT doc_id, n_email, n_ipv4,
+              CAST(len(regexp_split_to_array(t2,
+                '\+?[0-9][0-9() -]{6,}[0-9]')) - 1 AS BIGINT) AS n_phone,
+              regexp_replace(t2, '\+?[0-9][0-9() -]{6,}[0-9]',
+                             '<PHONE>', 'g') AS clean_text
+            FROM s2
         """,
         # stopword-profile language ID: ASCII tokens (RE2 parity), first
         # 200 words scored per profile, zh scored on the raw 400-char

@@ -139,6 +139,8 @@ def run_queries() -> dict:
         "knn_bruteforce": lambda: similarity.knn_bruteforce(SF_DIR, k=5, num_queries=4),
         "knn_ivf": lambda: similarity.knn_ivf(SF_DIR, k=5, num_queries=4),
         "token_count_bpe": lambda: text.token_count_bpe(SF_DIR),
+        "repetition_stats": lambda: text.repetition_stats(SF_DIR),
+        "pii_scrub": lambda: text.pii_scrub(SF_DIR),
         "tumbling_window": lambda: events.tumbling_window(SF_DIR),
         "sliding_window": lambda: events.sliding_window(SF_DIR),
         "sessionize": lambda: events.sessionize(SF_DIR),

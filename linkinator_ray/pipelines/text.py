@@ -306,3 +306,101 @@ def top_tokens(sf_dir: str, k: int = 20):
         .sort_values(["doc_freq", "token"], ascending=[False, True]).head(k)
     import pyarrow as _pa
     return _pa.Table.from_pandas(top.reset_index(drop=True), preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# repetition stats — Gopher-style repetition quality signals
+# ---------------------------------------------------------------------------
+
+def _repetition_kernel(batch: pa.Table) -> pa.Table:
+    """Per-doc repetition signals (Rae et al. 2021 'Gopher' §A1.1-style
+    repetition filters, adapted to token/bigram units): fraction of
+    token occurrences belonging to repeated tokens, most-frequent-token
+    fraction, most-frequent-bigram fraction. All C-speed: one regex
+    split, two Arrow group_bys, numpy scatter reductions — no Python
+    per-row loop. Ratios are exact integer ppm so the DuckDB oracle
+    hashes identically."""
+    import pyarrow.compute as pc
+    n = batch.num_rows
+    trimmed = pc.utf8_trim_whitespace(_text_col(batch))
+    lst = pc.split_pattern_regex(trimmed, r"\s+")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    p = _int64(pc.list_parent_indices(lst))
+    toks = pc.list_flatten(lst)
+    n_tokens = _int64(pc.list_value_length(lst))
+
+    # per-(doc, token) occurrence counts
+    cnt = pa.table({"p": pa.array(p), "tok": toks}).group_by(
+        ["p", "tok"], use_threads=False).aggregate([([], "count_all")])
+    cp = _int64(cnt.column("p"))
+    cc = _int64(cnt.column("count_all"))
+    top_tok = np.zeros(n, np.int64)
+    np.maximum.at(top_tok, cp, cc)
+    dup_tok = np.zeros(n, np.int64)
+    np.add.at(dup_tok, cp, np.where(cc > 1, cc, 0))
+
+    # intra-doc bigrams: adjacent token pairs with the same parent
+    flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
+    top_big = np.zeros(n, np.int64)
+    if len(flat) > 1:
+        mask = pa.array(p[:-1] == p[1:])
+        left = flat.slice(0, len(flat) - 1).filter(mask)
+        right = flat.slice(1).filter(mask)
+        big = pc.binary_join_element_wise(left, right, " ")
+        bcnt = pa.table({"p": pa.array(p[:-1][p[:-1] == p[1:]]),
+                         "bg": big}).group_by(
+            ["p", "bg"], use_threads=False).aggregate([([], "count_all")])
+        np.maximum.at(top_big, _int64(bcnt.column("p")),
+                      _int64(bcnt.column("count_all")))
+
+    denom = np.maximum(n_tokens, 1)
+    n_bigrams = np.maximum(n_tokens - 1, 1)
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(n_tokens),
+        "top_token_ppm": pa.array(top_tok * 1_000_000 // denom),
+        "dup_token_ppm": pa.array(dup_tok * 1_000_000 // denom),
+        "top_bigram_ppm": pa.array(top_big * 1_000_000 // n_bigrams),
+    })
+
+
+def repetition_stats(sf_dir: str):
+    """Per-doc repetition fractions for repetition-based quality
+    filtering (a doc of 'batch batch batch' is low-quality training
+    data however good its token counts look)."""
+    return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _repetition_kernel, batch_format="pyarrow", batch_size=8192)
+
+
+# ---------------------------------------------------------------------------
+# PII scrub — regex redaction (emails / IPv4 / phone-like runs)
+# ---------------------------------------------------------------------------
+
+# Applied IN ORDER to progressively-scrubbed text; RE2 on both engines
+# (pyarrow and DuckDB), so counts and replacements hash identically.
+# No lookarounds/backrefs (RE2-safe).
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def _pii_kernel(batch: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    cur = _text_col(batch)
+    out: dict = {"doc_id": batch.column("doc_id")}
+    for name, pat, repl in PII_PATTERNS:
+        out[f"n_{name}"] = pa.array(_int64(pc.count_substring_regex(cur, pat)))
+        cur = pc.replace_substring_regex(cur, pat, repl)
+    out["clean_text"] = cur
+    return pa.table(out)
+
+
+def pii_scrub(sf_dir: str):
+    """Count + redact PII-shaped spans (emails, IPv4s, phone-number-like
+    digit runs) per document — the standard pre-training scrub pass.
+    Vectorized RE2 kernels over the Arrow string buffers."""
+    return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _pii_kernel, batch_format="pyarrow", batch_size=8192)

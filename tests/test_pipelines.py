@@ -357,3 +357,57 @@ def test_corpus_dedup_drops_stay_distributed(ray_session, tmp_path):
     assert isinstance(drops, ray.data.Dataset)
     got = {r["doc_id"]: r["reason"] for r in drops.take_all()}
     assert got == {1: "exact", 2: "near"}
+
+
+def test_repetition_stats_planted(ray_session, tmp_path):
+    """Gopher-style repetition fractions on docs with known repetition
+    structure (integer-ppm arithmetic, exact)."""
+    import pyarrow.parquet as pq
+    from linkinator_ray.pipelines.text import repetition_stats
+    rows = [
+        {"doc_id": 0, "text": "batch batch batch stream"},
+        {"doc_id": 1, "text": "a b c d"},
+        {"doc_id": 2, "text": ""},
+        {"doc_id": 3, "text": "x y x y x y z"},
+    ]
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(out / "documents.parquet"))
+    got = {r["doc_id"]: r for r in
+           repetition_stats(str(out)).to_pandas().to_dict("records")}
+    assert got[0]["top_token_ppm"] == 750000      # 3/4 'batch'
+    assert got[0]["dup_token_ppm"] == 750000
+    assert got[0]["top_bigram_ppm"] == 666666     # 'batch batch' 2/3
+    assert got[1]["dup_token_ppm"] == 0
+    assert got[2]["n_tokens"] == 1                # '' splits to ['']
+    assert got[2]["top_bigram_ppm"] == 0
+    assert got[3]["top_bigram_ppm"] == 500000     # 'x y' 3/6
+
+
+def test_pii_scrub_planted(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from linkinator_ray.pipelines.text import pii_scrub
+    rows = [
+        {"doc_id": 0, "text": "mail bob.smith+x@corp.example.com or "
+                              "10.0.0.1 call +1 (555) 123-4567 ok"},
+        {"doc_id": 1, "text": "two mails a@b.co c@d.org no numbers"},
+        {"doc_id": 2, "text": "clean document text"},
+    ]
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(out / "documents.parquet"))
+    got = {r["doc_id"]: r for r in
+           pii_scrub(str(out)).to_pandas().to_dict("records")}
+    assert got[0]["n_email"] == 1 and got[0]["n_ipv4"] == 1 \
+        and got[0]["n_phone"] == 1
+    assert got[0]["clean_text"] == "mail <EMAIL> or <IP> call <PHONE> ok"
+    assert got[1]["n_email"] == 2
+    assert got[2]["clean_text"] == "clean document text"
+    # redaction is idempotent: scrubbing scrubbed text changes nothing
+    from linkinator_ray.pipelines.text import _pii_kernel
+    clean = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array([got[i]["clean_text"] for i in range(3)])})
+    again = _pii_kernel(clean).to_pylist()
+    assert all(r["n_email"] == 0 and r["n_ipv4"] == 0 and r["n_phone"] == 0
+               for r in again)
