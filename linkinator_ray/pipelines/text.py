@@ -190,6 +190,37 @@ def fingerprint_md5(sf_dir: str):
 ROLLING_P = (1 << 61) - 1
 ROLLING_B = 1000003
 
+_P64 = np.uint64(ROLLING_P)
+
+
+def _redc_p(x: np.ndarray) -> np.ndarray:
+    """Reduce uint64 values (< 2^64) mod the Mersenne prime 2^61-1:
+    fold the high 3 bits down (2^61 ≡ 1), then one conditional
+    subtract."""
+    r = (x >> np.uint64(61)) + (x & _P64)
+    return np.where(r >= _P64, r - _P64, r)
+
+
+def _addmod_p(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return _redc_p(a + b)  # a,b < P < 2^61 → sum < 2^62, no overflow
+
+
+def _mulmod_p(a: np.ndarray, b) -> np.ndarray:
+    """(a*b) mod (2^61-1) without 128-bit ints: 32-bit limb split.
+    a·b = (a1b1)·2^64 + (a1b0 + a0b1)·2^32 + a0b0 with 2^64 ≡ 2^3 and
+    mid·2^32 folded via mid = mh·2^29 + ml ⇒ mid·2^32 ≡ mh + ml·2^32.
+    Every intermediate provably fits uint64 for a,b < 2^61."""
+    a = np.asarray(a, dtype=np.uint64)
+    b = np.asarray(b, dtype=np.uint64)
+    mask32 = np.uint64(0xFFFFFFFF)
+    a1, a0 = a >> np.uint64(32), a & mask32
+    b1, b0 = b >> np.uint64(32), b & mask32
+    hh = _redc_p((a1 * b1) << np.uint64(3))        # a1,b1 < 2^29
+    mid = a1 * b0 + a0 * b1                        # < 2^62
+    mh, ml = mid >> np.uint64(29), mid & np.uint64((1 << 29) - 1)
+    ll = _redc_p(a0 * b0)                          # < 2^64 exact in uint64
+    return _redc_p(_redc_p(hh + mh) + _redc_p(ml << np.uint64(32)) + ll)
+
 
 def rolling_fingerprint(sf_dir: str, window: int = 8):
     """Rabin-Karp rolling-hash document fingerprint: min of rolling
@@ -199,27 +230,55 @@ def rolling_fingerprint(sf_dir: str, window: int = 8):
     base 1000003 over the field — both chosen so the EXACT same numbers
     come out of the DuckDB oracle (md5 + HUGEINT window sums)."""
     P, B = ROLLING_P, ROLLING_B
-    pow_b = pow(B, window - 1, P)
+    # B^(w-1-j) mod P per window slot, as uint64 for the numpy field ops
+    pows = np.array([pow(B, window - 1 - j, P) for j in range(window)],
+                    dtype=np.uint64)
 
     def kernel(batch: pa.Table) -> pa.Table:
-        fps = []
-        for text in _text_col(batch).to_pylist():
-            toks = _WS.split(text.strip())
-            hs = [int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
-                                 "big") % P for t in toks]
-            if len(hs) < window:
-                fps.append(min(hs) if hs else 0)
-                continue
-            acc = 0
-            for i in range(window):
-                acc = (acc * B + hs[i]) % P
-            best = acc
-            for i in range(1, len(hs) - window + 1):
-                acc = ((acc - hs[i - 1] * pow_b) * B + hs[i + window - 1]) % P
-                best = acc if acc < best else best
-            fps.append(best)
+        import pyarrow.compute as pc
+        n = batch.num_rows
+        trimmed = pc.utf8_trim_whitespace(_text_col(batch))
+        lst = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        p = _int64(pc.list_parent_indices(lst))
+        n_tokens = _int64(pc.list_value_length(lst))
+        flat = pc.list_flatten(lst)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        # md5 only once per DISTINCT token (dictionary encode is C-speed;
+        # the token stream repeats its vocabulary massively)
+        d = flat.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        uh = np.array([int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
+                                      "big") % P for t in uniq],
+                      dtype=np.uint64)
+        h = uh[np.asarray(d.indices.to_numpy(zero_copy_only=False),
+                          dtype=np.int64)] if len(uniq) else \
+            np.empty(0, np.uint64)
+
+        # every doc's min token hash (short-doc fingerprint, and a valid
+        # init for the window min scatter)
+        fp_short = np.full(n, np.iinfo(np.uint64).max, np.uint64)
+        np.minimum.at(fp_short, p, h)
+
+        fp = fp_short.copy()
+        total = len(h)
+        if total >= window:
+            # window hash at flat position i: Σ_j h[i+j]·B^(w-1-j) mod P,
+            # vectorized over ALL positions; valid where the whole
+            # window stays inside one doc (p[i] == p[i+w-1])
+            m = total - window + 1
+            acc = np.zeros(m, np.uint64)
+            for j in range(window):
+                acc = _addmod_p(acc, _mulmod_p(h[j:j + m], pows[j]))
+            valid = p[:m] == p[window - 1:window - 1 + m]
+            best = np.full(n, np.iinfo(np.uint64).max, np.uint64)
+            np.minimum.at(best, p[:m][valid], acc[valid])
+            long_mask = n_tokens >= window
+            fp[long_mask] = best[long_mask]
         return pa.table({"doc_id": batch.column("doc_id"),
-                         "rolling_fp": pa.array(fps, pa.int64())})
+                         "rolling_fp": pa.array(fp.astype(np.int64))})
 
     return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         kernel, batch_format="pyarrow", batch_size=4096)

@@ -411,3 +411,22 @@ def test_pii_scrub_planted(ray_session, tmp_path):
     again = _pii_kernel(clean).to_pylist()
     assert all(r["n_email"] == 0 and r["n_ipv4"] == 0 and r["n_phone"] == 0
                for r in again)
+
+
+def test_rolling_mulmod_field_arithmetic():
+    """numpy Mersenne-prime (2^61-1) mulmod matches arbitrary-precision
+    integers on random operands (the vectorized rolling-hash core)."""
+    import numpy as np
+    from linkinator_ray.pipelines.text import _mulmod_p, ROLLING_P
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, ROLLING_P, 50000, dtype=np.uint64)
+    b = rng.integers(0, ROLLING_P, 50000, dtype=np.uint64)
+    got = _mulmod_p(a, b).astype(object)
+    exp = (a.astype(object) * b.astype(object)) % ROLLING_P
+    assert (got == exp).all()
+    edge = np.array([0, 1, ROLLING_P - 1, (1 << 32) - 1, 1 << 32],
+                    dtype=np.uint64)
+    for x in edge:
+        got_e = _mulmod_p(edge, x).astype(object)
+        exp_e = (edge.astype(object) * int(x)) % ROLLING_P
+        assert (got_e == exp_e).all()
