@@ -15,6 +15,38 @@ import pyarrow as pa
 _BUCKETER_CACHE: dict = {}
 
 
+def _embedding_matrix(col) -> np.ndarray:
+    """Arrow list<float> column → (n, dim) float64 matrix via
+    flatten + reshape — no per-row object array, no np.stack copy
+    of Python lists (the hot path of every similarity kernel)."""
+    import pyarrow.compute as pc
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = pc.list_flatten(col).to_numpy(zero_copy_only=False)
+    return np.ascontiguousarray(flat, dtype=np.float64).reshape(len(col), -1)
+
+
+def _normalized(mat: np.ndarray) -> np.ndarray:
+    return mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
+                         1e-12, None)
+
+
+def _topk_frame(qids: np.ndarray, nids: np.ndarray, sims: np.ndarray,
+                k: int) -> pa.Table:
+    """Vectorized partial-top-k emission: per-row (query) top-k of a
+    (nq, nb) similarity block, no Python loop over queries."""
+    kk = min(k, sims.shape[1])
+    top = np.argpartition(-sims, kk - 1, axis=1)[:, :kk] \
+        if kk < sims.shape[1] else \
+        np.broadcast_to(np.arange(sims.shape[1]), sims.shape).copy()
+    sel = np.take_along_axis(sims, top, axis=1)
+    return pa.table({
+        "query_id": pa.array(np.repeat(np.asarray(qids, np.int64), kk)),
+        "neighbor_id": pa.array(np.asarray(nids, np.int64)[top.ravel()]),
+        "cosine": pa.array(sel.ravel()),
+    })
+
+
 def read_embeddings(sf_dir: str):
     import ray.data as rd
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -45,21 +77,12 @@ class _PartialTopK:
             queries_ref, tuple) else queries_ref
         self.k = k
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch["vec_id"].to_numpy()
-        mat = np.stack(batch["embedding"].to_numpy())
-        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column("vec_id").to_numpy(
+            zero_copy_only=False), np.int64)
+        mat = _normalized(_embedding_matrix(batch.column("embedding")))
         sims = self.qmat @ mat.T  # (nq, nb)
-        k = min(self.k, sims.shape[1])
-        top = np.argpartition(-sims, k - 1, axis=1)[:, :k]
-        rows_q, rows_n, rows_s = [], [], []
-        for qi in range(sims.shape[0]):
-            sel = top[qi]
-            rows_q.extend([self.qids[qi]] * len(sel))
-            rows_n.extend(ids[sel])
-            rows_s.extend(sims[qi, sel])
-        return pd.DataFrame({"query_id": rows_q, "neighbor_id": rows_n,
-                             "cosine": rows_s})
+        return _topk_frame(self.qids, ids, sims, self.k)
 
 
 def knn_bruteforce(sf_dir: str, k: int = 5, num_queries: int = 4):
@@ -74,7 +97,7 @@ def knn_bruteforce(sf_dir: str, k: int = 5, num_queries: int = 4):
         queries_ref = queries
 
     partials = read_embeddings(sf_dir).map_batches(
-        _PartialTopK, batch_format="pandas", batch_size=4096, concurrency=(1, 4),
+        _PartialTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k})
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
@@ -116,14 +139,13 @@ class _LshBucketer:
     def bucket_of(self, mat: np.ndarray) -> np.ndarray:
         return ((mat @ self.planes.T) > 0).astype(np.int64) @ self.weights
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(batch["embedding"].to_numpy())
-        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12, None)
-        return pd.DataFrame({
-            "vec_id": batch["vec_id"],
-            "bucket": self.bucket_of(mat),
-            "embedding": list(mat),
-        })
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalized(_embedding_matrix(batch.column("embedding")))
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.ravel()), mat.shape[1])
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "bucket": pa.array(self.bucket_of(mat)),
+                         "embedding": emb})
 
 
 class _LshPartialTopK:
@@ -138,23 +160,31 @@ class _LshPartialTopK:
         self.qbuckets = np.asarray(qbuckets)
         self.k = k
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows_q, rows_n, rows_s = [], [], []
-        buckets = batch["bucket"].to_numpy()
-        for qid, qvec, qb in zip(self.qids, self.qmat, self.qbuckets):
-            mask = buckets == qb
-            if not mask.any():
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        buckets = np.asarray(batch.column("bucket").to_numpy(
+            zero_copy_only=False), np.int64)
+        ids = np.asarray(batch.column("vec_id").to_numpy(
+            zero_copy_only=False), np.int64)
+        mat = _embedding_matrix(batch.column("embedding"))
+        # one block matmul per DISTINCT query bucket, vectorized across
+        # all queries in that bucket (was: a Python loop per query)
+        order = np.argsort(buckets, kind="stable")
+        sb = buckets[order]
+        parts = []
+        for qb in np.unique(self.qbuckets):
+            lo, hi = np.searchsorted(sb, [qb, qb + 1])
+            if lo == hi:
                 continue
-            sub = batch.loc[mask]
-            mat = np.stack(sub["embedding"].to_numpy())
-            sims = mat @ qvec
-            kk = min(self.k, len(sims))
-            top = np.argpartition(-sims, kk - 1)[:kk]
-            rows_q.extend([qid] * kk)
-            rows_n.extend(sub["vec_id"].to_numpy()[top])
-            rows_s.extend(sims[top])
-        return pd.DataFrame({"query_id": rows_q, "neighbor_id": rows_n,
-                             "cosine": rows_s})
+            rows = order[lo:hi]
+            qsel = self.qbuckets == qb
+            sims = self.qmat[qsel] @ mat[rows].T
+            parts.append(_topk_frame(self.qids[qsel], ids[rows], sims,
+                                     self.k))
+        if not parts:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.concat_tables(parts)
 
 
 class _IvfAssign:
@@ -166,13 +196,13 @@ class _IvfAssign:
         self.centroids = ray.get(centroids_ref) \
             if not isinstance(centroids_ref, np.ndarray) else centroids_ref
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        mat = np.stack(batch["embedding"].to_numpy())
-        mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
-                            1e-12, None)
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalized(_embedding_matrix(batch.column("embedding")))
         lists = np.argmax(mat @ self.centroids.T, axis=1).astype(np.int64)
-        return pd.DataFrame({"vec_id": batch["vec_id"], "list_id": lists,
-                             "embedding": list(mat)})
+        emb = pa.FixedSizeListArray.from_arrays(
+            pa.array(mat.ravel()), mat.shape[1])
+        return pa.table({"vec_id": batch.column("vec_id"),
+                         "list_id": pa.array(lists), "embedding": emb})
 
 
 class _IvfPartialTopK:
@@ -183,26 +213,42 @@ class _IvfPartialTopK:
         import ray
         self.qids, self.qmat = ray.get(queries_ref) if not isinstance(
             queries_ref, tuple) else queries_ref
-        self.probes = probes  # list of per-query centroid-id sets
         self.k = k
+        # invert probes: list_id → indices of the queries probing it,
+        # so each distinct list in a batch is scored with ONE matmul
+        # across all its probing queries (was: a Python loop per query)
+        inv: dict[int, list[int]] = {}
+        for qi, probe in enumerate(probes):
+            for li in probe:
+                inv.setdefault(int(li), []).append(qi)
+        self.probed_by = {li: np.array(qs, np.int64)
+                          for li, qs in inv.items()}
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        rows_q, rows_n, rows_s = [], [], []
-        lists = batch["list_id"].to_numpy()
-        for qid, qvec, probe in zip(self.qids, self.qmat, self.probes):
-            mask = np.isin(lists, list(probe))
-            if not mask.any():
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        lists = np.asarray(batch.column("list_id").to_numpy(
+            zero_copy_only=False), np.int64)
+        ids = np.asarray(batch.column("vec_id").to_numpy(
+            zero_copy_only=False), np.int64)
+        mat = _embedding_matrix(batch.column("embedding"))
+        order = np.argsort(lists, kind="stable")
+        sl = lists[order]
+        parts = []
+        for li in np.unique(sl):
+            qsel = self.probed_by.get(int(li))
+            if qsel is None:
                 continue
-            sub = batch.loc[mask]
-            mat = np.stack(sub["embedding"].to_numpy())
-            sims = mat @ qvec
-            kk = min(self.k, len(sims))
-            top = np.argpartition(-sims, kk - 1)[:kk]
-            rows_q.extend([qid] * kk)
-            rows_n.extend(sub["vec_id"].to_numpy()[top])
-            rows_s.extend(sims[top])
-        return pd.DataFrame({"query_id": rows_q, "neighbor_id": rows_n,
-                             "cosine": rows_s})
+            lo, hi = np.searchsorted(sl, [li, li + 1])
+            rows = order[lo:hi]
+            sims = self.qmat[qsel] @ mat[rows].T
+            # a query probing several lists emits one partial per list;
+            # the per-query merge (nlargest k) absorbs the union
+            parts.append(_topk_frame(self.qids[qsel], ids[rows], sims,
+                                     self.k))
+        if not parts:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.concat_tables(parts)
 
 
 def train_ivf_centroids(sf_dir: str, n_centroids: int = 16,
@@ -254,16 +300,18 @@ def knn_ivf(sf_dir: str, k: int = 5, num_queries: int = 4,
     queries_ref = put((qids, qmat))
 
     assigned = read_embeddings(sf_dir).map_batches(
-        _IvfAssign, batch_format="pandas", batch_size=4096,
+        _IvfAssign, batch_format="pyarrow", batch_size=4096,
         concurrency=(1, 4), fn_constructor_kwargs={"centroids_ref": cen_ref})
-    wanted = set().union(*probes)
+    wanted = pa.array(sorted(set().union(*probes)), pa.int64())
 
-    def keep_wanted(batch: pd.DataFrame) -> pd.DataFrame:
-        return batch[batch["list_id"].isin(wanted)]
+    def keep_wanted(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.is_in(batch.column("list_id"),
+                                     value_set=wanted))
 
     partials = assigned.map_batches(
-        keep_wanted, batch_format="pandas", batch_size=8192).map_batches(
-        _IvfPartialTopK, batch_format="pandas", batch_size=8192,
+        keep_wanted, batch_format="pyarrow", batch_size=8192).map_batches(
+        _IvfPartialTopK, batch_format="pyarrow", batch_size=8192,
         concurrency=(1, 4),
         fn_constructor_kwargs={"queries_ref": queries_ref,
                                "probes": probes, "k": k})
@@ -307,16 +355,18 @@ def knn_lsh(sf_dir: str, k: int = 5, num_queries: int = 4, n_planes: int = 6):
     dim = qmat.shape[1]
     bucketed = read_embeddings(sf_dir).map_batches(
         lambda b: _LshBucketer.cached(dim, n_planes)(b),
-        batch_format="pandas", batch_size=4096)
-    wanted = set(qbuckets.tolist())
+        batch_format="pyarrow", batch_size=4096)
+    wanted = pa.array(sorted(set(qbuckets.tolist())), pa.int64())
 
-    def keep_wanted(batch: pd.DataFrame) -> pd.DataFrame:
+    def keep_wanted(batch: pa.Table) -> pa.Table:
         # vectorized bucket filter (ds.filter(row_fn) is per-row Python)
-        return batch[batch["bucket"].isin(wanted)]
+        import pyarrow.compute as pc
+        return batch.filter(pc.is_in(batch.column("bucket"),
+                                     value_set=wanted))
 
     partials = bucketed.map_batches(
-        keep_wanted, batch_format="pandas", batch_size=8192).map_batches(
-        _LshPartialTopK, batch_format="pandas", batch_size=8192,
+        keep_wanted, batch_format="pyarrow", batch_size=8192).map_batches(
+        _LshPartialTopK, batch_format="pyarrow", batch_size=8192,
         concurrency=(1, 4),
         fn_constructor_kwargs={"queries_ref": queries_ref,
                                "qbuckets": qbuckets, "k": k})
