@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins (broadcast small-side + hash-partitioned Dataset join)
         "events_by_segment": joins.events_by_segment,
         "events_join_customer": lambda sf: joins.events_join_customer(sf, 50),
+        "events_asof_order": joins.events_asof_order,
         # columnar classics over the star schema
         "pricing_summary": lambda sf: tpch.pricing_summary(sf),
         "top_customers": lambda sf: tpch.top_customers(sf, k=10),
@@ -467,6 +468,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_id, c.c_mktsegment
             FROM events e JOIN customer c ON e.user_id = c.c_custkey
             WHERE e.user_id < 50 ORDER BY e.event_id
+        """,
+        # point-in-time (as-of) join; orders deduped per (custkey, date)
+        # to max o_orderkey so the as-of winner is deterministic —
+        # identical tie-break in joins.py:events_asof_order
+        "events_asof_order": """
+            WITH od AS (
+              SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+                     CAST(floor(max_by(o_totalprice, o_orderkey) * 100)
+                          AS BIGINT) AS total_cents
+              FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT e.event_id, e.user_id,
+                   CAST(epoch_us(e.ts) AS BIGINT) AS ts_us,
+                   o.o_orderkey, o.total_cents
+            FROM events e ASOF JOIN od o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
         """,
         "media_features": """
             SELECT doc_id AS media_id,

@@ -146,6 +146,7 @@ def run_queries() -> dict:
         "sessionize": lambda: events.sessionize(SF_DIR),
         "events_by_segment": lambda: joins.events_by_segment(SF_DIR),
         "events_join_customer": lambda: joins.events_join_customer(SF_DIR),
+        "events_asof_order": lambda: joins.events_asof_order(SF_DIR),
     }
     if os.path.isdir(WARM_SF_DIR):
         global SF_DIR

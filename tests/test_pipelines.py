@@ -430,3 +430,37 @@ def test_rolling_mulmod_field_arithmetic():
         got_e = _mulmod_p(edge, x).astype(object)
         exp_e = (edge.astype(object) * int(x)) % ROLLING_P
         assert (got_e == exp_e).all()
+
+
+def test_events_asof_order_semantics(ray_session, tmp_path):
+    """As-of join picks the latest order at-or-before each event,
+    drops events with no prior order, and breaks orderdate ties by max
+    o_orderkey (the documented deterministic tie-break)."""
+    import pyarrow.parquet as pq
+    from linkinator_ray.pipelines.joins import events_asof_order
+    us = 1_000_000
+    ev = pa.table({
+        "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([10 * us, 25 * us, 5 * us, 30 * us],
+                       pa.timestamp("us")),
+        "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+    })
+    od = pa.table({
+        "o_orderkey": pa.array([100, 101, 102, 103, 200], pa.int64()),
+        "o_custkey": pa.array([7, 7, 7, 7, 9], pa.int64()),
+        "o_orderdate": pa.array([8 * us, 20 * us, 20 * us, 26 * us, 1 * us],
+                                pa.timestamp("us")),
+        "o_totalprice": pa.array([1.0, 2.0, 3.0, 4.0, 5.0]),
+    })
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(ev, str(out / "events.parquet"))
+    pq.write_table(od, str(out / "orders.parquet"))
+    got = {r["event_id"]: r for r in
+           events_asof_order(str(out)).to_pandas().to_dict("records")}
+    assert set(got) == {1, 2}           # event 3 predates all orders,
+    assert got[1]["o_orderkey"] == 100  # event 4's user has no orders
+    # ts=25: two orders at date 20 → max orderkey (102) wins, and its
+    # own totalprice rides along
+    assert got[2]["o_orderkey"] == 102
+    assert got[2]["total_cents"] == 300
