@@ -761,7 +761,7 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.9, n_planes: int = 6,
     dim = embedding_dim(sf_dir)
     bucketed = read_embeddings(sf_dir).map_batches(
         lambda b: _LshBucketer.cached(dim, n_planes)(b),
-        batch_format="pandas", batch_size=4096)
+        batch_format="pyarrow", batch_size=4096)
 
     def within_part(part: pd.DataFrame) -> pd.DataFrame:
         outs = []
