@@ -299,8 +299,18 @@ class _JsLiteralParser:
                         buf.append(chr(int(self.src[self.i + 2:end], 16)))
                         self.i = end + 1
                     else:
-                        buf.append(chr(int(self.src[self.i + 1:self.i + 5], 16)))
+                        cp = int(self.src[self.i + 1:self.i + 5], 16)
                         self.i += 5
+                        # combine a \uD800-\uDBFF + \uDC00-\uDFFF
+                        # surrogate-pair escape (JSON/JS semantics)
+                        if 0xD800 <= cp <= 0xDBFF and \
+                                self.src.startswith("\\u", self.i):
+                            lo = int(self.src[self.i + 2:self.i + 6], 16)
+                            if 0xDC00 <= lo <= 0xDFFF:
+                                cp = 0x10000 + ((cp - 0xD800) << 10) \
+                                    + (lo - 0xDC00)
+                                self.i += 6
+                        buf.append(chr(cp))
                     continue
                 if e == "x":
                     buf.append(chr(int(self.src[self.i + 1:self.i + 3], 16)))

@@ -170,3 +170,27 @@ def test_find_config_flavor_precedence(tmp_path):
     assert find_config(str(tmp_path)).endswith(".js")
     (tmp_path / "linkinator.config.json").write_text("{}")
     assert find_config(str(tmp_path)).endswith(".json")
+
+
+def test_js_parser_accepts_arbitrary_json():
+    """Property: every JSON document is ALSO a valid JS object literal,
+    so parse_js_config(export default <json>) must round-trip it."""
+    from hypothesis import given, settings, strategies as st
+
+    from linkinator_ray.options import parse_js_config
+
+    json_vals = st.recursive(
+        st.none() | st.booleans() | st.integers(-10**9, 10**9)
+        | st.floats(allow_nan=False, allow_infinity=False, width=32)
+        | st.text(max_size=20),
+        lambda inner: st.lists(inner, max_size=4)
+        | st.dictionaries(st.text(max_size=10), inner, max_size=4),
+        max_leaves=12)
+
+    @given(st.dictionaries(st.text(max_size=10), json_vals, max_size=5))
+    @settings(max_examples=150, deadline=None)
+    def check(obj):
+        src = "export default " + json.dumps(obj) + ";\n"
+        assert parse_js_config(src) == obj
+
+    check()
