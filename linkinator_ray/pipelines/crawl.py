@@ -499,10 +499,13 @@ class LinkChecker:
         # ordering matters)
         num_actors = max(1, min(opts.fetch_concurrency, opts.concurrency))
         # connection threads only pay off when requests actually wait on
-        # the wire; with a zero-latency transport they are pure GIL churn
+        # the wire (simulated latency OR the real HTTP transport); with
+        # a zero-latency mock they are pure GIL churn
+        waits_on_wire = self.transport_latency_s > 0 \
+            or opts.transport == "http"
         worker_kwargs["connections"] = max(
             1, min(25, opts.concurrency // num_actors)) \
-            if self.transport_latency_s > 0 else 1
+            if waits_on_wire else 1
 
         if self.use_ray and opts.mesh and self._mesh_supported(resume_from):
             return self._run_mesh(transport_blob, worker_kwargs, num_actors,

@@ -22,6 +22,7 @@ against a loopback ``http.server`` (tests/test_http_transport.py).
 from __future__ import annotations
 
 import ssl
+import threading
 from urllib.parse import urlsplit
 
 from linkinator_ray.stages.fetch import TransportError, TResponse
@@ -102,7 +103,11 @@ class HttpTransport:
         self.proxy = proxy or proxy_url_from_env()
         self.no_proxy = no_proxy_hosts()
         self.corpus = LiveBodyStore()
-        self._conns: dict[tuple, object] = {}
+        # http.client connections are NOT thread-safe; the fetch worker
+        # runs `connections` parallel streams over one transport, so
+        # keep-alive connections are cached PER THREAD
+        self._local = threading.local()
+        self._lock = threading.Lock()
         self._seq = 0
         self.calls: list[tuple[str, str, int]] = []
         self.record_calls = True
@@ -110,10 +115,16 @@ class HttpTransport:
     def _use_proxy(self, host: str) -> bool:
         return bool(self.proxy) and not _matches_no_proxy(host, self.no_proxy)
 
+    def _conn_map(self) -> dict:
+        m = getattr(self._local, "conns", None)
+        if m is None:
+            m = self._local.conns = {}
+        return m
+
     def _connection(self, scheme: str, host: str, port: int | None):
         import http.client
         key = (scheme, host, port)
-        conn = self._conns.get(key)
+        conn = self._conn_map().get(key)
         if conn is not None:
             return conn
         ctx = None
@@ -141,7 +152,7 @@ class HttpTransport:
         else:
             conn = http.client.HTTPConnection(
                 host, port, timeout=self.timeout)
-        self._conns[key] = conn
+        self._conn_map()[key] = conn
         return conn
 
     def request(self, url: str, method: str,
@@ -177,8 +188,10 @@ class HttpTransport:
                 raw = resp.read(self.max_body_bytes)
                 text = raw.decode(_charset_of(ct), errors="replace")
                 spans = self._parse(text, is_css)
-                self._seq += 1
-                body_doc_id = f"\x00live:{self._seq}:{url}"
+                with self._lock:
+                    self._seq += 1
+                    seq = self._seq
+                body_doc_id = f"\x00live:{seq}:{url}"
                 self.corpus.put(body_doc_id, spans)
             else:
                 resp.read()  # drain for keep-alive
@@ -208,7 +221,7 @@ class HttpTransport:
         return html_to_spans(text)
 
     def _drop(self, scheme: str, host: str, port: int | None) -> None:
-        conn = self._conns.pop((scheme, host, port), None)
+        conn = self._conn_map().pop((scheme, host, port), None)
         if conn is not None:
             try:
                 conn.close()

@@ -281,3 +281,91 @@ def test_crawl_over_the_wire(server):
     # the redirect hop resolved to the target and came back OK
     assert rows[f"{server}/redir"]["state"] == "OK"
     assert result.stats["seen_urls"] >= 5
+
+
+class _ConcurrencyTracker(BaseHTTPRequestHandler):
+    """Loopback server that records max simultaneous in-flight requests
+    (mirrors the reference's test/test.concurrency.ts probe)."""
+    lock = threading.Lock()
+    in_flight = 0
+    max_in_flight = 0
+
+    def log_message(self, *args):
+        pass
+
+    @classmethod
+    def reset(cls):
+        with cls.lock:
+            cls.in_flight = 0
+            cls.max_in_flight = 0
+
+    def _respond(self, include_body: bool):
+        cls = _ConcurrencyTracker
+        with cls.lock:
+            cls.in_flight += 1
+            cls.max_in_flight = max(cls.max_in_flight, cls.in_flight)
+        try:
+            if self.path.startswith("/slow"):
+                time.sleep(0.25)
+                self.send_response(200)
+                self.send_header("Content-Type", "text/plain")
+                self.send_header("Content-Length", "2")
+                self.end_headers()
+                if include_body:
+                    self.wfile.write(b"ok")
+                return
+            links = "".join(f'<a href="/slow{i}">s{i}</a>' for i in range(8))
+            data = f"<html><body>{links}</body></html>".encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            if include_body:
+                self.wfile.write(data)
+        finally:
+            with cls.lock:
+                cls.in_flight -= 1
+
+    def do_GET(self):
+        self._respond(True)
+
+    def do_HEAD(self):
+        self._respond(False)
+
+
+@pytest.fixture()
+def tracking_server():
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), _ConcurrencyTracker)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    _ConcurrencyTracker.reset()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    httpd.shutdown()
+
+
+def test_concurrency_limit_end_to_end(tracking_server):
+    """`concurrency` caps simultaneous HTTP requests over the real wire
+    (reference test/test.concurrency.ts 'limits concurrent HTTP
+    requests end to end')."""
+    opts = CheckOptions(paths=[f"{tracking_server}/"], recurse=True,
+                        transport="http", timeout=5000,
+                        concurrency=2, fetch_concurrency=1)
+    result = LinkChecker(opts, use_ray=False).check()
+    assert result.passed
+    assert result.stats["urls_checked"] >= 9
+    assert _ConcurrencyTracker.max_in_flight <= 2
+
+
+def test_concurrency_actually_parallel(tracking_server):
+    """A generous concurrency budget runs the slow links in parallel —
+    the connection pool is real, not a serial loop with a cap."""
+    opts = CheckOptions(paths=[f"{tracking_server}/"], recurse=True,
+                        transport="http", timeout=5000,
+                        concurrency=16, fetch_concurrency=1)
+    t0 = time.time()
+    result = LinkChecker(opts, use_ray=False).check()
+    elapsed = time.time() - t0
+    assert result.passed
+    assert _ConcurrencyTracker.max_in_flight >= 3
+    # 8 slow links x 0.25s serial would be >= 2s
+    assert elapsed < 2.0, elapsed
