@@ -68,8 +68,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_lsh": lambda sf: dedup.dedup_embedding_lsh(
             sf, threshold=0.9),  # rows-only (scale path)
         "dedup_simhash": lambda sf: dedup.dedup_simhash(sf, max_hamming=3),  # rows-only
+        "dedup_chunk": lambda sf: dedup.dedup_chunk(sf, chunk_tokens=16),
+        "contamination_check": lambda sf: dedup.contamination_check(sf),
+        "sample_by_source": text.sample_by_source,
         # similarity search
         "knn_bruteforce": knn,
+        "kmeans_embeddings": lambda sf: similarity.kmeans_embeddings(
+            sf, k=10, iters=5),  # rows-only (iterative; differential-tested)
         "knn_lsh": lambda sf: similarity.knn_lsh(sf, k=5, num_queries=4),  # rows-only
         "knn_ivf": lambda sf: similarity.knn_ivf(sf, k=5, num_queries=4),  # rows-only + recall test
         "quality_filter": lambda sf: text.quality_filter(sf),
@@ -279,6 +284,79 @@ def oracle_sql() -> dict[str, str]:
               regexp_replace(t2, '\+?[0-9][0-9() -]{6,}[0-9]',
                              '<PHONE>', 'g') AS clean_text
             FROM s2
+        """,
+        # chunk-level exact dedup: first global occurrence of each
+        # 16-token chunk wins (ordered by doc_id, chunk_idx); docs
+        # rebuilt from surviving chunks (dedup.py:dedup_chunk)
+        "dedup_chunk": r"""
+            WITH t AS (
+              SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+              FROM documents
+            ), c AS (
+              SELECT doc_id, toks,
+                     unnest(range(CAST(ceil(len(toks)/16.0) AS BIGINT)))
+                         AS idx
+              FROM t
+            ), ch AS (
+              SELECT doc_id, idx,
+                     array_to_string(
+                         list_slice(toks, idx*16+1, idx*16+16), ' ') AS chunk
+              FROM c
+            ), w AS (
+              SELECT doc_id, idx, chunk,
+                     row_number() OVER (PARTITION BY chunk
+                                        ORDER BY doc_id, idx) AS rn
+              FROM ch
+            )
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_chunks,
+                   CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_dropped,
+                   coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END,
+                                       ' ' ORDER BY idx), '') AS clean_text
+            FROM w GROUP BY doc_id
+        """,
+        # trigram overlap vs the doc_id % 50 == 0 "benchmark" slice
+        # (dedup.py:contamination_check)
+        "contamination_check": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS tok,
+                     generate_subscripts(
+                         string_split_regex(trim(text), '\s+'), 1) AS i
+              FROM documents
+            ), tri AS (
+              SELECT t1.doc_id AS doc_id,
+                     t1.tok || ' ' || t2.tok || ' ' || t3.tok AS g
+              FROM toks t1
+              JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1
+              JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2
+            ), bench AS (
+              SELECT DISTINCT g FROM tri WHERE doc_id % 50 = 0
+            ), per AS (
+              SELECT doc_id, CAST(count(*) AS BIGINT) AS n_ngrams,
+                     CAST(sum(CASE WHEN g IN (SELECT g FROM bench)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+              FROM tri WHERE doc_id % 50 <> 0 GROUP BY doc_id
+            )
+            SELECT doc_id, n_ngrams, n_contaminated,
+                   CAST(n_contaminated * 1000000 // n_ngrams AS BIGINT)
+                       AS contam_ppm
+            FROM per
+        """,
+        # deterministic md5-coin weighted sampling per source
+        # (text.py:sample_by_source)
+        "sample_by_source": r"""
+            WITH s AS (
+              SELECT doc_id, source,
+                     CAST(CAST(concat('0x',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 1000000 AS BIGINT) AS u_ppm,
+                     CAST((CAST(regexp_extract(source, '[0-9]+') AS BIGINT)
+                           % 20 + 1) * 50000 AS BIGINT) AS p_ppm
+              FROM documents
+            )
+            SELECT doc_id, source, u_ppm, p_ppm FROM s WHERE u_ppm < p_ppm
         """,
         # stopword-profile language ID: ASCII tokens (RE2 parity), first
         # 200 words scored per profile, zh scored on the raw 400-char

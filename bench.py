@@ -147,6 +147,11 @@ def run_queries() -> dict:
         "events_by_segment": lambda: joins.events_by_segment(SF_DIR),
         "events_join_customer": lambda: joins.events_join_customer(SF_DIR),
         "events_asof_order": lambda: joins.events_asof_order(SF_DIR),
+        "dedup_chunk": lambda: dedup.dedup_chunk(SF_DIR),
+        "contamination_check": lambda: dedup.contamination_check(SF_DIR),
+        "sample_by_source": lambda: text.sample_by_source(SF_DIR),
+        "kmeans_embeddings": lambda: similarity.kmeans_embeddings(
+            SF_DIR, k=10, iters=5),
     }
     if os.path.isdir(WARM_SF_DIR):
         global SF_DIR

@@ -357,20 +357,22 @@ def _minhash_verify_partitioned(sf_dir: str, banded, counts, ngram: int,
     buckets; the exact-Jaccard verify joins the distinct pair list
     against document texts (two more hash joins) and re-shingles both
     sides in workers. Only the VERIFIED pairs — true near-dups — reach
-    the driver for union-find.
+    the driver for union-find. Joins use hashagg.hash_join (tag+union+
+    partition+merge), not Ray's JoinOperator — several JoinOperators in
+    one DAG can deadlock its shuffle scheduling under tight CPU budgets.
     """
     import pyarrow.compute as pc
 
     from linkinator_ray.pipelines.hashagg import (default_parts,
-                                                  hash_aggregate)
+                                                  hash_aggregate, hash_join)
     parts = default_parts()
     hot = counts.filter(expr="n > 1").select_columns(
         ["band_id", "band_hash", "anchor"]).materialize()
     if hot.count() == 0:
         return pa.table({"doc_id": pa.array([], pa.int64()),
                          "cluster_id": pa.array([], pa.int64())})
-    cands = banded.join(hot, join_type="inner", num_partitions=parts,
-                        on=("band_id", "band_hash"))
+    cands = hash_join(banded, hot, on=["band_id", "band_hash"],
+                      num_parts=parts)
 
     def to_pairs(t: pa.Table) -> pa.Table:
         t = t.filter(pc.not_equal(t["doc_id"], t["anchor"]))
@@ -381,13 +383,13 @@ def _minhash_verify_partitioned(sf_dir: str, banded, counts, ngram: int,
         ["a", "b"], {"n_bands": ("b", "count")}).select_columns(["a", "b"])
 
     texts = read_docs(sf_dir, ["doc_id", "text"])
-    with_a = pairs.join(texts, join_type="inner", num_partitions=parts,
-                        on=("a",), right_on=("doc_id",)) \
+    with_a = hash_join(pairs, texts, on="a", right_on="doc_id",
+                       num_parts=parts) \
         .map_batches(lambda t: pa.table(
             {"a": t["a"], "b": t["b"], "text_a": t["text"]}),
             batch_format="pyarrow")
-    with_ab = with_a.join(texts, join_type="inner", num_partitions=parts,
-                          on=("b",), right_on=("doc_id",))
+    with_ab = hash_join(with_a, texts, on="b", right_on="doc_id",
+                        num_parts=parts)
 
     def verify_kernel(t: pa.Table) -> pa.Table:
         a_out, b_out = [], []
@@ -714,16 +716,15 @@ def corpus_dedup_keep(sf_dir: str, threshold: float = 0.7,
     contract (the correctness-check surface); the keep path reads the
     drops as a Dataset end-to-end.
     """
-    from linkinator_ray.pipelines.hashagg import default_parts
+    from linkinator_ray.pipelines.hashagg import default_parts, hash_join
 
     drops = corpus_dedup_drops(sf_dir, threshold=threshold)
     if out_dir:
         # materialize once (object store, distributed) so the keep join
         # and the returned table don't re-run the dedup pipeline
         drops = drops.materialize()
-        keeps = read_docs(sf_dir).join(
-            drops, join_type="left_anti",
-            num_partitions=default_parts(), on=("doc_id",))
+        keeps = hash_join(read_docs(sf_dir), drops, on="doc_id",
+                          how="left_anti", num_parts=default_parts())
         keeps.write_parquet(out_dir)
     dropped = drops.to_pandas().sort_values("doc_id")
     return pa.table({
@@ -793,3 +794,210 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.9, n_planes: int = 6,
         return pd.concat(outs, ignore_index=True)
 
     return hash_partition_apply(bucketed, "bucket", within_part)
+
+
+# ---------------------------------------------------------------------------
+# chunk-level exact dedup (paragraph dedup degenerated to token windows)
+# ---------------------------------------------------------------------------
+
+# (doc_id, chunk_idx) packed into one int64 so "earliest occurrence"
+# is a plain min(); caps docs at 2^20 chunks (16M tokens at W=16)
+_CHUNK_STRIDE = 1 << 20
+
+
+def dedup_chunk(sf_dir: str, chunk_tokens: int = 16):
+    """Sub-document exact dedup (the C4/CCNet line-and-paragraph dedup
+    adapted to fixed token windows, since the test corpus has no
+    newlines): split every doc into ``chunk_tokens``-token chunks, keep
+    only the globally-first occurrence of each distinct chunk (ordered
+    by (doc_id, chunk_idx)), and rebuild each doc from its surviving
+    chunks.
+
+    Output: (doc_id, n_chunks, n_dropped, clean_text), one row per doc.
+
+    Scale shape: explode is a stateless vectorized map; "first
+    occurrence" is ONE hash exchange on the chunk text (all copies of a
+    chunk co-locate, a groupby-transform-min marks winners — no global
+    sort, no driver state); the rebuild is a second hash exchange on
+    doc_id. Chunk payloads ride the shuffles once each; nothing
+    materializes on the driver.
+    """
+    import pyarrow.compute as pc
+    W = int(chunk_tokens)
+    if W <= 0:
+        raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "idx": pa.array([], pa.int64()),
+                             "ckey": pa.array([], pa.int64()),
+                             "chunk": pa.array([], pa.string())})
+        text = batch.column("text")
+        if text.null_count:
+            text = text.fill_null("")
+        lst = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = pc.list_flatten(lst)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nt = np.asarray(pc.list_value_length(lst).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        total = int(nt.sum())
+        starts = np.concatenate(([0], np.cumsum(nt)[:-1]))
+        # token position within its doc, then its chunk index
+        j = np.arange(total, dtype=np.int64) - np.repeat(starts, nt)
+        cidx = j // W
+        if cidx.size and int(cidx.max()) >= _CHUNK_STRIDE:
+            raise ValueError(
+                f"doc exceeds {_CHUNK_STRIDE} chunks at W={W}; "
+                "raise chunk_tokens or _CHUNK_STRIDE")
+        # chunk boundaries are run starts (tokens of one chunk are
+        # contiguous): vectorized per-chunk join via a ListArray view
+        bounds = np.flatnonzero(j % W == 0)
+        offsets = np.append(bounds, total).astype(np.int32)
+        chunks = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offsets), flat), " ")
+        parents = np.asarray(pc.list_parent_indices(lst).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        doc_np = np.asarray(batch.column("doc_id").to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        doc_of_chunk = doc_np[parents[bounds]]
+        idx_of_chunk = cidx[bounds]
+        return pa.table({
+            "doc_id": pa.array(doc_of_chunk),
+            "idx": pa.array(idx_of_chunk),
+            "ckey": pa.array(doc_of_chunk * _CHUNK_STRIDE + idx_of_chunk),
+            "chunk": chunks,
+        })
+
+    exploded = _fanout(read_docs(sf_dir, ["doc_id", "text"])).map_batches(
+        explode, batch_format="pyarrow", batch_size=8192)
+
+    from linkinator_ray.pipelines.hashagg import hash_partition_apply
+
+    def mark_winners(part: pd.DataFrame) -> pd.DataFrame:
+        # all occurrences of a chunk are co-located: vectorized
+        # first-occurrence mark, no per-group Python call
+        part = part.copy()
+        part["keep"] = part["ckey"] == part.groupby("chunk")["ckey"] \
+            .transform("min")
+        return part.drop(columns="ckey")
+
+    marked = hash_partition_apply(exploded, "chunk", mark_winners)
+
+    def rebuild(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["doc_id", "idx"], kind="stable")
+        g = part.groupby("doc_id", sort=False)
+        n_chunks = g.size()
+        n_kept = g["keep"].sum()
+        kept_txt = part[part["keep"]].groupby("doc_id", sort=False)["chunk"] \
+            .agg(" ".join)
+        out = pd.DataFrame({
+            "doc_id": n_chunks.index.to_numpy(np.int64),
+            "n_chunks": n_chunks.to_numpy(np.int64),
+            "n_dropped": (n_chunks - n_kept).to_numpy(np.int64),
+        })
+        out["clean_text"] = out["doc_id"].map(kept_txt).fillna("")
+        return out
+
+    return hash_partition_apply(marked, "doc_id", rebuild)
+
+
+# ---------------------------------------------------------------------------
+# benchmark-contamination check (n-gram overlap vs a held-out eval set)
+# ---------------------------------------------------------------------------
+
+def contamination_check(sf_dir: str, bench_mod: int = 50):
+    """Eval-set decontamination signal: score every training document by
+    how many of its word trigrams appear in the "benchmark" documents
+    (here the deterministic slice ``doc_id % bench_mod == 0`` stands in
+    for an external eval set).
+
+    Output: (doc_id, n_ngrams, n_contaminated, contam_ppm) for every
+    non-benchmark doc with at least one trigram.
+
+    Scale shape: real eval benchmarks are MBs against a 100 TB corpus,
+    so the distinct benchmark-trigram set is built once and broadcast
+    via ``ray.put`` — scoring is then an embarrassingly-parallel
+    actor-pool ``map_batches`` with one vectorized ``pc.is_in`` per
+    batch; no shuffle at all.
+    """
+    import pyarrow.compute as pc
+
+    def _tri(batch: pa.Table):
+        """Vectorized word trigrams: (parent row indices, trigram strings)."""
+        text = batch.column("text")
+        if text.null_count:
+            text = text.fill_null("")
+        lst = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = pc.list_flatten(lst)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        p = np.asarray(pc.list_parent_indices(lst).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        nt = np.asarray(pc.list_value_length(lst).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        if len(flat) < 3:
+            return nt, np.empty(0, np.int64), pa.array([], pa.string())
+        m = p[:-2] == p[2:]  # all three tokens in the same doc
+        tri = pc.binary_join_element_wise(
+            flat.slice(0, len(flat) - 2).filter(pa.array(m)),
+            flat.slice(1, len(flat) - 2).filter(pa.array(m)),
+            flat.slice(2).filter(pa.array(m)), " ")
+        return nt, p[:-2][m], tri
+
+    def bench_kernel(batch: pa.Table) -> pa.Table:
+        doc = np.asarray(batch.column("doc_id").to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        sel = pa.array(doc % bench_mod == 0)
+        batch = batch.filter(sel)
+        _, _, tri = _tri(batch)
+        return pa.table({"g": pc.unique(tri)})
+
+    bench_tris = read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        bench_kernel, batch_format="pyarrow", batch_size=8192).to_pandas()
+    bench_set = pa.array(pd.unique(bench_tris["g"]), pa.string())
+    try:
+        import ray
+        bench_ref = ray.put(bench_set) if ray.is_initialized() else bench_set
+    except Exception:
+        bench_ref = bench_set
+
+    class _Scorer:
+        """Actor-pool stage: the benchmark trigram set loads once per
+        actor in __init__, not once per batch."""
+
+        def __init__(self, bench_ref):
+            try:
+                import ray
+                self.bench = ray.get(bench_ref) \
+                    if not isinstance(bench_ref, pa.Array) else bench_ref
+            except Exception:
+                self.bench = bench_ref
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            doc = np.asarray(batch.column("doc_id").to_numpy(
+                zero_copy_only=False), dtype=np.int64)
+            nt, parents, tri = _tri(batch)
+            hits = np.zeros(batch.num_rows, np.int64)
+            if len(tri):
+                isin = np.asarray(pc.is_in(tri, value_set=self.bench)
+                                  .to_numpy(zero_copy_only=False), dtype=bool)
+                np.add.at(hits, parents, isin.astype(np.int64))
+            n_ngrams = np.maximum(nt - 2, 0)
+            keep = (n_ngrams > 0) & (doc % bench_mod != 0)
+            return pa.table({
+                "doc_id": pa.array(doc[keep]),
+                "n_ngrams": pa.array(n_ngrams[keep]),
+                "n_contaminated": pa.array(hits[keep]),
+                "contam_ppm": pa.array(
+                    hits[keep] * 1_000_000 // n_ngrams[keep]),
+            })
+
+    return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _Scorer, batch_format="pyarrow", batch_size=8192,
+        concurrency=(1, 8), fn_constructor_kwargs={"bench_ref": bench_ref})

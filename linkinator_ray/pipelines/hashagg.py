@@ -185,3 +185,96 @@ def hash_map_groups(ds, keys: list[str] | str, fn,
 
     return ds.map_batches(route, batch_format="pyarrow") \
         .groupby("__part").map_groups(per_part, batch_format="pandas")
+
+
+def hash_join(left, right, on: list[str] | str,
+              right_on: list[str] | str | None = None,
+              how: str = "inner", num_parts: int | None = None):
+    """Distributed hash join built on the same primitives as everything
+    else here (map_batches + one groupby exchange): both sides are
+    tagged, schema-aligned, unioned, hash-partitioned on the key, and
+    merged per partition with one vectorized ``pd.merge``.
+
+    Exists because a DAG containing several of Ray's ``JoinOperator``s
+    can intermittently deadlock its hash-shuffle scheduling under tight
+    CPU budgets (observed on Ray 2.49 with num_cpus=4); this shape has
+    no separate aggregator actors to schedule. Semantics follow
+    ``Dataset.join``: ``how`` ∈ {"inner", "left_anti"}; right key
+    columns are renamed onto the left key names; non-key column names
+    must not collide.
+    """
+    on = [on] if isinstance(on, str) else list(on)
+    right_on = on if right_on is None else (
+        [right_on] if isinstance(right_on, str) else list(right_on))
+    num_parts = num_parts or default_parts()
+
+    l_schema, r_schema = left.schema(), right.schema()
+    l_cols = list(l_schema.names)
+    ren = dict(zip(right_on, on))
+    r_cols = [ren.get(c, c) for c in r_schema.names]
+    r_extra = [c for c in r_cols if c not in on]
+    overlap = set(r_extra) & set(l_cols)
+    if overlap:
+        raise ValueError(f"hash_join non-key column collision: {overlap}")
+    def _pa_type(t) -> pa.DataType:
+        # pandas-backed datasets report numpy dtypes / Python types
+        if isinstance(t, pa.DataType):
+            return t
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string() if t in (object, str) else pa.from_numpy_dtype(
+                np.dtype(t))
+
+    types: dict[str, pa.DataType] = {}
+    for name, typ in zip(l_schema.names, l_schema.types):
+        types[name] = _pa_type(typ)
+    for name, typ in zip(r_schema.names, r_schema.types):
+        types[ren.get(name, name)] = _pa_type(typ)
+    all_cols = l_cols + r_extra
+    # integer columns go float/object in pandas once the union pads the
+    # other side with nulls; restore after the per-side split
+    int_cols = [c for c in all_cols if pa.types.is_integer(types[c])]
+
+    def _align(side: int, out_names: list[str], in_names: list[str]):
+        rename = {n_in: n_out for n_in, n_out in zip(in_names, out_names)}
+
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {rename.get(n, n): batch.column(n)
+                    for n in batch.schema.names}
+            arrays, names = [], []
+            for c in all_cols:
+                names.append(c)
+                arrays.append(cols.get(c) if c in cols else
+                              pa.nulls(batch.num_rows, types[c]))
+            names.append("__side")
+            arrays.append(pa.array(
+                np.full(batch.num_rows, side, dtype=np.int8)))
+            return pa.table(dict(zip(names, arrays)))
+        return fn
+
+    both = left.map_batches(_align(0, l_cols, l_cols),
+                            batch_format="pyarrow") \
+        .union(right.map_batches(_align(1, r_cols, list(r_schema.names)),
+                                 batch_format="pyarrow"))
+
+    out_cols = all_cols if how == "inner" else l_cols
+
+    def merge(part: pd.DataFrame) -> pd.DataFrame:
+        ldf = part[part["__side"] == 0][l_cols]
+        rdf = part[part["__side"] == 1][on + r_extra]
+        for c in int_cols:
+            if c in ldf.columns:
+                ldf = ldf.astype({c: "int64"})
+            if c in rdf.columns:
+                rdf = rdf.astype({c: "int64"})
+        if how == "inner":
+            return ldf.merge(rdf, on=on, how="inner")
+        if how == "left_anti":
+            m = ldf.merge(rdf[on].drop_duplicates(), on=on,
+                          how="left", indicator=True)
+            return m.loc[m["_merge"] == "left_only", l_cols]
+        raise ValueError(f"unsupported how={how!r}")
+
+    return hash_partition_apply(both, on, merge, num_parts=num_parts) \
+        .map_batches(lambda t: t.select(out_cols), batch_format="pyarrow")

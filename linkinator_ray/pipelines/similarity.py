@@ -388,3 +388,92 @@ def knn_lsh(sf_dir: str, k: int = 5, num_queries: int = 4, n_planes: int = 6):
                          "cosine": pa.array([], pa.float64())})
     out = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ---------------------------------------------------------------------------
+# k-means over the embedding column — iterative broadcast/partial-reduce
+# ---------------------------------------------------------------------------
+
+def _kmeans_init(sf_dir: str, k: int) -> np.ndarray:
+    """Deterministic init: the normalized embeddings of the k lowest
+    vec_ids (reproducible across runs and cluster sizes — no RNG)."""
+    import pyarrow.dataset as pads
+    ds = pads.dataset(f"{sf_dir}/embeddings.parquet")
+    table = ds.to_table(columns=["vec_id", "embedding"],
+                        filter=pads.field("vec_id") < k)
+    ids = np.asarray(table["vec_id"].to_pylist())
+    mat = np.asarray(table["embedding"].to_pylist(), dtype=np.float64)
+    return _normalized(mat[np.argsort(ids)])
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 10, iters: int = 5):
+    """Spherical k-means (Lloyd) over the embedding column — the
+    iterative-ML pattern on Ray Data: each iteration is ONE streaming
+    ``map_batches`` pass where workers read the broadcast centroid
+    matrix (``ray.put`` once per iteration, k x d floats) and emit a
+    per-batch mergeable sketch (per-cluster vector sum + count, k rows
+    per batch); the driver reduces the tiny sketch table and updates
+    centroids. No shuffle, no full materialization — the only data
+    that ever leaves the workers is k x (d+2) numbers per batch.
+
+    Returns a Dataset (vec_id, cluster) from a final assignment pass.
+    Empty clusters keep their previous centroid (deterministic).
+    """
+    import ray
+    import ray.data as rd
+
+    cents = _kmeans_init(sf_dir, k)
+
+    def _put(obj):
+        return ray.put(obj) if ray.is_initialized() else obj
+
+    def _cents_of(ref) -> np.ndarray:
+        # ray.get of a broadcast ref inside a task is a local-plasma
+        # zero-copy read (microseconds) — plain tasks beat an actor
+        # pool here because each iteration is one short pass and pool
+        # startup would dominate
+        return ref if isinstance(ref, np.ndarray) else ray.get(ref)
+
+    def _partial(batch: pa.Table, *, cents_ref) -> pa.Table:
+        cents_m = _cents_of(cents_ref)
+        mat = _normalized(_embedding_matrix(batch.column("embedding")))
+        assign = (mat @ cents_m.T).argmax(1)
+        kk = cents_m.shape[0]
+        sums = np.zeros((kk, mat.shape[1]))
+        np.add.at(sums, assign, mat)
+        counts = np.bincount(assign, minlength=kk).astype(np.int64)
+        return pa.table({
+            "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+            "n": pa.array(counts),
+            "psum": pa.array(list(sums)),
+        })
+
+    for _ in range(iters):
+        ref = _put(cents)
+        parts = read_embeddings(sf_dir).map_batches(
+            _partial, batch_format="pyarrow", batch_size=4096,
+            fn_kwargs={"cents_ref": ref}).to_pandas()
+        new = cents.copy()
+        g = parts.groupby("cluster")
+        for c, grp in g:
+            n = int(grp["n"].sum())
+            if n > 0:
+                s = np.sum(np.stack(grp["psum"].to_numpy()), axis=0)
+                norm = np.linalg.norm(s)
+                if norm > 1e-12:
+                    new[int(c)] = s / norm
+        cents = new
+
+    def _assign(batch: pa.Table, *, cents_ref) -> pa.Table:
+        cents_m = _cents_of(cents_ref)
+        mat = _normalized(_embedding_matrix(batch.column("embedding")))
+        assign = (mat @ cents_m.T).argmax(1).astype(np.int64)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "cluster": pa.array(assign),
+        })
+
+    final_ref = _put(cents)
+    return read_embeddings(sf_dir).map_batches(
+        _assign, batch_format="pyarrow", batch_size=4096,
+        fn_kwargs={"cents_ref": final_ref})

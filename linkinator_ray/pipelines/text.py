@@ -463,3 +463,46 @@ def pii_scrub(sf_dir: str):
     Vectorized RE2 kernels over the Arrow string buffers."""
     return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
         _pii_kernel, batch_format="pyarrow", batch_size=8192)
+
+
+# ---------------------------------------------------------------------------
+# training-mix sampling — deterministic per-source weighted keep
+# ---------------------------------------------------------------------------
+
+def sample_by_source(sf_dir: str):
+    """Weighted source mixing (the "data mixture" step of a training
+    pipeline): keep each doc with a per-source probability, decided by a
+    deterministic md5 coin on the doc_id so the sample is reproducible
+    and resumable — no RNG state, any worker gets the same answer.
+
+    keep iff u_ppm < p_ppm where
+      u_ppm = int(md5(str(doc_id))[:8 hex], 16) % 1e6
+      p_ppm = ((source_number % 20) + 1) * 50_000   (5%..100%)
+
+    Output: kept rows (doc_id, source, u_ppm, p_ppm). Pure stateless
+    map_batches — no shuffle, no driver state; at 100 TB this is a
+    single streaming pass.
+    """
+    import pyarrow.compute as pc
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        doc = _int64(batch.column("doc_id"))
+        u = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1_000_000
+             for i in doc), dtype=np.int64, count=len(doc))
+        extracted = pc.extract_regex(batch.column("source"),
+                                     r"(?P<n>[0-9]+)")
+        if isinstance(extracted, pa.ChunkedArray):
+            extracted = extracted.combine_chunks()
+        src_num = _int64(pc.cast(pc.struct_field(extracted, "n"), pa.int64()))
+        p = ((src_num % 20) + 1) * 50_000
+        keep = pa.array(u < p)
+        return pa.table({
+            "doc_id": batch.column("doc_id").filter(keep),
+            "source": batch.column("source").filter(keep),
+            "u_ppm": pa.array(u[u < p]),
+            "p_ppm": pa.array(p[u < p]),
+        })
+
+    return read_docs(sf_dir, ["doc_id", "source"]).map_batches(
+        kernel, batch_format="pyarrow", batch_size=8192)

@@ -74,3 +74,32 @@ def test_hash_map_groups_matches_groupby(ray_session, frame):
     want = frame.groupby("k2", as_index=False).agg(total=("v", "sum")) \
         .sort_values("k2").reset_index(drop=True)
     assert got["total"].tolist() == want["total"].tolist()
+
+
+def test_hash_join_matches_pandas(ray_session, frame):
+    from linkinator_ray.pipelines.hashagg import hash_join
+    left = frame.head(5000)[["k2", "v"]]
+    right = pd.DataFrame({
+        "key": np.arange(0, 400, 3, dtype=np.int64),
+        "tag": [f"t{i}" for i in range(0, 400, 3)],
+    })
+    got = hash_join(_ds(left), _ds(right), on="k2", right_on="key",
+                    num_parts=5).to_pandas() \
+        .sort_values(["k2", "v"]).reset_index(drop=True)
+    want = left.merge(right.rename(columns={"key": "k2"}), on="k2",
+                      how="inner").sort_values(["k2", "v"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+    assert got["v"].dtype == np.int64  # null-padding must not leak floats
+
+
+def test_hash_join_left_anti(ray_session, frame):
+    from linkinator_ray.pipelines.hashagg import hash_join
+    left = frame.head(5000)[["k2", "v"]]
+    right = pd.DataFrame({"k2": np.arange(0, 200, dtype=np.int64)})
+    got = hash_join(_ds(left), _ds(right), on="k2", how="left_anti",
+                    num_parts=5).to_pandas() \
+        .sort_values(["k2", "v"]).reset_index(drop=True)
+    want = left[~left["k2"].isin(right["k2"])] \
+        .sort_values(["k2", "v"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)

@@ -464,3 +464,101 @@ def test_events_asof_order_semantics(ray_session, tmp_path):
     # own totalprice rides along
     assert got[2]["o_orderkey"] == 102
     assert got[2]["total_cents"] == 300
+
+
+def test_dedup_chunk_planted(ray_session, tmp_path):
+    """Plant a doc that repeats another doc's first 16-token chunk:
+    the later occurrence is dropped and the doc rebuilds without it."""
+    import pyarrow.parquet as pq
+    from linkinator_ray.pipelines.dedup import dedup_chunk
+    chunk_a = " ".join(f"a{i}" for i in range(16))
+    chunk_b = " ".join(f"b{i}" for i in range(16))
+    chunk_c = " ".join(f"c{i}" for i in range(16))
+    rows = [
+        {"doc_id": 1, "text": chunk_a + " " + chunk_b},
+        # repeats chunk_a (dropped), keeps its own chunk_c
+        {"doc_id": 2, "text": chunk_a + " " + chunk_c},
+        # exact duplicate of doc 1 → both chunks dropped, empty rebuild
+        {"doc_id": 3, "text": chunk_a + " " + chunk_b},
+    ]
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(out / "documents.parquet"))
+    df = dedup_chunk(str(out)).to_pandas().set_index("doc_id")
+    assert df.loc[1, "n_dropped"] == 0
+    assert df.loc[1, "clean_text"] == chunk_a + " " + chunk_b
+    assert df.loc[2, "n_dropped"] == 1
+    assert df.loc[2, "clean_text"] == chunk_c
+    assert df.loc[3, "n_dropped"] == 2
+    assert df.loc[3, "clean_text"] == ""
+    assert (df["n_chunks"] == 2).all()
+
+
+def test_contamination_check_planted(ray_session, tmp_path):
+    """A doc embedding a benchmark doc's text verbatim scores ~100%
+    contamination; a doc of novel tokens scores 0."""
+    import pyarrow.parquet as pq
+    from linkinator_ray.pipelines.dedup import contamination_check
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        {"doc_id": 0, "text": bench_text},                     # benchmark (0 % 50 == 0)
+        {"doc_id": 1, "text": bench_text},                     # fully contaminated
+        {"doc_id": 2, "text": "nova luna kilo mike zulu xray"},  # clean
+        {"doc_id": 3, "text": "alpha beta gamma nova luna kilo"},  # partial
+    ]
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(out / "documents.parquet"))
+    df = contamination_check(str(out)).to_pandas().set_index("doc_id")
+    assert 0 not in df.index  # benchmark docs are not scored
+    assert df.loc[1, "contam_ppm"] == 1_000_000
+    assert df.loc[2, "n_contaminated"] == 0
+    # 'alpha beta gamma' is the only benchmark trigram of doc 3's four
+    assert df.loc[3, "n_contaminated"] == 1
+    assert df.loc[3, "n_ngrams"] == 4
+
+
+def test_sample_by_source_deterministic(ray_session):
+    """The md5 coin is deterministic: two runs agree row-for-row, the
+    keep rule is exactly u_ppm < p_ppm, and p_ppm follows the source
+    number."""
+    import hashlib
+    from linkinator_ray.pipelines.text import sample_by_source
+    a = sample_by_source(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = sample_by_source(SF).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["u_ppm"] < a["p_ppm"]).all()
+    for _, row in a.head(20).iterrows():
+        u = int(hashlib.md5(str(row["doc_id"]).encode()).hexdigest()[:8],
+                16) % 1_000_000
+        n = int(row["source"].lstrip("src"))
+        assert row["u_ppm"] == u
+        assert row["p_ppm"] == (n % 20 + 1) * 50_000
+
+
+def test_kmeans_matches_local_lloyd(ray_session):
+    """The distributed broadcast/partial-reduce k-means must reproduce
+    a single-machine Lloyd run with the same deterministic init."""
+    import duckdb
+    from linkinator_ray.pipelines.similarity import kmeans_embeddings
+    k, iters = 5, 4
+    got = kmeans_embeddings(SF, k=k, iters=iters).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    tab = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{SF}/embeddings.parquet' ORDER BY vec_id"
+    ).arrow()
+    emb = np.array(tab["embedding"].to_pylist(), dtype=np.float64)
+    emb /= np.clip(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12, None)
+    cents = emb[:k].copy()
+    for _ in range(iters):
+        assign = (emb @ cents.T).argmax(1)
+        new = cents.copy()
+        for c in range(k):
+            s = emb[assign == c].sum(0)
+            if (assign == c).any() and np.linalg.norm(s) > 1e-12:
+                new[c] = s / np.linalg.norm(s)
+        cents = new
+    ref = (emb @ cents.T).argmax(1)
+    agree = (got["cluster"].to_numpy() == ref).mean()
+    assert agree > 0.995, agree
+    assert got["cluster"].nunique() > 1
