@@ -71,6 +71,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_chunk": lambda sf: dedup.dedup_chunk(sf, chunk_tokens=16),
         "contamination_check": lambda sf: dedup.contamination_check(sf),
         "sample_by_source": text.sample_by_source,
+        "pack_sequences": lambda sf: text.pack_sequences(
+            sf, context_tokens=512),
         # similarity search
         "knn_bruteforce": knn,
         "kmeans_embeddings": lambda sf: similarity.kmeans_embeddings(
@@ -357,6 +359,27 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, source, u_ppm, p_ppm FROM s WHERE u_ppm < p_ppm
+        """,
+        # concat-and-split sequence packing: distributed exclusive
+        # prefix scan in the engine ≡ one window sum here
+        # (text.py:pack_sequences)
+        "pack_sequences": r"""
+            WITH n AS (
+              SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\s+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents
+            ), s AS (
+              SELECT doc_id, n_tokens,
+                     coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS prev
+              FROM n
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(prev // 512 AS BIGINT) AS bin_id,
+                   CAST(prev % 512 AS BIGINT) AS bin_offset
+            FROM s
         """,
         # stopword-profile language ID: ASCII tokens (RE2 parity), first
         # 200 words scored per profile, zh scored on the raw 400-char

@@ -150,6 +150,7 @@ def run_queries() -> dict:
         "dedup_chunk": lambda: dedup.dedup_chunk(SF_DIR),
         "contamination_check": lambda: dedup.contamination_check(SF_DIR),
         "sample_by_source": lambda: text.sample_by_source(SF_DIR),
+        "pack_sequences": lambda: text.pack_sequences(SF_DIR),
         "kmeans_embeddings": lambda: similarity.kmeans_embeddings(
             SF_DIR, k=10, iters=5),
     }

@@ -506,3 +506,82 @@ def sample_by_source(sf_dir: str):
 
     return read_docs(sf_dir, ["doc_id", "source"]).map_batches(
         kernel, batch_format="pyarrow", batch_size=8192)
+
+
+# ---------------------------------------------------------------------------
+# sequence packing — distributed prefix scan into fixed context windows
+# ---------------------------------------------------------------------------
+
+def pack_sequences(sf_dir: str, context_tokens: int = 512,
+                   num_parts: int | None = None):
+    """Concat-and-split sequence packing (the step that turns a cleaned
+    corpus into fixed-size training windows): documents are laid out in
+    doc_id order and the running token total assigns each doc its
+    starting context window ``bin_id`` and ``bin_offset`` within it.
+
+    Output: (doc_id, n_tokens, bin_id, bin_offset), one row per doc.
+
+    Scale shape — a distributed exclusive prefix scan, the pattern Ray
+    Data has no primitive for: (1) a vectorized count pass tags each
+    doc with its doc_id-range partition; (2) per-partition token sums
+    (one tiny hash aggregate) come back to the driver, which computes
+    P exclusive partition offsets — P numbers, nothing else; (3) a
+    partition-co-located pass sorts each range locally and adds its
+    offset to a local cumsum. No global sort, no driver data pull.
+    Assumes doc_ids are roughly dense for partition balance (testdata
+    and any re-keyed corpus satisfy this); skew only unbalances
+    partitions, never breaks correctness.
+    """
+    import pyarrow.compute as pc
+
+    from linkinator_ray.pipelines.hashagg import (default_parts,
+                                                  hash_aggregate,
+                                                  hash_partition_apply)
+    B = int(context_tokens)
+    if B <= 0:
+        raise ValueError(f"context_tokens must be positive, got {B}")
+    P = num_parts or default_parts()
+
+    docs = read_docs(sf_dir, ["doc_id", "text"])
+    max_id = int(docs.max("doc_id"))
+    G = max(1, (max_id + P) // P)  # doc_ids per range partition
+
+    def count_kernel(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(_text_col(batch))
+        n_tokens = _int64(pc.count_substring_regex(trimmed, r"\s+")) + 1
+        doc = _int64(batch.column("doc_id"))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tokens),
+            "range_part": pa.array(doc // G),
+        })
+
+    counted = docs.map_batches(count_kernel, batch_format="pyarrow",
+                               batch_size=8192)
+
+    part_sums = hash_aggregate(counted, "range_part",
+                               {"total": ("n_tokens", "sum")}).to_pandas()
+    part_sums = part_sums.sort_values("range_part")
+    offsets = dict(zip(
+        part_sums["range_part"].to_numpy(np.int64),
+        np.concatenate(([0], np.cumsum(
+            part_sums["total"].to_numpy(np.int64))[:-1]))))
+
+    def scan(part: pd.DataFrame) -> pd.DataFrame:
+        # one hash partition may hold SEVERAL doc_id ranges (hash
+        # collision is by design) — each range scans from its own base
+        outs = []
+        for rp, g in part.groupby("range_part", sort=False):
+            g = g.sort_values("doc_id", kind="stable")
+            n = g["n_tokens"].to_numpy(np.int64)
+            prev = offsets[int(rp)] + np.concatenate(([0],
+                                                      np.cumsum(n)[:-1]))
+            outs.append(pd.DataFrame({
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "n_tokens": n,
+                "bin_id": prev // B,
+                "bin_offset": prev % B,
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    return hash_partition_apply(counted, "range_part", scan, num_parts=P)

@@ -562,3 +562,22 @@ def test_kmeans_matches_local_lloyd(ray_session):
     agree = (got["cluster"].to_numpy() == ref).mean()
     assert agree > 0.995, agree
     assert got["cluster"].nunique() > 1
+
+
+def test_pack_sequences_scan_invariants(ray_session):
+    """The distributed prefix scan is a true exclusive scan: in doc_id
+    order, each doc's (bin_id, bin_offset) equals the running token
+    total of all earlier docs, regardless of how the hash partitions
+    grouped the ranges."""
+    from linkinator_ray.pipelines.text import pack_sequences
+    df = pack_sequences(SF, context_tokens=128).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert len(df) == 500
+    prev = np.concatenate(([0], np.cumsum(df["n_tokens"].to_numpy())[:-1]))
+    assert (df["bin_id"].to_numpy() == prev // 128).all()
+    assert (df["bin_offset"].to_numpy() == prev % 128).all()
+    # small partition counts force several doc_id ranges into one hash
+    # partition — the per-range bases must still be exact
+    df3 = pack_sequences(SF, context_tokens=128, num_parts=3).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(df, df3)
