@@ -512,6 +512,24 @@ def sample_by_source(sf_dir: str):
 # sequence packing — distributed prefix scan into fixed context windows
 # ---------------------------------------------------------------------------
 
+def _max_doc_id(sf_dir: str) -> int:
+    """Max doc_id from parquet row-group statistics — metadata only, no
+    table scan (a Dataset.max would stream the whole file, text column
+    included). Falls back to a doc_id-only scan if stats are absent."""
+    import pyarrow.parquet as pq
+    f = pq.ParquetFile(f"{sf_dir}/documents.parquet")
+    idx = f.schema_arrow.names.index("doc_id")
+    best = None
+    for rg in range(f.metadata.num_row_groups):
+        stats = f.metadata.row_group(rg).column(idx).statistics
+        if stats is None or not stats.has_min_max:
+            best = None
+            break
+        best = stats.max if best is None else max(best, stats.max)
+    if best is not None:
+        return int(best)
+    return int(read_docs(sf_dir, ["doc_id"]).max("doc_id"))
+
 def pack_sequences(sf_dir: str, context_tokens: int = 512,
                    num_parts: int | None = None):
     """Concat-and-split sequence packing (the step that turns a cleaned
@@ -543,7 +561,7 @@ def pack_sequences(sf_dir: str, context_tokens: int = 512,
     P = num_parts or default_parts()
 
     docs = read_docs(sf_dir, ["doc_id", "text"])
-    max_id = int(docs.max("doc_id"))
+    max_id = _max_doc_id(sf_dir)
     G = max(1, (max_id + P) // P)  # doc_ids per range partition
 
     def count_kernel(batch: pa.Table) -> pa.Table:
