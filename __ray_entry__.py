@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_by_source": text.sample_by_source,
         "pack_sequences": lambda sf: text.pack_sequences(
             sf, context_tokens=512),
+        "shuffle_export": lambda sf: text.shuffle_export(sf, num_shards=8),
         # similarity search
         "knn_bruteforce": knn,
         "kmeans_embeddings": lambda sf: similarity.kmeans_embeddings(
@@ -359,6 +360,22 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, source, u_ppm, p_ppm FROM s WHERE u_ppm < p_ppm
+        """,
+        # deterministic training-export shuffle: md5 coin → shard,
+        # rank within shard (text.py:shuffle_export)
+        "shuffle_export": r"""
+            WITH h AS (
+              SELECT doc_id,
+                     CAST(CAST(concat('0x',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) AS BIGINT) AS h
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(h % 8 AS BIGINT) AS shard,
+                   CAST(row_number() OVER (PARTITION BY h % 8
+                        ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+            FROM h
         """,
         # concat-and-split sequence packing: distributed exclusive
         # prefix scan in the engine ≡ one window sum here

@@ -151,6 +151,7 @@ def run_queries() -> dict:
         "contamination_check": lambda: dedup.contamination_check(SF_DIR),
         "sample_by_source": lambda: text.sample_by_source(SF_DIR),
         "pack_sequences": lambda: text.pack_sequences(SF_DIR),
+        "shuffle_export": lambda: text.shuffle_export(SF_DIR),
         "kmeans_embeddings": lambda: similarity.kmeans_embeddings(
             SF_DIR, k=10, iters=5),
     }

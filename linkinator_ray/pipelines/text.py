@@ -603,3 +603,52 @@ def pack_sequences(sf_dir: str, context_tokens: int = 512,
         return pd.concat(outs, ignore_index=True)
 
     return hash_partition_apply(counted, "range_part", scan, num_parts=P)
+
+
+def shuffle_export(sf_dir: str, num_shards: int = 8):
+    """Deterministic global shuffle for training export: every doc gets
+    an md5-derived 32-bit coin; ``shard = coin % num_shards`` and
+    ``pos`` = the doc's rank inside its shard ordered by (coin,
+    doc_id). Reading shards in pos order yields a reproducible
+    pseudo-random permutation of the corpus that breaks source/crawl
+    ordering — no RNG state, no ``random_shuffle`` materialization, and
+    a resumable write (one parquet per shard) falls out of the shard
+    column.
+
+    Output: (doc_id, shard, pos). One streaming coin pass + ONE hash
+    exchange on the shard id; ranks are computed with a local sort per
+    shard (shards are 1/num_shards of the corpus — the partitioning
+    assumption to size num_shards against at 100 TB).
+    """
+    S = int(num_shards)
+    if S <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+
+    from linkinator_ray.pipelines.hashagg import hash_partition_apply
+
+    def coin_kernel(batch: pa.Table) -> pa.Table:
+        doc = _int64(batch.column("doc_id"))
+        h = np.fromiter(
+            (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+             for i in doc), dtype=np.int64, count=len(doc))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "h": pa.array(h),
+            "shard": pa.array(h % S),
+        })
+
+    coined = read_docs(sf_dir, ["doc_id"]).map_batches(
+        coin_kernel, batch_format="pyarrow", batch_size=8192)
+
+    def rank(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for shard, g in part.groupby("shard", sort=False):
+            g = g.sort_values(["h", "doc_id"], kind="stable")
+            outs.append(pd.DataFrame({
+                "doc_id": g["doc_id"].to_numpy(np.int64),
+                "shard": np.full(len(g), shard, dtype=np.int64),
+                "pos": np.arange(len(g), dtype=np.int64),
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    return hash_partition_apply(coined, "shard", rank)

@@ -581,3 +581,21 @@ def test_pack_sequences_scan_invariants(ray_session):
     df3 = pack_sequences(SF, context_tokens=128, num_parts=3).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(df, df3)
+
+
+def test_shuffle_export_permutation(ray_session):
+    """The export shuffle is a permutation: every doc appears once,
+    (shard, pos) pairs are unique and dense per shard, the assignment
+    is deterministic across runs, and it actually breaks doc_id order."""
+    from linkinator_ray.pipelines.text import shuffle_export
+    a = shuffle_export(SF, num_shards=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    b = shuffle_export(SF, num_shards=8).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 500 and a["doc_id"].is_unique
+    for shard, g in a.groupby("shard"):
+        assert sorted(g["pos"]) == list(range(len(g)))
+    # within a shard, pos order must not be doc_id order (it's md5 order)
+    g0 = a[a["shard"] == a["shard"].iloc[0]].sort_values("pos")
+    assert not g0["doc_id"].is_monotonic_increasing
