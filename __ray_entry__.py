@@ -93,6 +93,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # columnar classics over the star schema
         "pricing_summary": lambda sf: tpch.pricing_summary(sf),
         "top_customers": lambda sf: tpch.top_customers(sf, k=10),
+        "shipping_priority": lambda sf: tpch.shipping_priority(sf),
         # multimodal plumbing
         "media_features": media_features_sql_cols,
         "media_summary": multimodal.media_summary,
@@ -573,6 +574,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.o_custkey, c.c_name, t.total_cents, t.n_orders
             FROM totals t JOIN customer c ON c.c_custkey = t.o_custkey
             ORDER BY t.total_cents DESC, t.o_custkey ASC LIMIT 10
+        """,
+        # Q3-shaped shipping priority (tpch.py:shipping_priority):
+        # integer revenue units = floor(price*100+.5) * (100 -
+        # floor(disc*100+.5)), identical on both engines
+        "shipping_priority": """
+            SELECT l.l_orderkey AS l_orderkey,
+                   CAST(sum(CAST(floor(l.l_extendedprice*100 + 0.5)
+                                 AS BIGINT) *
+                            (100 - CAST(floor(l.l_discount*100 + 0.5)
+                                        AS BIGINT))) AS BIGINT) AS revenue_u,
+                   o.o_orderdate AS o_orderdate,
+                   o.o_orderpriority AS o_orderpriority
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-06-01'
+              AND l.l_shipdate > TIMESTAMP '1998-06-01'
+            GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+            ORDER BY revenue_u DESC, l_orderkey LIMIT 10
         """,
         "events_by_segment": """
             SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS mktsegment,

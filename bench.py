@@ -121,7 +121,8 @@ def run_queries() -> dict:
     at sf0.001: the first Ray Data stage in a fresh session pays a
     worker-spawn/import storm that measures the interpreter, not the
     operator (same protocol as the crawl warm-up)."""
-    from linkinator_ray.pipelines import dedup, events, graph, joins, similarity, text
+    from linkinator_ray.pipelines import (dedup, events, graph, joins,
+                                          similarity, text, tpch)
     timings = {}
     jobs = {
         "extract_edges": lambda: graph.extract_edges(SF_DIR),
@@ -152,6 +153,7 @@ def run_queries() -> dict:
         "sample_by_source": lambda: text.sample_by_source(SF_DIR),
         "pack_sequences": lambda: text.pack_sequences(SF_DIR),
         "shuffle_export": lambda: text.shuffle_export(SF_DIR),
+        "shipping_priority": lambda: tpch.shipping_priority(SF_DIR),
         "kmeans_embeddings": lambda: similarity.kmeans_embeddings(
             SF_DIR, k=10, iters=5),
     }

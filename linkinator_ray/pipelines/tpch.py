@@ -110,3 +110,96 @@ def top_customers(sf_dir: str, k: int = 10):
         "total_cents": top["total_cents"],
         "n_orders": top["n_orders"],
     })
+
+
+def shipping_priority(sf_dir: str, segment: str = "BUILDING",
+                      cutoff: str = "1998-06-01", k: int = 10):
+    """Q3-shaped shipping priority: top-k not-yet-shipped orders of one
+    market segment by discounted revenue.
+
+    Ray-Data-first plan: the segment's custkey set is a filtered
+    column read broadcast once via ``ray.put`` (the classic small
+    side); orders and lineitem are row-filtered AT THE READ (orderdate
+    / shipdate pushdown — non-qualifying row groups never leave
+    storage); revenue partials combine per orderkey inside each
+    lineitem batch before the ONE hash exchange that joins them to
+    qualifying orders (hashagg.hash_join); a two-level hash aggregate
+    plus per-partition local top-k leaves P×k rows for the driver.
+    Revenue is exact integer units (floor(price*100+.5) ×
+    (100 - floor(disc*100+.5))) so the DuckDB oracle hashes
+    identically.
+    """
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from linkinator_ray.pipelines.hashagg import hash_aggregate, hash_join
+
+    cut = np.datetime64(cutoff, "us")
+
+    # small side: one column of one segment's customer dim
+    cust = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+        columns=["c_custkey"],
+        filter=pads.field("c_mktsegment") == segment)
+    keys = np.sort(cust["c_custkey"].to_numpy(zero_copy_only=False))
+    try:
+        import ray
+        keys_ref = ray.put(keys) if ray.is_initialized() else keys
+    except Exception:
+        keys_ref = keys
+
+    def order_filter(batch: pa.Table, *, keys_ref) -> pa.Table:
+        import ray
+        ks = keys_ref if isinstance(keys_ref, np.ndarray) else ray.get(keys_ref)
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        sel = ks[np.searchsorted(ks, ck).clip(0, len(ks) - 1)] == ck \
+            if len(ks) else np.zeros(len(ck), bool)
+        batch = batch.filter(pa.array(sel))
+        return pa.table({"o_orderkey": batch["o_orderkey"],
+                         "o_orderdate": batch["o_orderdate"],
+                         "o_orderpriority": batch["o_orderpriority"]})
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+        filter=pads.field("o_orderdate") < pa.scalar(cut)) \
+        .map_batches(order_filter, batch_format="pyarrow",
+                     batch_size=65536, fn_kwargs={"keys_ref": keys_ref})
+
+    def revenue_partial(batch: pa.Table) -> pa.Table:
+        price_c = pc.cast(pc.floor(pc.add(
+            pc.multiply(batch["l_extendedprice"], pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        disc_p = pc.cast(pc.floor(pc.add(
+            pc.multiply(batch["l_discount"], pa.scalar(100.0)),
+            pa.scalar(0.5))), pa.int64())
+        rev = pc.multiply(price_c, pc.subtract(pa.scalar(100,
+                                                         pa.int64()), disc_p))
+        t = pa.table({"l_orderkey": batch["l_orderkey"], "rev": rev})
+        agg = t.group_by("l_orderkey", use_threads=False).aggregate(
+            [("rev", "sum")])
+        return pa.table({"l_orderkey": agg["l_orderkey"],
+                         "rev_u": agg["rev_sum"]})
+
+    revs = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+        filter=pads.field("l_shipdate") > pa.scalar(cut)) \
+        .map_batches(revenue_partial, batch_format="pyarrow",
+                     batch_size=65536)
+
+    joined = hash_join(revs, orders, on="l_orderkey",
+                       right_on="o_orderkey")
+    merged = hash_aggregate(
+        joined, ["l_orderkey", "o_orderdate", "o_orderpriority"],
+        {"revenue_u": ("rev_u", "sum")})
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        return batch.sort_by([("revenue_u", "descending"),
+                              ("l_orderkey", "ascending")]).slice(0, k)
+
+    top = local_topk(pa.Table.from_pandas(
+        merged.map_batches(local_topk, batch_format="pyarrow").to_pandas(),
+        preserve_index=False))
+    return top.select(["l_orderkey", "revenue_u", "o_orderdate",
+                       "o_orderpriority"])

@@ -599,3 +599,31 @@ def test_shuffle_export_permutation(ray_session):
     # within a shard, pos order must not be doc_id order (it's md5 order)
     g0 = a[a["shard"] == a["shard"].iloc[0]].sort_values("pos")
     assert not g0["doc_id"].is_monotonic_increasing
+
+
+def test_shipping_priority_matches_duckdb(ray_session):
+    """Q3 shape end-to-end vs DuckDB: same top-k set, same order."""
+    import duckdb
+    from linkinator_ray.pipelines.tpch import shipping_priority
+    got = shipping_priority(SF).to_pandas()
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    want = con.sql("""
+        SELECT l.l_orderkey AS l_orderkey,
+               CAST(sum(CAST(floor(l.l_extendedprice*100 + 0.5) AS BIGINT) *
+                        (100 - CAST(floor(l.l_discount*100 + 0.5) AS BIGINT)))
+                    AS BIGINT) AS revenue_u,
+               o.o_orderdate AS o_orderdate,
+               o.o_orderpriority AS o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-06-01'
+          AND l.l_shipdate > TIMESTAMP '1998-06-01'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue_u DESC, l_orderkey LIMIT 10
+    """).df()
+    assert got["l_orderkey"].tolist() == want["l_orderkey"].tolist()
+    assert got["revenue_u"].tolist() == want["revenue_u"].tolist()
