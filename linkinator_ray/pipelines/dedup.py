@@ -805,6 +805,66 @@ def dedup_embedding_lsh(sf_dir: str, threshold: float = 0.9, n_planes: int = 6,
 _CHUNK_STRIDE = 1 << 20
 
 
+def _explode_chunks(batch: pa.Table, W: int, payload: str) -> pa.Table:
+    """Vectorized chunk explode: (doc_id, idx, ckey, chunk|h).
+
+    ``payload="text"`` carries the chunk strings (local rebuild);
+    ``payload="hash"`` carries 128-bit md5 hex instead, so the
+    winner-marking exchange ships ~32 bytes per chunk no matter how
+    long the chunks are."""
+    import pyarrow.compute as pc
+    if batch.num_rows == 0:
+        col = ("chunk", pa.array([], pa.string())) if payload == "text" \
+            else ("h", pa.array([], pa.string()))
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "idx": pa.array([], pa.int64()),
+                         "ckey": pa.array([], pa.int64()),
+                         col[0]: col[1]})
+    text = batch.column("text")
+    if text.null_count:
+        text = text.fill_null("")
+    lst = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    flat = pc.list_flatten(lst)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    nt = np.asarray(pc.list_value_length(lst).to_numpy(
+        zero_copy_only=False), dtype=np.int64)
+    total = int(nt.sum())
+    starts = np.concatenate(([0], np.cumsum(nt)[:-1]))
+    # token position within its doc, then its chunk index
+    j = np.arange(total, dtype=np.int64) - np.repeat(starts, nt)
+    cidx = j // W
+    if cidx.size and int(cidx.max()) >= _CHUNK_STRIDE:
+        raise ValueError(
+            f"doc exceeds {_CHUNK_STRIDE} chunks at W={W}; "
+            "raise chunk_tokens or _CHUNK_STRIDE")
+    # chunk boundaries are run starts (tokens of one chunk are
+    # contiguous): vectorized per-chunk join via a ListArray view
+    bounds = np.flatnonzero(j % W == 0)
+    offsets = np.append(bounds, total).astype(np.int32)
+    chunks = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets), flat), " ")
+    parents = np.asarray(pc.list_parent_indices(lst).to_numpy(
+        zero_copy_only=False), dtype=np.int64)
+    doc_np = np.asarray(batch.column("doc_id").to_numpy(
+        zero_copy_only=False), dtype=np.int64)
+    doc_of_chunk = doc_np[parents[bounds]]
+    idx_of_chunk = cidx[bounds]
+    cols = {
+        "doc_id": pa.array(doc_of_chunk),
+        "idx": pa.array(idx_of_chunk),
+        "ckey": pa.array(doc_of_chunk * _CHUNK_STRIDE + idx_of_chunk),
+    }
+    if payload == "text":
+        cols["chunk"] = chunks
+    else:
+        cols["h"] = pa.array([hashlib.md5(c.encode()).hexdigest()
+                              for c in chunks.to_pylist()], pa.string())
+    return pa.table(cols)
+
+
 def dedup_chunk(sf_dir: str, chunk_tokens: int = 16):
     """Sub-document exact dedup (the C4/CCNet line-and-paragraph dedup
     adapted to fixed token windows, since the test corpus has no
@@ -815,84 +875,81 @@ def dedup_chunk(sf_dir: str, chunk_tokens: int = 16):
 
     Output: (doc_id, n_chunks, n_dropped, clean_text), one row per doc.
 
-    Scale shape: explode is a stateless vectorized map; "first
-    occurrence" is ONE hash exchange on the chunk text (all copies of a
-    chunk co-locate, a groupby-transform-min marks winners — no global
-    sort, no driver state); the rebuild is a second hash exchange on
-    doc_id. Chunk payloads ride the shuffles once each; nothing
-    materializes on the driver.
+    Scale shape — chunk TEXT crosses the network exactly once: the
+    winner-marking exchange ships only (doc_id, idx, ckey, md5) — ~48
+    bytes per chunk regardless of chunk length; the keep flags (3 ints)
+    and the RAW docs then co-partition on doc_id, and each rebuild
+    partition re-chunks its docs locally (recomputing the split is
+    pure CPU — at 100 TB shuffle bytes, not compute, are the scarce
+    resource). First-occurrence marking is a vectorized
+    groupby-transform-min; nothing materializes on the driver.
+    Identity is by 128-bit md5 of the chunk (collision odds are
+    negligible even at 10^12 chunks; 64-bit would not be).
     """
-    import pyarrow.compute as pc
     W = int(chunk_tokens)
     if W <= 0:
         raise ValueError(f"chunk_tokens must be positive, got {chunk_tokens}")
 
-    def explode(batch: pa.Table) -> pa.Table:
-        if batch.num_rows == 0:
-            return pa.table({"doc_id": pa.array([], pa.int64()),
-                             "idx": pa.array([], pa.int64()),
-                             "ckey": pa.array([], pa.int64()),
-                             "chunk": pa.array([], pa.string())})
-        text = batch.column("text")
-        if text.null_count:
-            text = text.fill_null("")
-        lst = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
-        if isinstance(lst, pa.ChunkedArray):
-            lst = lst.combine_chunks()
-        flat = pc.list_flatten(lst)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        nt = np.asarray(pc.list_value_length(lst).to_numpy(
-            zero_copy_only=False), dtype=np.int64)
-        total = int(nt.sum())
-        starts = np.concatenate(([0], np.cumsum(nt)[:-1]))
-        # token position within its doc, then its chunk index
-        j = np.arange(total, dtype=np.int64) - np.repeat(starts, nt)
-        cidx = j // W
-        if cidx.size and int(cidx.max()) >= _CHUNK_STRIDE:
-            raise ValueError(
-                f"doc exceeds {_CHUNK_STRIDE} chunks at W={W}; "
-                "raise chunk_tokens or _CHUNK_STRIDE")
-        # chunk boundaries are run starts (tokens of one chunk are
-        # contiguous): vectorized per-chunk join via a ListArray view
-        bounds = np.flatnonzero(j % W == 0)
-        offsets = np.append(bounds, total).astype(np.int32)
-        chunks = pc.binary_join(
-            pa.ListArray.from_arrays(pa.array(offsets), flat), " ")
-        parents = np.asarray(pc.list_parent_indices(lst).to_numpy(
-            zero_copy_only=False), dtype=np.int64)
-        doc_np = np.asarray(batch.column("doc_id").to_numpy(
-            zero_copy_only=False), dtype=np.int64)
-        doc_of_chunk = doc_np[parents[bounds]]
-        idx_of_chunk = cidx[bounds]
-        return pa.table({
-            "doc_id": pa.array(doc_of_chunk),
-            "idx": pa.array(idx_of_chunk),
-            "ckey": pa.array(doc_of_chunk * _CHUNK_STRIDE + idx_of_chunk),
-            "chunk": chunks,
-        })
-
-    exploded = _fanout(read_docs(sf_dir, ["doc_id", "text"])).map_batches(
-        explode, batch_format="pyarrow", batch_size=8192)
-
     from linkinator_ray.pipelines.hashagg import hash_partition_apply
 
+    exploded = _fanout(read_docs(sf_dir, ["doc_id", "text"])).map_batches(
+        lambda b: _explode_chunks(b, W, "hash"),
+        batch_format="pyarrow", batch_size=8192)
+
     def mark_winners(part: pd.DataFrame) -> pd.DataFrame:
-        # all occurrences of a chunk are co-located: vectorized
+        # all occurrences of a chunk hash are co-located: vectorized
         # first-occurrence mark, no per-group Python call
         part = part.copy()
-        part["keep"] = part["ckey"] == part.groupby("chunk")["ckey"] \
+        part["keep"] = part["ckey"] == part.groupby("h")["ckey"] \
             .transform("min")
-        return part.drop(columns="ckey")
+        return part[["doc_id", "idx", "keep"]]
 
-    marked = hash_partition_apply(exploded, "chunk", mark_winners)
+    flags = hash_partition_apply(exploded, "h", mark_winners)
+
+    # tag + union + one doc_id exchange: flags are 3 ints per chunk,
+    # docs are the raw (doc_id, text) rows — text's only shuffle
+    def tag_flags(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "idx": batch.column("idx"),
+            "keep": batch.column("keep"),
+            "text": pa.nulls(n, pa.string()),
+            "__side": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "idx": pa.nulls(n, pa.int64()),
+            "keep": pa.nulls(n, pa.bool_()),
+            "text": batch.column("text"),
+            "__side": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    both = flags.map_batches(tag_flags, batch_format="pyarrow").union(
+        read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            tag_docs, batch_format="pyarrow"))
 
     def rebuild(part: pd.DataFrame) -> pd.DataFrame:
-        part = part.sort_values(["doc_id", "idx"], kind="stable")
-        g = part.groupby("doc_id", sort=False)
+        docs = part.loc[part["__side"] == 1, ["doc_id", "text"]]
+        fl = part.loc[part["__side"] == 0, ["doc_id", "idx", "keep"]] \
+            .astype({"doc_id": "int64", "idx": "int64", "keep": "bool"})
+        docs = docs.astype({"doc_id": "int64"})
+        # re-chunk locally with the SAME vectorized explode
+        ex = _explode_chunks(
+            pa.table({"doc_id": pa.array(docs["doc_id"].to_numpy()),
+                      "text": pa.array(docs["text"].astype(object),
+                                       pa.string())}),
+            W, "text").to_pandas()
+        m = ex.merge(fl, on=["doc_id", "idx"], how="left")
+        m["keep"] = m["keep"].fillna(True).astype(bool)
+        m = m.sort_values(["doc_id", "idx"], kind="stable")
+        g = m.groupby("doc_id", sort=False)
         n_chunks = g.size()
         n_kept = g["keep"].sum()
-        kept_txt = part[part["keep"]].groupby("doc_id", sort=False)["chunk"] \
+        kept_txt = m[m["keep"]].groupby("doc_id", sort=False)["chunk"] \
             .agg(" ".join)
         out = pd.DataFrame({
             "doc_id": n_chunks.index.to_numpy(np.int64),
@@ -902,7 +959,7 @@ def dedup_chunk(sf_dir: str, chunk_tokens: int = 16):
         out["clean_text"] = out["doc_id"].map(kept_txt).fillna("")
         return out
 
-    return hash_partition_apply(marked, "doc_id", rebuild)
+    return hash_partition_apply(both, "doc_id", rebuild)
 
 
 # ---------------------------------------------------------------------------
