@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": lambda sf: text.pack_sequences(
             sf, context_tokens=512),
         "shuffle_export": lambda sf: text.shuffle_export(sf, num_shards=8),
+        "tfidf_top_terms": lambda sf: text.tfidf_top_terms(sf, k=3),
         # similarity search
         "knn_bruteforce": knn,
         "kmeans_embeddings": lambda sf: similarity.kmeans_embeddings(
@@ -361,6 +362,29 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, source, u_ppm, p_ppm FROM s WHERE u_ppm < p_ppm
+        """,
+        # inverted-index-shaped per-doc top terms by exact integer
+        # tf/df ratio (text.py:tfidf_top_terms)
+        "tfidf_top_terms": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents
+            ), tc AS (
+              SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+              FROM toks GROUP BY doc_id, tok
+            ), dft AS (
+              SELECT tok, CAST(count(*) AS BIGINT) AS df
+              FROM tc GROUP BY tok
+            ), r AS (
+              SELECT tc.doc_id, tc.tok, tc.tf, dft.df,
+                     CAST(row_number() OVER (PARTITION BY tc.doc_id
+                          ORDER BY (tc.tf * 1000000) // dft.df DESC,
+                                   tc.tok) AS BIGINT) AS rank
+              FROM tc JOIN dft USING (tok)
+            )
+            SELECT doc_id, tok AS token, tf, df, rank
+            FROM r WHERE rank <= 3
         """,
         # deterministic training-export shuffle: md5 coin → shard,
         # rank within shard (text.py:shuffle_export)

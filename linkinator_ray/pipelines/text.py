@@ -652,3 +652,59 @@ def shuffle_export(sf_dir: str, num_shards: int = 8):
         return pd.concat(outs, ignore_index=True)
 
     return hash_partition_apply(coined, "shard", rank)
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3):
+    """Per-doc top-k distinguishing terms by tf/df ratio — the
+    inverted-index shape (term statistics need corpus-wide document
+    frequencies). Ranking is EXACT integer ((tf*1e6)//df descending,
+    token ascending): no float idf, so the DuckDB oracle hashes
+    identically.
+
+    Output: (doc_id, token, tf, df, rank), k rows per doc.
+
+    Scale shape: per-doc term frequencies complete inside each batch
+    (a doc never spans batches), so tf needs NO exchange; df is one
+    two-level hash aggregate over tokens; df joins back to the term
+    rows token-co-located (hash_join); the per-doc top-k is one
+    doc_id exchange with a vectorized sort + head per partition.
+    """
+    import pyarrow.compute as pc
+
+    from linkinator_ray.pipelines.hashagg import (hash_aggregate,
+                                                  hash_join,
+                                                  hash_partition_apply)
+
+    def tf_kernel(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(_text_col(batch))
+        lst = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        p = pc.list_parent_indices(lst)
+        doc = batch.column("doc_id").take(p)
+        t = pa.table({"doc_id": doc, "token": pc.list_flatten(lst)})
+        agg = t.group_by(["doc_id", "token"], use_threads=False) \
+            .aggregate([([], "count_all")])
+        return pa.table({"doc_id": agg["doc_id"],
+                         "token": agg["token"],
+                         "tf": pc.cast(agg["count_all"], pa.int64())})
+
+    tc = _fanout(read_docs(sf_dir, ["doc_id", "text"])).map_batches(
+        tf_kernel, batch_format="pyarrow", batch_size=8192)
+    df = hash_aggregate(tc, "token", {"df": ("doc_id", "count")})
+    joined = hash_join(tc, df, on="token")
+
+    def topk(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.copy()
+        part["score"] = part["tf"].to_numpy(np.int64) * 1_000_000 \
+            // part["df"].to_numpy(np.int64)
+        part = part.sort_values(["doc_id", "score", "token"],
+                                ascending=[True, False, True],
+                                kind="stable")
+        part["rank"] = part.groupby("doc_id", sort=False).cumcount() + 1
+        out = part[part["rank"] <= k]
+        return out[["doc_id", "token", "tf", "df", "rank"]].astype(
+            {"doc_id": "int64", "tf": "int64", "df": "int64",
+             "rank": "int64"})
+
+    return hash_partition_apply(joined, "doc_id", topk)

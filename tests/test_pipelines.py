@@ -627,3 +627,29 @@ def test_shipping_priority_matches_duckdb(ray_session):
     """).df()
     assert got["l_orderkey"].tolist() == want["l_orderkey"].tolist()
     assert got["revenue_u"].tolist() == want["revenue_u"].tolist()
+
+
+def test_tfidf_top_terms_semantics(ray_session, tmp_path):
+    """Planted corpus: a term unique to one doc must outrank terms that
+    appear everywhere; exactly k rows per doc with dense ranks."""
+    import pyarrow.parquet as pq
+    from linkinator_ray.pipelines.text import tfidf_top_terms
+    common = "alpha beta gamma"
+    rows = [
+        {"doc_id": 0, "text": common + " unicorn unicorn"},
+        {"doc_id": 1, "text": common + " dragon"},
+        {"doc_id": 2, "text": common},
+    ]
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(out / "documents.parquet"))
+    df = tfidf_top_terms(str(out), k=2).to_pandas()
+    assert (df.groupby("doc_id")["rank"].max() <= 2).all()
+    top0 = df[(df["doc_id"] == 0) & (df["rank"] == 1)].iloc[0]
+    assert top0["token"] == "unicorn" and top0["tf"] == 2 and top0["df"] == 1
+    top1 = df[(df["doc_id"] == 1) & (df["rank"] == 1)].iloc[0]
+    assert top1["token"] == "dragon"
+    # doc 2 has only corpus-wide terms: rank 1 is the alphabetically
+    # first of the equally-scored common terms
+    top2 = df[(df["doc_id"] == 2) & (df["rank"] == 1)].iloc[0]
+    assert top2["token"] == "alpha" and top2["df"] == 3
