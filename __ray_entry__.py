@@ -25,8 +25,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from linkinator_ray.pipelines import (dedup, events, graph, joins,
-                                          multimodal, similarity, text, tpch)
+    from linkinator_ray.pipelines import (components, dedup, events, graph,
+                                          joins, multimodal, similarity,
+                                          text, tpch)
 
     def knn(sf_dir):
         ds = similarity.knn_bruteforce(sf_dir, k=5, num_queries=4)
@@ -69,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, threshold=0.9),  # rows-only (scale path)
         "dedup_simhash": lambda sf: dedup.dedup_simhash(sf, max_hamming=3),  # rows-only
         "dedup_chunk": lambda sf: dedup.dedup_chunk(sf, chunk_tokens=16),
+        "dedup_components": components.dedup_components,
         "contamination_check": lambda sf: dedup.contamination_check(sf),
         "sample_by_source": text.sample_by_source,
         "pack_sequences": lambda sf: text.pack_sequences(
@@ -320,6 +322,41 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END,
                                        ' ' ORDER BY idx), '') AS clean_text
             FROM w GROUP BY doc_id
+        """,
+        # transitive duplicate clusters: connected components over the
+        # chunk-sharing graph — the recursive CTE reaches every node,
+        # the engine reaches the same fixpoint with large-star/small-star
+        # rounds (components.py:dedup_components)
+        "dedup_components": r"""
+            WITH RECURSIVE ch AS (
+              WITH t AS (
+                SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+                FROM documents
+              ), c AS (
+                SELECT doc_id, toks,
+                       unnest(range(CAST(ceil(len(toks)/16.0) AS BIGINT)))
+                           AS idx
+                FROM t
+              )
+              SELECT doc_id,
+                     array_to_string(
+                         list_slice(toks, idx*16+1, idx*16+16), ' ') AS chunk
+              FROM c
+            ), e0 AS (
+              SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+              FROM ch a JOIN ch b USING (chunk) WHERE a.doc_id <> b.doc_id
+            ), walk(doc_id, reach) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT w.doc_id, e.v FROM walk w JOIN e0 e ON e.u = w.reach
+            ), lab AS (
+              SELECT doc_id, min(reach) AS component_id FROM walk
+              GROUP BY doc_id
+            )
+            SELECT l.doc_id, l.component_id, s.csize
+            FROM lab l JOIN (
+              SELECT component_id, CAST(count(*) AS BIGINT) AS csize
+              FROM lab GROUP BY component_id) s USING (component_id)
         """,
         # trigram overlap vs the doc_id % 50 == 0 "benchmark" slice
         # (dedup.py:contamination_check)

@@ -121,8 +121,8 @@ def run_queries() -> dict:
     at sf0.001: the first Ray Data stage in a fresh session pays a
     worker-spawn/import storm that measures the interpreter, not the
     operator (same protocol as the crawl warm-up)."""
-    from linkinator_ray.pipelines import (dedup, events, graph, joins,
-                                          similarity, text, tpch)
+    from linkinator_ray.pipelines import (components, dedup, events, graph,
+                                          joins, similarity, text, tpch)
     timings = {}
     jobs = {
         "extract_edges": lambda: graph.extract_edges(SF_DIR),
@@ -149,6 +149,7 @@ def run_queries() -> dict:
         "events_join_customer": lambda: joins.events_join_customer(SF_DIR),
         "events_asof_order": lambda: joins.events_asof_order(SF_DIR),
         "dedup_chunk": lambda: dedup.dedup_chunk(SF_DIR),
+        "dedup_components": lambda: components.dedup_components(SF_DIR),
         "contamination_check": lambda: dedup.contamination_check(SF_DIR),
         "sample_by_source": lambda: text.sample_by_source(SF_DIR),
         "pack_sequences": lambda: text.pack_sequences(SF_DIR),
