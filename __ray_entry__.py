@@ -25,9 +25,9 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from linkinator_ray.pipelines import (components, dedup, events, graph,
-                                          joins, multimodal, similarity,
-                                          text, tpch)
+    from linkinator_ray.pipelines import (components, dedup, events, export,
+                                          graph, joins, multimodal,
+                                          similarity, text, tpch)
 
     def knn(sf_dir):
         ds = similarity.knn_bruteforce(sf_dir, k=5, num_queries=4)
@@ -76,6 +76,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": lambda sf: text.pack_sequences(
             sf, context_tokens=512),
         "shuffle_export": lambda sf: text.shuffle_export(sf, num_shards=8),
+        "train_split": lambda sf: text.train_split(sf),
+        "export_roundtrip": lambda sf: export.export_roundtrip(sf),
         "tfidf_top_terms": lambda sf: text.tfidf_top_terms(sf, k=3),
         # similarity search
         "knn_bruteforce": knn,
@@ -437,6 +439,34 @@ def oracle_sql() -> dict[str, str]:
                    CAST(h % 8 AS BIGINT) AS shard,
                    CAST(row_number() OVER (PARTITION BY h % 8
                         ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+            FROM h
+        """,
+        # resumable partitioned export: write shard=K dirs, read back
+        # (export.py:export_roundtrip) — the hash itself checks the
+        # write/read cycle preserved every row
+        "export_roundtrip": r"""
+            SELECT doc_id,
+                   CAST(CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 8 AS BIGINT) AS shard,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        # deterministic salted-coin train/val/test split
+        # (text.py:train_split)
+        "train_split": r"""
+            WITH h AS (
+              SELECT doc_id, source, lang,
+                     CAST(CAST(concat('0x',
+                          substr(md5(concat('split:',
+                                            CAST(doc_id AS VARCHAR))), 1, 8))
+                          AS BIGINT) AS BIGINT) % 1000000 AS u
+              FROM documents
+            )
+            SELECT doc_id, source, lang,
+                   CASE WHEN u < 900000 THEN 'train'
+                        WHEN u < 950000 THEN 'val'
+                        ELSE 'test' END AS split
             FROM h
         """,
         # concat-and-split sequence packing: distributed exclusive

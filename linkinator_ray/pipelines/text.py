@@ -654,6 +654,48 @@ def shuffle_export(sf_dir: str, num_shards: int = 8):
     return hash_partition_apply(coined, "shard", rank)
 
 
+def train_split(sf_dir: str, train_ppm: int = 900_000,
+                val_ppm: int = 50_000, salt: str = "split"):
+    """Deterministic train/val/test assignment for a training corpus:
+    each doc draws a reproducible md5 coin (salted, so different splits
+    of the same corpus are independent) and lands in
+
+        train  if coin % 1e6 < train_ppm
+        val    if coin % 1e6 < train_ppm + val_ppm
+        test   otherwise
+
+    Output: (doc_id, source, lang, split). The split is a pure function
+    of (salt, doc_id) — any worker, any rerun, any subset of the corpus
+    computes the same answer, which is what makes incremental corpus
+    growth safe (new docs never reshuffle old ones, unlike rank-based
+    exact-fraction splits). Per-stratum proportions concentrate at
+    corpus scale (binomial); no shuffle, no driver state — one
+    streaming pass at 100 TB.
+    """
+    t_ppm, v_ppm = int(train_ppm), int(val_ppm)
+    if not (0 <= t_ppm and 0 <= v_ppm and t_ppm + v_ppm <= 1_000_000):
+        raise ValueError(
+            f"train_ppm + val_ppm must fit in [0, 1e6], got "
+            f"{train_ppm} + {val_ppm}")
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        doc = _int64(batch.column("doc_id"))
+        u = np.fromiter(
+            (int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+             % 1_000_000 for i in doc), dtype=np.int64, count=len(doc))
+        split = np.where(u < t_ppm, "train",
+                         np.where(u < t_ppm + v_ppm, "val", "test"))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "source": batch.column("source"),
+            "lang": batch.column("lang"),
+            "split": pa.array(split.astype(object), pa.string()),
+        })
+
+    return read_docs(sf_dir, ["doc_id", "source", "lang"]).map_batches(
+        kernel, batch_format="pyarrow", batch_size=8192)
+
+
 def tfidf_top_terms(sf_dir: str, k: int = 3):
     """Per-doc top-k distinguishing terms by tf/df ratio — the
     inverted-index shape (term statistics need corpus-wide document

@@ -1,0 +1,62 @@
+"""Resumable partitioned export: shard=K dirs + _SUCCESS markers; a
+rerun recomputes ONLY untrusted shards."""
+
+import os
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _files_of(out_dir, shard):
+    d = os.path.join(out_dir, f"shard={shard}")
+    return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+
+def test_export_roundtrip_and_resume(ray_session, tmp_path):
+    from linkinator_ray.pipelines.export import (export_corpus,
+                                                 finished_shards,
+                                                 read_export)
+    out = str(tmp_path / "export")
+    m1 = export_corpus(SF, out, num_shards=4)
+    assert m1["written"] == [0, 1, 2, 3] and m1["skipped"] == []
+    assert finished_shards(out) == {0, 1, 2, 3}
+
+    # the export preserves the corpus exactly
+    back = read_export(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    src = pq.read_table(f"{SF}/documents.parquet",
+                        columns=["doc_id", "text", "lang", "source"]) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        back[["doc_id", "text", "lang", "source"]], src)
+
+    # simulate a crash: shards 1 and 3 lose their marker, 3 also has a
+    # half-written garbage file
+    os.remove(os.path.join(out, "shard=1", "_SUCCESS"))
+    os.remove(os.path.join(out, "shard=3", "_SUCCESS"))
+    with open(os.path.join(out, "shard=3", "partial.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+    untouched = {k: _files_of(out, k) for k in (0, 2)}
+    mtimes = {k: os.path.getmtime(os.path.join(out, f"shard={k}",
+                                               untouched[k][0]))
+              for k in (0, 2)}
+
+    m2 = export_corpus(SF, out, num_shards=4)
+    assert m2["written"] == [1, 3] and m2["skipped"] == [0, 2]
+    # finished shards were not rewritten (same files, same mtimes)
+    for k in (0, 2):
+        assert _files_of(out, k) == untouched[k]
+        assert os.path.getmtime(os.path.join(
+            out, f"shard={k}", untouched[k][0])) == mtimes[k]
+    # the garbage partial is gone and the data is whole again
+    assert "partial.parquet" not in _files_of(out, 3)
+    back2 = read_export(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        back2[["doc_id", "text", "lang", "source"]], src)
+
+    # third run: nothing to do
+    m3 = export_corpus(SF, out, num_shards=4)
+    assert m3["written"] == [] and m3["skipped"] == [0, 1, 2, 3]

@@ -601,6 +601,29 @@ def test_shuffle_export_permutation(ray_session):
     assert not g0["doc_id"].is_monotonic_increasing
 
 
+def test_train_split_deterministic_and_salted(ray_session):
+    """Every doc gets exactly one split, assignment is deterministic,
+    fractions land near 90/5/5, and a different salt draws an
+    independent assignment (docs don't move as a block)."""
+    from linkinator_ray.pipelines.text import train_split
+    a = train_split(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    b = train_split(SF).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert len(a) == 500 and a["doc_id"].is_unique
+    frac = a["split"].value_counts(normalize=True)
+    assert 0.85 <= frac.get("train", 0) <= 0.95
+    assert frac.get("val", 0) <= 0.10 and frac.get("test", 0) <= 0.10
+    c = train_split(SF, salt="other").to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert (a["split"] != c["split"]).any()
+    # incremental-growth safety: restricting the corpus never moves a doc
+    half = a[a["doc_id"] < a["doc_id"].median()]
+    merged = half.merge(a, on="doc_id", suffixes=("_h", ""))
+    assert (merged["split_h"] == merged["split"]).all()
+
+
 def test_shipping_priority_matches_duckdb(ray_session):
     """Q3 shape end-to-end vs DuckDB: same top-k set, same order."""
     import duckdb
