@@ -257,9 +257,52 @@ class _VerifyAgainstAnchors:
                              "b": np.asarray(b_out, dtype=np.int64)})
 
 
+def _cluster_pairs(pairs, cluster: str):
+    """Shared clustering tail of ``dedup_minhash``: verified near-dup
+    pairs → (doc_id, cluster_id).
+
+    ``cluster="driver"``: union-find on the driver over the verified
+    pairs (true near-dups only — orders smaller than candidates);
+    returns a pyarrow Table. ``cluster="distributed"``: the pairs stay
+    a Dataset and cluster via the large-star/small-star component
+    engine (components.py) — nothing pair-shaped reaches the driver;
+    returns a Dataset. Use distributed when the verified-pair count
+    itself is driver-hostile (high-dup corpora at 100 TB)."""
+    if cluster not in ("driver", "distributed"):
+        raise ValueError(f"cluster must be driver|distributed: {cluster}")
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "cluster_id": pa.array([], pa.int64())})
+    if cluster == "driver":
+        if pairs is None:
+            return empty
+        kept = pairs.to_pandas()
+        return _clusters_from_pairs(zip(kept["a"], kept["b"]))
+
+    import ray.data as rd
+
+    from linkinator_ray.pipelines.components import connected_components
+    from linkinator_ray.pipelines.hashagg import hash_aggregate
+    if pairs is None:
+        return rd.from_arrow(empty)
+    edges = pairs.map_batches(
+        lambda t: pa.table({"u": t["a"], "v": t["b"]}),
+        batch_format="pyarrow").materialize()
+    if edges.count() == 0:
+        return rd.from_arrow(empty)
+    stars = connected_components(edges)
+    members = stars.map_batches(
+        lambda t: pa.table({"doc_id": t["u"], "cluster_id": t["v"]}),
+        batch_format="pyarrow")
+    centers = hash_aggregate(stars, "v", {"n": ("u", "count")}) \
+        .map_batches(lambda t: pa.table({"doc_id": t["v"],
+                                         "cluster_id": t["v"]}),
+                     batch_format="pyarrow")
+    return members.union(centers)
+
+
 def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
                   bands: int = 16, ngram: int = 3,
-                  verify: str = "broadcast"):
+                  verify: str = "broadcast", cluster: str = "driver"):
     """MinHash+LSH near-dup: shingle → minhash → band → bucket groupby →
     anchor pairing → exact-Jaccard verify → min-label clusters.
 
@@ -283,9 +326,13 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
     the document texts (hash-partitioned ``Dataset.join`` both times) —
     3 extra shuffles, nothing anchor-shaped on the driver.
 
-    Returns a pyarrow Table (doc_id, cluster_id) for every doc in a
-    near-dup cluster of size ≥ 2; union-find runs on the driver over the
-    VERIFIED pairs only (true near-dups, orders smaller than candidates).
+    Returns (doc_id, cluster_id) for every doc in a near-dup cluster of
+    size ≥ 2. ``cluster="driver"`` (default): union-find on the driver
+    over the VERIFIED pairs only (true near-dups, orders smaller than
+    candidates) — a pyarrow Table. ``cluster="distributed"``: the
+    verified pairs stay a Dataset and cluster through the
+    large-star/small-star component engine (components.py) — no
+    pair-shaped driver state at all; returns a Dataset.
     """
     if verify not in ("broadcast", "partitioned"):
         raise ValueError(f"verify must be broadcast|partitioned: {verify}")
@@ -307,14 +354,13 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
         banded, ["band_id", "band_hash"],
         {"n": ("doc_id", "count"), "anchor": ("doc_id", "min")})
     if verify == "partitioned":
-        return _minhash_verify_partitioned(
-            sf_dir, banded, counts, ngram, threshold)
+        return _cluster_pairs(_minhash_verify_partitioned(
+            sf_dir, banded, counts, ngram, threshold), cluster)
     hot = counts.filter(expr="n > 1").to_pandas()
     anchor_of = {(b, h): a for b, h, a in
                  zip(hot["band_id"], hot["band_hash"], hot["anchor"])}
     if not anchor_of:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "cluster_id": pa.array([], pa.int64())})
+        return _cluster_pairs(None, cluster)
 
     # anchor shingles: small filtered scan, shingled in workers
     anchor_ids = sorted({a for a in anchor_of.values()})
@@ -344,20 +390,19 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
             "anchor_ref": _put(anchor_of), "anchor_sh_ref": _put(anchor_sh),
             "num_perms": num_perms, "bands": bands, "ngram": ngram,
             "threshold": threshold})
-    kept = verified.to_pandas()
-    return _clusters_from_pairs(zip(kept["a"], kept["b"]))
+    return _cluster_pairs(verified, cluster)
 
 
 def _minhash_verify_partitioned(sf_dir: str, banded, counts, ngram: int,
-                                threshold: float) -> pa.Table:
-    """The no-driver-state verify path of ``dedup_minhash``.
+                                threshold: float):
+    """The no-driver-state verify path of ``dedup_minhash`` — returns
+    the VERIFIED (a, b) pair Dataset (or None when no bucket is hot).
 
     Hot buckets stay a Dataset; candidate (anchor, member) pairs come
     from a hash-partitioned join of the band rows against the hot
     buckets; the exact-Jaccard verify joins the distinct pair list
     against document texts (two more hash joins) and re-shingles both
-    sides in workers. Only the VERIFIED pairs — true near-dups — reach
-    the driver for union-find. Joins use hashagg.hash_join (tag+union+
+    sides in workers. Joins use hashagg.hash_join (tag+union+
     partition+merge), not Ray's JoinOperator — several JoinOperators in
     one DAG can deadlock its shuffle scheduling under tight CPU budgets.
     """
@@ -369,8 +414,7 @@ def _minhash_verify_partitioned(sf_dir: str, banded, counts, ngram: int,
     hot = counts.filter(expr="n > 1").select_columns(
         ["band_id", "band_hash", "anchor"]).materialize()
     if hot.count() == 0:
-        return pa.table({"doc_id": pa.array([], pa.int64()),
-                         "cluster_id": pa.array([], pa.int64())})
+        return None
     cands = hash_join(banded, hot, on=["band_id", "band_hash"],
                       num_parts=parts)
 
@@ -403,9 +447,8 @@ def _minhash_verify_partitioned(sf_dir: str, banded, counts, ngram: int,
         return pa.table({"a": pa.array(a_out, pa.int64()),
                          "b": pa.array(b_out, pa.int64())})
 
-    kept = with_ab.map_batches(verify_kernel, batch_format="pyarrow",
-                               batch_size=512).to_pandas()
-    return _clusters_from_pairs(zip(kept["a"], kept["b"]))
+    return with_ab.map_batches(verify_kernel, batch_format="pyarrow",
+                               batch_size=512)
 
 
 def _ISIN(ids):
@@ -659,8 +702,6 @@ def corpus_dedup_drops(sf_dir: str, threshold: float = 0.7):
     Near drops come from the MinHash cluster table — cluster members
     only, orders smaller than the corpus by construction.
     """
-    import ray.data as rd
-
     from linkinator_ray.pipelines.hashagg import (hash_aggregate,
                                                   hash_partition_apply)
 
@@ -683,18 +724,21 @@ def corpus_dedup_drops(sf_dir: str, threshold: float = 0.7):
     exact_drops = hash_partition_apply(hashed, "text_hash",
                                        exact_drops_part)
 
-    # near drops: cluster table = members of near-dup clusters only
-    near = dedup_minhash(sf_dir, threshold=threshold).to_pandas()
-    if len(near):
-        cluster_min = near.groupby("cluster_id")["doc_id"].transform("min")
-        nd = near.loc[near["doc_id"] != cluster_min, ["doc_id"]]
-        near_tbl = pa.table({
-            "doc_id": pa.array(nd["doc_id"].to_numpy(), pa.int64()),
-            "reason": pa.array(["near"] * len(nd), pa.string())})
-    else:
-        near_tbl = pa.table({"doc_id": pa.array([], pa.int64()),
-                             "reason": pa.array([], pa.string())})
-    drops = exact_drops.union(rd.from_arrow(near_tbl))
+    # near drops: non-minimum members of the DISTRIBUTED cluster table
+    # (cluster_id IS the cluster min) — the whole near leg, verify and
+    # clustering included, now runs without driver-side pair state
+    near = dedup_minhash(sf_dir, threshold=threshold,
+                         cluster="distributed")
+
+    def near_drops(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        d = t.filter(pc.not_equal(t["doc_id"], t["cluster_id"]))
+        return pa.table({
+            "doc_id": d["doc_id"],
+            "reason": pa.array(["near"] * d.num_rows, pa.string())})
+
+    drops = exact_drops.union(
+        near.map_batches(near_drops, batch_format="pyarrow"))
     # one row per doc_id; 'exact' wins over 'near' (min). Stays a Dataset.
     return hash_aggregate(drops, "doc_id", {"reason": ("reason", "min")})
 

@@ -93,6 +93,12 @@ def test_minhash_finds_planted_neardups(ray_session, tmp_path):
     part = dedup_minhash(str(out_dir), threshold=0.5,
                          verify="partitioned").to_pandas()
     assert part.values.tolist() == clusters.values.tolist()
+    # distributed clustering (large-star/small-star over the verified
+    # pairs — no driver union-find) must agree with the driver path
+    dist = dedup_minhash(str(out_dir), threshold=0.5,
+                         cluster="distributed").to_pandas() \
+        .sort_values(["doc_id", "cluster_id"]).reset_index(drop=True)
+    assert dist.values.tolist() == clusters.values.tolist()
 
 
 def test_simhash_exact_dup_distance_zero(ray_session):
