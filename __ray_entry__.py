@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, context_tokens=512),
         "shuffle_export": lambda sf: text.shuffle_export(sf, num_shards=8),
         "train_split": lambda sf: text.train_split(sf),
+        "length_quantiles": lambda sf: text.length_quantiles(sf),
         "export_roundtrip": lambda sf: export.export_roundtrip(sf),
         "tfidf_top_terms": lambda sf: text.tfidf_top_terms(sf, k=3),
         # similarity search
@@ -451,6 +452,30 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) % 8 AS BIGINT) AS shard,
                    CAST(length(text) AS BIGINT) AS n_chars
             FROM documents
+        """,
+        # exact per-lang token-length quantiles via mergeable integer
+        # histograms (text.py:length_quantiles)
+        "length_quantiles": r"""
+            WITH t AS (
+              SELECT lang,
+                     len(string_split_regex(trim(text), '\s+')) AS val
+              FROM documents
+            ), h AS (
+              SELECT lang, val, count(*) AS cnt FROM t GROUP BY lang, val
+            ), w AS (
+              SELECT lang, val,
+                     sum(cnt) OVER (PARTITION BY lang ORDER BY val) AS cum,
+                     sum(cnt) OVER (PARTITION BY lang) AS n
+              FROM h
+            ), q AS (
+              SELECT * FROM (VALUES (500000), (900000), (990000))
+                  AS v(q_ppm)
+            )
+            SELECT lang, CAST(q_ppm AS BIGINT) AS q_ppm,
+                   CAST(min(val) AS BIGINT) AS n_tokens_q
+            FROM w CROSS JOIN q
+            WHERE cum >= (q_ppm * n + 999999) // 1000000
+            GROUP BY lang, q_ppm
         """,
         # deterministic salted-coin train/val/test split
         # (text.py:train_split)

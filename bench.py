@@ -155,6 +155,7 @@ def run_queries() -> dict:
         "pack_sequences": lambda: text.pack_sequences(SF_DIR),
         "shuffle_export": lambda: text.shuffle_export(SF_DIR),
         "train_split": lambda: text.train_split(SF_DIR),
+        "length_quantiles": lambda: text.length_quantiles(SF_DIR),
         "shipping_priority": lambda: tpch.shipping_priority(SF_DIR),
         "tfidf_top_terms": lambda: text.tfidf_top_terms(SF_DIR),
         "kmeans_embeddings": lambda: similarity.kmeans_embeddings(

@@ -654,6 +654,63 @@ def shuffle_export(sf_dir: str, num_shards: int = 8):
     return hash_partition_apply(coined, "shard", rank)
 
 
+def length_quantiles(sf_dir: str,
+                     qs_ppm: tuple[int, ...] = (500_000, 900_000, 990_000)):
+    """EXACT token-length quantiles per language — the distributed
+    quantile pattern for integer domains: a mergeable histogram
+    replaces any sort of the data. Per batch, token counts combine
+    into (lang, val, cnt) rows; the two-level hash aggregate merges
+    histograms (rows bounded by #distinct lengths × #langs, never by
+    corpus size); the quantile read-off is one tiny lang-partitioned
+    pass over the merged histogram. No global sort, no sampling error
+    (t-digest/GK sketches are the float-domain fallback; integer
+    domains don't need them).
+
+    Quantile definition (exact-integer, oracle-portable): the smallest
+    val whose cumulative count ≥ ceil(q·n) with q in ppm, i.e.
+    threshold = (q_ppm·n + 999999) // 1e6.
+
+    Output: (lang, q_ppm, n_tokens_q).
+    """
+    import pyarrow.compute as pc
+
+    from linkinator_ray.pipelines.hashagg import (hash_aggregate,
+                                                  hash_partition_apply)
+    qs = sorted(int(q) for q in qs_ppm)
+    if not qs or qs[0] < 0 or qs[-1] > 1_000_000:
+        raise ValueError(f"qs_ppm must be within [0, 1e6], got {qs_ppm}")
+
+    def val_kernel(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(_text_col(batch))
+        toks = pa.array(
+            _int64(pc.count_substring_regex(trimmed, r"\s+")) + 1)
+        return pa.table({"lang": batch.column("lang"), "val": toks})
+
+    hist = hash_aggregate(
+        read_docs(sf_dir, ["doc_id", "text", "lang"]).map_batches(
+            val_kernel, batch_format="pyarrow", batch_size=8192),
+        ["lang", "val"], {"cnt": ("val", "count")})
+
+    def read_off(part: pd.DataFrame) -> pd.DataFrame:
+        outs = []
+        for lang, g in part.groupby("lang", sort=False):
+            g = g.sort_values("val")
+            cum = g["cnt"].to_numpy(np.int64).cumsum()
+            vals = g["val"].to_numpy(np.int64)
+            n = int(cum[-1])
+            thr = np.array([(q * n + 999_999) // 1_000_000 for q in qs],
+                           dtype=np.int64)
+            idx = np.searchsorted(cum, thr, side="left")
+            outs.append(pd.DataFrame({
+                "lang": [lang] * len(qs),
+                "q_ppm": np.asarray(qs, dtype=np.int64),
+                "n_tokens_q": vals[np.minimum(idx, len(vals) - 1)],
+            }))
+        return pd.concat(outs, ignore_index=True)
+
+    return hash_partition_apply(hist, "lang", read_off)
+
+
 def train_split(sf_dir: str, train_ppm: int = 900_000,
                 val_ppm: int = 50_000, salt: str = "split"):
     """Deterministic train/val/test assignment for a training corpus:

@@ -607,6 +607,30 @@ def test_shuffle_export_permutation(ray_session):
     assert not g0["doc_id"].is_monotonic_increasing
 
 
+def test_length_quantiles_exact(ray_session):
+    """Histogram quantiles equal a single-machine exact computation
+    under the ceil(q·n) definition."""
+    import pyarrow.parquet as pq
+    from linkinator_ray.pipelines.text import length_quantiles
+    got = length_quantiles(SF).to_pandas() \
+        .sort_values(["lang", "q_ppm"]).reset_index(drop=True)
+    docs = pq.read_table(f"{SF}/documents.parquet",
+                         columns=["lang", "text"]).to_pandas()
+    docs["val"] = docs["text"].str.strip().str.split().str.len()
+    rows = []
+    for lang, g in docs.groupby("lang"):
+        vals = np.sort(g["val"].to_numpy())
+        n = len(vals)
+        for q in (500_000, 900_000, 990_000):
+            thr = (q * n + 999_999) // 1_000_000
+            rows.append({"lang": lang, "q_ppm": q,
+                         "n_tokens_q": int(vals[max(thr - 1, 0)])})
+    exp = pd.DataFrame(rows).sort_values(["lang", "q_ppm"]) \
+        .reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got.astype({"q_ppm": "int64", "n_tokens_q": "int64"}), exp)
+
+
 def test_train_split_deterministic_and_salted(ray_session):
     """Every doc gets exactly one split, assignment is deterministic,
     fractions land near 90/5/5, and a different salt draws an
