@@ -824,7 +824,11 @@ class LinkChecker:
         node_cls = ray.remote(num_cpus=1, max_concurrency=2)(mesh_mod.MeshNode)
         blob_ref = ray.put(transport_blob)
         opts_blob = {"batch_cap": opts.batch_size * 4, "jitter_seed": 42,
-                     "frontier_spill_rows": opts.mesh_frontier_spill_rows}
+                     "frontier_spill_rows": opts.mesh_frontier_spill_rows,
+                     # checkpointed runs journal inserted keys so the
+                     # checkpoint is re-shardable (elastic resume at a
+                     # different node count)
+                     "journal_keys": bool(opts.checkpoint_dir)}
         # host affinity only when per-host actor state matters (scripted
         # sequences, Retry-After delay maps, politeness); else balance by
         # url_hash — same policy as FetchPool.sticky_hosts
@@ -1089,11 +1093,23 @@ class LinkChecker:
             [s["pending_fragments"] for s in snaps])
         for i, s in enumerate(snaps):
             tables[f"edge_shard_{i:04d}"] = seen_blob_to_table(s["edge_seen"])
+            # key journal (one binary-blob row per array — the 1M-row
+            # lesson from the cuckoo format applies here too): raw u64
+            # keys inserted since the previous epoch, edges paired with
+            # their routing hash. This is what lets _mesh_restore
+            # re-shard the checkpoint to a different node count.
+            tables[f"url_keys_{i:04d}"] = pa.table({
+                "data": pa.array([s["url_keys"].tobytes()], pa.binary())})
+            tables[f"edge_keys_{i:04d}"] = pa.table({
+                "data": pa.array([s["edge_keys"].tobytes()], pa.binary()),
+                "routes": pa.array([s["edge_routes"].tobytes()],
+                                   pa.binary())})
         seen_tables = [seen_blob_to_table(s["url_seen"]) for s in snaps]
         ckpt.save_round(
             self.opts.checkpoint_dir, self.run_id, epoch, tables,
             seen_tables, counters,
             extra={"mesh": True, "mesh_nodes": num_actors,
+                   "journal": True,
                    "spill_part": self._spill_part,
                    "node_spill_parts": [s["spill_part"] for s in snaps],
                    "clock": self.clock.now()},
@@ -1102,10 +1118,17 @@ class LinkChecker:
 
     def _mesh_restore(self, checkpoint_dir: str, nodes,
                       num_actors: int, sticky: bool = False) -> tuple[pa.Table, int]:
-        """Load the newest mesh epoch into a fresh mesh of the SAME
-        shard count (seen/edge filters are hash-sharded by url_hash % K
-        and are not re-shardable — the edge keys' owners are derived
-        from URL hashes that are not stored)."""
+        """Load the newest mesh epoch into a fresh mesh. Same shard
+        count: fast path — each node restores its own seen/edge blob.
+        DIFFERENT shard count (elastic resume, e.g. checkpoint at N and
+        resume at 4N nodes): the filters are rebuilt from the key
+        JOURNAL — every epoch dir carries the raw u64 hashes inserted
+        that epoch plus each edge key's routing hash, so the chain of
+        epochs 1..last reconstructs each new node's hash range exactly.
+        Frontier rows, pending wants and the delay map carry URLs/hosts
+        and re-route under any count; only the filters need the journal
+        (cuckoo blobs hold fingerprints, and even exact edge dumps lose
+        the child-URL owner derivation)."""
         import ray
 
         from linkinator_ray.state.seen import seen_table_to_blob
@@ -1114,11 +1137,12 @@ class LinkChecker:
             raise ValueError(f"no checkpoint found under {checkpoint_dir}")
         manifest, tables, seen_tables = ckpt.load_round(checkpoint_dir, last)
         saved_nodes = manifest["extra"].get("mesh_nodes")
-        if saved_nodes != num_actors:
+        elastic = saved_nodes != num_actors
+        if elastic and not manifest["extra"].get("journal"):
             raise ValueError(
-                f"mesh checkpoint was written with {saved_nodes} nodes; "
-                f"resume requires the same node count (got {num_actors}) — "
-                "seen/edge filters are hash-sharded and not re-shardable")
+                f"mesh checkpoint was written with {saved_nodes} nodes and "
+                f"carries no key journal; resume requires the same node "
+                f"count (got {num_actors})")
         self.counters.update(manifest["counters"])
         self.results_tables = [tables["results"]]
         self._spill_part = int(manifest["extra"].get("spill_part", 0))
@@ -1149,16 +1173,77 @@ class LinkChecker:
                 idx = np.flatnonzero(assign == a)
                 if len(idx):
                     want_pieces[a] = wants.take(pa.array(idx))
-        node_parts = manifest["extra"].get("node_spill_parts",
-                                           [0] * num_actors)
+        saved_parts = manifest["extra"].get("node_spill_parts",
+                                            [0] * (saved_nodes or num_actors))
+        # results spill files are namespaced node{i}_part{k}: a new node
+        # sharing an old index continues that numbering; indices beyond
+        # the old count start fresh; on shrink, orphaned old parts stay
+        # on disk and the results_dir scan still collects them
+        node_parts = [saved_parts[i] if i < len(saved_parts) else 0
+                      for i in range(num_actors)]
+        if not elastic:
+            ray.get([
+                nodes[i].restore_state.remote(
+                    seen_table_to_blob(seen_tables[i]),
+                    seen_table_to_blob(tables[f"edge_shard_{i:04d}"]),
+                    delay_map, want_pieces[i], node_parts[i])
+                for i in range(num_actors)
+            ])
+            return tables["frontier"], manifest["round"]
+
+        url_keys, edge_keys, edge_routes = self._load_key_journal(
+            checkpoint_dir, last)
+        url_owner = (url_keys % np.uint64(num_actors)).astype(np.int64)
+        edge_owner = (edge_routes % np.uint64(num_actors)).astype(np.int64)
         ray.get([
-            nodes[i].restore_state.remote(
-                seen_table_to_blob(seen_tables[i]),
-                seen_table_to_blob(tables[f"edge_shard_{i:04d}"]),
+            nodes[i].restore_keys.remote(
+                url_keys[url_owner == i], edge_keys[edge_owner == i],
                 delay_map, want_pieces[i], node_parts[i])
             for i in range(num_actors)
         ])
         return tables["frontier"], manifest["round"]
+
+    @staticmethod
+    def _load_key_journal(checkpoint_dir: str, last: int):
+        """Union of the per-epoch key journals for epochs 1..last —
+        (url_keys, edge_keys, edge_routes) u64 arrays. Each epoch dir
+        holds only that epoch's new keys (lineage), so this read is one
+        sequential pass over 8 B/key total."""
+        import json as _json
+        import os
+
+        import pyarrow.parquet as pq
+        urls, ekeys, eroutes = [], [], []
+        for r in range(1, last + 1):
+            round_dir = os.path.join(checkpoint_dir, f"round_{r:06d}")
+            mpath = os.path.join(round_dir, "manifest.json")
+            if not os.path.exists(mpath):
+                raise ValueError(
+                    f"elastic resume needs the full epoch chain; "
+                    f"round {r} is missing under {checkpoint_dir}")
+            with open(mpath) as f:
+                names = _json.load(f)["row_counts"]
+            jr = sorted(n for n in names if n.startswith("url_keys_"))
+            if not jr:
+                raise ValueError(
+                    f"round {r} carries no key journal — elastic resume "
+                    "needs every epoch written with journaling on")
+            for name in jr:
+                t = pq.read_table(os.path.join(round_dir, f"{name}.parquet"))
+                urls.append(np.frombuffer(t["data"][0].as_py() or b"",
+                                          dtype=np.uint64))
+            for name in sorted(n for n in names
+                               if n.startswith("edge_keys_")):
+                t = pq.read_table(os.path.join(round_dir, f"{name}.parquet"))
+                ekeys.append(np.frombuffer(t["data"][0].as_py() or b"",
+                                           dtype=np.uint64))
+                eroutes.append(np.frombuffer(t["routes"][0].as_py() or b"",
+                                             dtype=np.uint64))
+
+        def cat(parts):
+            return np.concatenate(parts) if parts \
+                else np.empty(0, dtype=np.uint64)
+        return cat(urls), cat(ekeys), cat(eroutes)
 
     # ------------------------------------------------------------------
 

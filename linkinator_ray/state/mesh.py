@@ -115,6 +115,18 @@ class MeshNode:
         # edges outnumber URLs ~linkage-factor×; give the filter headroom
         self.edge_seen = SeenShard(actor_id ^ 0xFFFF, seen_mode,
                                    seen_capacity * 4)
+        # key journal (checkpointed runs): raw u64 hashes inserted since
+        # the last snapshot, plus each edge key's ROUTING hash (edges
+        # live on their child URL's hash owner — the edge key alone
+        # cannot be re-routed). The journal is what makes a checkpoint
+        # RE-SHARDABLE: cuckoo blobs store fingerprints, not keys, and
+        # even exact edge dumps lose the owner derivation. Drained into
+        # every epoch dir (8 B/key/epoch lineage, never a full dump);
+        # RAM holds one epoch's new keys only.
+        self.journal_keys = bool(opts_blob.get("journal_keys", False))
+        self._jr_url: list[np.ndarray] = []
+        self._jr_edge_key: list[np.ndarray] = []
+        self._jr_edge_route: list[np.ndarray] = []
         self.dup_edges: list[pa.Table] = []
         self.queue: list[pa.Table] = []
         self.queued_rows = 0
@@ -183,7 +195,10 @@ class MeshNode:
         """Pre-insert seed URLs into this node's key range
         (src/index.ts:267-288)."""
         with self.lock:
-            self.url_seen.contains_or_insert(hashes)
+            seen = self.url_seen.contains_or_insert(hashes)
+            if self.journal_keys and (~seen).any():
+                self._jr_url.append(
+                    np.asarray(hashes, dtype=np.uint64)[~seen])
 
     def enqueue(self, table: pa.Table) -> None:
         """Frontier rows whose fetch this node owns."""
@@ -304,10 +319,24 @@ class MeshNode:
                     [f for fs in self.pending_fragments.values()
                      for f in fs], pa.string()),
             })
+            jr_url = np.concatenate(self._jr_url) if self._jr_url \
+                else np.empty(0, dtype=np.uint64)
+            jr_ek = np.concatenate(self._jr_edge_key) if self._jr_edge_key \
+                else np.empty(0, dtype=np.uint64)
+            jr_er = np.concatenate(self._jr_edge_route) \
+                if self._jr_edge_route else np.empty(0, dtype=np.uint64)
+            # the journal drains into THIS epoch's checkpoint dir: keys
+            # live in exactly one epoch's journal, and the chain of
+            # epochs 0..k reconstructs the seen sets at epoch k under
+            # ANY shard count (see crawl._mesh_restore elastic path)
+            self._jr_url, self._jr_edge_key, self._jr_edge_route = [], [], []
             return {
                 "frontier": frontier,
                 "url_seen": self.url_seen.dump(),
                 "edge_seen": self.edge_seen.dump(),
+                "url_keys": jr_url,
+                "edge_keys": jr_ek,
+                "edge_routes": jr_er,
                 "pending_fragments": pending,
                 "delay_map": dict(self.delay_map),
                 "dup_edges": dups.group_by(["url", "parent"]).aggregate([])
@@ -322,6 +351,26 @@ class MeshNode:
         with self.lock:
             self.url_seen.restore(url_blob)
             self.edge_seen.restore(edge_blob)
+            self.delay_map.update(delay_map)
+            if wants is not None and wants.num_rows:
+                self._register_wants(wants)
+            self.spill_part = spill_part
+
+    def restore_keys(self, url_keys: np.ndarray, edge_keys: np.ndarray,
+                     delay_map: dict, wants: pa.Table | None = None,
+                     spill_part: int = 0) -> None:
+        """Elastic restore: rebuild this node's seen/edge filters from
+        raw journal keys (already routed to this node's new hash range
+        by the driver). Deliberately NOT journaled again — the journal
+        chain in earlier epoch dirs already covers these keys under any
+        future shard count."""
+        with self.lock:
+            if len(url_keys):
+                self.url_seen.contains_or_insert(
+                    np.asarray(url_keys, dtype=np.uint64))
+            if len(edge_keys):
+                self.edge_seen.contains_or_insert(
+                    np.asarray(edge_keys, dtype=np.uint64))
             self.delay_map.update(delay_map)
             if wants is not None and wants.num_rows:
                 self._register_wants(wants)
@@ -344,6 +393,13 @@ class MeshNode:
         if len(fresh_idx):
             url_dup[fresh_idx] = self.url_seen.contains_or_insert(
                 url_hash[fresh_idx])
+        if self.journal_keys:
+            if edge_fresh.any():
+                self._jr_edge_key.append(edge_hash[edge_fresh])
+                self._jr_edge_route.append(url_hash[edge_fresh])
+            ins = edge_fresh & ~url_dup
+            if ins.any():
+                self._jr_url.append(url_hash[ins])
         dup_mask = edge_fresh & url_dup
         if dup_mask.any():
             self.dup_edges.append(

@@ -270,20 +270,92 @@ class TestMeshCheckpoint:
         assert broken_edges(resumed) == broken_edges(full)
         assert resumed.stats["seen_urls"] == expected_seen
 
-    def test_mesh_resume_node_count_mismatch(self, ray_session, tmp_path):
+    @pytest.mark.parametrize("seen_filter,resume_actors",
+                             [("exact", 3), ("cuckoo", 3), ("exact", 1)])
+    def test_mesh_elastic_resume(self, ray_session, tmp_path,
+                                 seen_filter, resume_actors):
+        """Kill a 2-node mesh crawl after its first epoch, resume with a
+        DIFFERENT node count: the key journal re-shards the seen/edge
+        filters to the new hash ranges, and the final sets match a
+        clean run — for the exact filter and the cuckoo filter (whose
+        blobs alone are not re-shardable), growing and shrinking."""
+        import os
+
+        from linkinator_ray.pipelines import crawl as crawl_mod
         from linkinator_ray.sources.synth import synth_crawl_corpus
-        docs, seeds, _, _ = synth_crawl_corpus(num_hosts=2, docs_per_host=400)
+        docs, seeds, expected_seen, _ = synth_crawl_corpus(
+            num_hosts=2, docs_per_host=400)
+        base = dict(paths=seeds, recurse=True, mesh=True,
+                    seen_filter=seen_filter)
+        full = LinkChecker(CheckOptions(**base, fetch_concurrency=2),
+                           docs, [], multi_host=True, use_ray=True).check()
+
+        ck = str(tmp_path / "meshck")
+        partial = LinkChecker(
+            CheckOptions(**base, fetch_concurrency=2, checkpoint_dir=ck,
+                         checkpoint_interval_s=0.2, batch_size=64),
+            docs, [], multi_host=True, use_ray=True)
+        orig = crawl_mod.LinkChecker._mesh_checkpoint
+        calls = {"n": 0}
+
+        def bomb(self, nodes, epoch, num_actors, seed_rows):
+            orig(self, nodes, epoch, num_actors, seed_rows)
+            calls["n"] += 1
+            if calls["n"] >= 1:
+                raise KeyboardInterrupt
+        partial._mesh_checkpoint = bomb.__get__(partial)
+        try:
+            partial.check()
+        except KeyboardInterrupt:
+            pass
+        assert os.path.isdir(ck) and os.listdir(ck), "no mesh checkpoint"
+
+        resumed = LinkChecker(
+            CheckOptions(**base, fetch_concurrency=resume_actors,
+                         checkpoint_dir=ck),
+            docs, [], multi_host=True, use_ray=True).check(resume_from=ck)
+
+        def key(res):
+            return {(r["url"], r["state"], r["status"])
+                    for r in res.results.to_pylist()}
+
+        def broken_edges(res):
+            return {(r["url"], r["parent"])
+                    for r in res.results.to_pylist() if r["state"] == "BROKEN"}
+        assert key(resumed) == key(full)
+        assert broken_edges(resumed) == broken_edges(full)
+        assert resumed.stats["seen_urls"] == expected_seen
+
+    def test_mesh_elastic_resume_requires_journal(self, ray_session,
+                                                  tmp_path):
+        """A checkpoint whose manifest carries no journal flag (legacy
+        format) still refuses a different node count with a clear
+        error; the same count keeps working."""
+        import json
+        import os
+
+        from linkinator_ray.sources.synth import synth_crawl_corpus
+        docs, seeds, _, _ = synth_crawl_corpus(num_hosts=2,
+                                               docs_per_host=400)
         ck = str(tmp_path / "ck2")
-        LinkChecker(CheckOptions(paths=seeds, recurse=True, mesh=True,
-                                 fetch_concurrency=2, checkpoint_dir=ck,
+        base = dict(paths=seeds, recurse=True, mesh=True)
+        LinkChecker(CheckOptions(**base, fetch_concurrency=2,
+                                 checkpoint_dir=ck,
                                  checkpoint_interval_s=0.3, batch_size=32),
                     docs, [], multi_host=True, use_ray=True).check()
-        import os
-        if not os.listdir(ck):
+        rounds = [d for d in os.listdir(ck) if d.startswith("round_")]
+        if not rounds:
             pytest.skip("crawl finished before the first epoch fired")
-        with pytest.raises(ValueError, match="same node count"):
-            LinkChecker(CheckOptions(paths=seeds, recurse=True, mesh=True,
-                                     fetch_concurrency=3, checkpoint_dir=ck),
+        for d in rounds:  # strip the journal flag → legacy checkpoint
+            mpath = os.path.join(ck, d, "manifest.json")
+            with open(mpath) as f:
+                m = json.load(f)
+            m["extra"].pop("journal", None)
+            with open(mpath, "w") as f:
+                json.dump(m, f)
+        with pytest.raises(ValueError, match="no key journal"):
+            LinkChecker(CheckOptions(**base, fetch_concurrency=3,
+                                     checkpoint_dir=ck),
                         docs, [], multi_host=True, use_ray=True) \
                 .check(resume_from=ck)
 
