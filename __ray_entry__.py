@@ -26,7 +26,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from linkinator_ray.pipelines import (components, dedup, events, export,
-                                          graph, joins, multimodal,
+                                          graph, joins, linkgraph, multimodal,
                                           similarity, text, tpch)
 
     def knn(sf_dir):
@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_reachability_mesh": graph.crawl_reachability_mesh,
         "crawl_summary": graph.crawl_summary,
         "extract_edges": graph.extract_edges,
+        "degree_stats": linkgraph.degree_stats,
+        "pagerank": linkgraph.pagerank,  # exact-integer, unrolled SQL oracle
         # text analysis
         "doc_stats": text.doc_stats,
         "token_count_by_lang": text.token_count_by_lang,
@@ -171,6 +173,31 @@ _ROLLING_FP_SQL = f"""
 """
 
 
+def _pagerank_sql(iters: int, damping_pct: int, scale: int) -> str:
+    """Unrolled exact-integer PageRank oracle — floor-division fixed
+    point makes every iteration order-independent, so DuckDB reproduces
+    the distributed recurrence bit-for-bit (pipelines/linkgraph.py)."""
+    base = (100 - damping_pct) * scale // 100
+    sql = f"""
+        WITH {_EDGES_CTE},
+        e AS (SELECT DISTINCT src, dst FROM edges WHERE src % 13 <> 7),
+        nodes AS (SELECT src AS d FROM e UNION SELECT dst FROM e),
+        od AS (SELECT src AS d, count(*) AS deg FROM e GROUP BY src),
+        pr0 AS (SELECT d, CAST({scale} AS BIGINT) AS pr FROM nodes)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+        pr{i} AS (
+          SELECT n.d,
+                 CAST({base} + (COALESCE(s.contrib, 0) * {damping_pct})
+                      // 100 AS BIGINT) AS pr
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS d, sum(p.pr // od.deg) AS contrib
+            FROM e JOIN pr{i - 1} p ON p.d = e.src
+                   JOIN od ON od.d = e.src
+            GROUP BY e.dst) s ON s.d = n.d)"""
+    return sql + f"\n        SELECT d AS doc_id, pr FROM pr{iters} ORDER BY doc_id"
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "crawl_reachability": f"""
@@ -201,6 +228,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE src % 13 <> 7
             ORDER BY src_doc, dst_doc
         """,
+        "degree_stats": f"""
+            WITH {_EDGES_CTE},
+            e AS (SELECT DISTINCT src, dst FROM edges WHERE src % 13 <> 7),
+            c AS (SELECT src AS doc_id, 1 AS o, 0 AS i FROM e
+                  UNION ALL
+                  SELECT dst, 0, 1 FROM e)
+            SELECT doc_id, CAST(sum(o) AS BIGINT) AS out_deg,
+                   CAST(sum(i) AS BIGINT) AS in_deg
+            FROM c GROUP BY doc_id ORDER BY doc_id
+        """,
+        "pagerank": _pagerank_sql(4, 85, 10 ** 12),
         "doc_stats": r"""
             SELECT doc_id,
                    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,

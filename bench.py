@@ -122,7 +122,8 @@ def run_queries() -> dict:
     worker-spawn/import storm that measures the interpreter, not the
     operator (same protocol as the crawl warm-up)."""
     from linkinator_ray.pipelines import (components, dedup, events, graph,
-                                          joins, similarity, text, tpch)
+                                          joins, linkgraph, similarity, text,
+                                          tpch)
     timings = {}
     jobs = {
         "extract_edges": lambda: graph.extract_edges(SF_DIR),
@@ -160,6 +161,8 @@ def run_queries() -> dict:
         "tfidf_top_terms": lambda: text.tfidf_top_terms(SF_DIR),
         "kmeans_embeddings": lambda: similarity.kmeans_embeddings(
             SF_DIR, k=10, iters=5),
+        "degree_stats": lambda: linkgraph.degree_stats(SF_DIR),
+        "pagerank": lambda: linkgraph.pagerank(SF_DIR),
     }
     if os.path.isdir(WARM_SF_DIR):
         global SF_DIR
