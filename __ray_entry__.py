@@ -70,7 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_dedup_keep": lambda sf: dedup.corpus_dedup_keep(sf),  # rows-only (near-dup leg)
         "dedup_embedding_lsh": lambda sf: dedup.dedup_embedding_lsh(
             sf, threshold=0.9),  # rows-only (scale path)
-        "dedup_simhash": lambda sf: dedup.dedup_simhash(sf, max_hamming=3),  # rows-only
+        "dedup_simhash": lambda sf: dedup.dedup_simhash(sf, max_hamming=3),  # exact SQL oracle
         "dedup_chunk": lambda sf: dedup.dedup_chunk(sf, chunk_tokens=16),
         "dedup_components": components.dedup_components,
         "contamination_check": lambda sf: dedup.contamination_check(sf),
@@ -600,6 +600,61 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS keeper_doc_id, count(*) AS dup_count
             FROM documents GROUP BY md5(text) ORDER BY keeper_doc_id
+        """,
+        # full SimHash pipeline in SQL: md5 token hashes → per-bit votes
+        # (count-weighted ±1, bit set iff votes > 0) → 4×16-bit bands →
+        # bucket-min anchor pairs with Hamming ≤ 3 (bit_count of xor) →
+        # connected components (min label) — mirrors dedup_simhash's
+        # anchor pairing + union-find exactly (pipelines/dedup.py)
+        "dedup_simhash": r"""
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents WHERE trim(coalesce(text, '')) <> ''
+            ), tc AS (
+                SELECT doc_id, tok, count(*) AS cnt FROM toks
+                GROUP BY doc_id, tok
+            ), th AS (
+                SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h,
+                       cnt
+                FROM tc
+            ), votes AS (
+                SELECT doc_id, bt,
+                       sum(CASE WHEN (h >> bt) & 1 = 1 THEN cnt
+                                ELSE -cnt END) AS v
+                FROM th, (SELECT unnest(range(64)) AS bt) bits
+                GROUP BY doc_id, bt
+            ), sig AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN v > 0 THEN (1::HUGEINT << bt)
+                                     ELSE 0 END) AS UBIGINT) AS sh
+                FROM votes GROUP BY doc_id
+                UNION ALL
+                SELECT doc_id, 0::UBIGINT FROM documents
+                WHERE trim(coalesce(text, '')) = ''
+            ), band AS (
+                SELECT doc_id, sh, band_id,
+                       (sh >> (16 * band_id)) & 65535 AS band_hash
+                FROM sig, (SELECT unnest(range(4)) AS band_id) b
+            ), anch AS (
+                SELECT band_id, band_hash, min(doc_id) AS anchor
+                FROM band GROUP BY band_id, band_hash
+            ), pairs AS (
+                SELECT DISTINCT a.anchor AS u, m.doc_id AS v
+                FROM band m
+                JOIN anch a USING (band_id, band_hash)
+                JOIN sig asig ON asig.doc_id = a.anchor
+                WHERE m.doc_id <> a.anchor
+                  AND bit_count(xor(m.sh, asig.sh)) <= 3
+            ), e AS (
+                SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+            ), walk(n, reach) AS (
+                SELECT u, u FROM e
+                UNION
+                SELECT w.n, e.v FROM walk w JOIN e ON e.u = w.reach
+            )
+            SELECT n AS doc_id, min(reach) AS cluster_id
+            FROM walk GROUP BY n ORDER BY doc_id
         """,
         "ngram_jaccard": r"""
             WITH toks AS (

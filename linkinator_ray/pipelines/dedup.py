@@ -492,8 +492,26 @@ def _clusters_from_pairs(pairs) -> pa.Table:
 # SimHash
 # ---------------------------------------------------------------------------
 
+_SIMHASH_MEMO: dict[str, int] = {}
+
+
+def _md5_token_hash(tok: str) -> int:
+    """First 8 bytes of md5, big-endian — chosen (over blake2b) because
+    DuckDB can reproduce it: ('0x'||substr(md5(tok),1,16))::UBIGINT.
+    That makes the ENTIRE simhash pipeline SQL-expressible, so
+    dedup_simhash carries an exact hash-checked oracle."""
+    memo = _SIMHASH_MEMO
+    h = memo.get(tok)
+    if h is None:
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        if len(memo) > 4_000_000:
+            memo.clear()
+        memo[tok] = h
+    return h
+
+
 class SimHasher:
-    """64-bit SimHash over token hashes; near-dup = small Hamming
+    """64-bit SimHash over md5 token hashes; near-dup = small Hamming
     distance. Band tables (4×16-bit) give LSH candidate buckets."""
 
     def __init__(self):
@@ -503,10 +521,8 @@ class SimHasher:
         toks = _WS.split(text.strip()) if text.strip() else []
         if not toks:
             return 0
-        hs = np.fromiter(
-            (int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(),
-                            "little") for t in toks),
-            dtype=np.uint64, count=len(toks))
+        hs = np.fromiter((_md5_token_hash(t) for t in toks),
+                         dtype=np.uint64, count=len(toks))
         bits = ((hs[:, None] & self.bit_masks[None, :]) != 0)
         votes = bits.sum(axis=0) * 2 - len(hs)  # +1/-1 vote per token
         return int(self.bit_masks[votes > 0].sum())
