@@ -66,8 +66,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
             sf, limit=100, ngram=1, threshold=0.5),
         "dedup_embedding": embedding_pairs,
-        "dedup_minhash": lambda sf: dedup.dedup_minhash(sf, threshold=0.7),  # rows-only
-        "corpus_dedup_keep": lambda sf: dedup.corpus_dedup_keep(sf),  # rows-only (near-dup leg)
+        "dedup_minhash": lambda sf: dedup.dedup_minhash(sf, threshold=0.7),  # exact SQL oracle
+        "corpus_dedup_keep": lambda sf: dedup.corpus_dedup_keep(sf),  # exact SQL oracle
         "dedup_embedding_lsh": lambda sf: dedup.dedup_embedding_lsh(
             sf, threshold=0.9),  # rows-only (scale path)
         "dedup_simhash": lambda sf: dedup.dedup_simhash(sf, max_hamming=3),  # exact SQL oracle
@@ -171,6 +171,98 @@ _ROLLING_FP_SQL = f"""
     WHERE c.n < 8 GROUP BY t.doc_id
     ORDER BY doc_id
 """
+
+
+def _minhash_lab_cte(threshold: float = 0.7, num_perms: int = 64,
+                     bands: int = 16, ngram: int = 3) -> str:
+    """The ENTIRE MinHash+LSH pipeline as a DuckDB CTE chain ending in
+    ``lab(doc_id, cluster_id)`` — possible because every hash lives in
+    the 2^61-1 field (pipelines/dedup.py): md5 token hashes, polynomial
+    shingles, true (a·s+b) mod p permutations, polynomial band hashes.
+    Permutation constants come from the SAME seeded generator the Ray
+    kernel uses, embedded as SQL list literals."""
+    from linkinator_ray.pipelines.dedup import (BAND_B, SHINGLE_B,
+                                                _MERSENNE, MinHasher)
+    p = _MERSENNE
+    rows = num_perms // bands
+    spow = [pow(SHINGLE_B, j, p) for j in range(ngram)]
+    bpow = [pow(BAND_B, j + 1, p) for j in range(rows)]
+    h = MinHasher(num_perms, ngram, seed=42)
+    a_list = [int(x) for x in h.a]
+    b_list = [int(x) for x in h.b]
+    return f"""
+        WITH RECURSIVE lists AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+            FROM documents WHERE trim(coalesce(text, '')) <> ''
+        ), th AS (
+            SELECT doc_id, generate_subscripts(l, 1) AS pos,
+                   ('0x' || substr(md5(unnest(l)), 1, 16))::UBIGINT
+                       % {p} AS h
+            FROM lists
+        ), cnt AS (SELECT doc_id, max(pos) AS m FROM th GROUP BY doc_id),
+        sh_all AS (
+            -- word {ngram}-gram shingles: polynomial in SHINGLE_B over
+            -- the field; docs shorter than the gram get one partial
+            SELECT a.doc_id,
+                   CAST(sum(CAST(b.h AS HUGEINT)
+                        * ({spow}[b.pos - a.pos + 1])) % {p} AS UBIGINT) AS s
+            FROM th a JOIN th b ON b.doc_id = a.doc_id
+                 AND b.pos BETWEEN a.pos AND a.pos + {ngram - 1}
+            JOIN cnt c ON c.doc_id = a.doc_id
+            WHERE a.pos + {ngram - 1} <= c.m
+            GROUP BY a.doc_id, a.pos
+            UNION ALL
+            SELECT t.doc_id,
+                   CAST(sum(CAST(t.h AS HUGEINT) * ({spow}[t.pos]))
+                        % {p} AS UBIGINT) AS s
+            FROM th t JOIN cnt c ON c.doc_id = t.doc_id
+            WHERE c.m < {ngram} GROUP BY t.doc_id
+        ), sh AS (SELECT DISTINCT doc_id, s FROM sh_all),
+        perms AS (SELECT unnest(range({num_perms})) AS pid),
+        pp AS (SELECT pid, ({a_list})[pid + 1] AS pa,
+                      ({b_list})[pid + 1] AS pb FROM perms),
+        sig AS (
+            SELECT doc_id, pid,
+                   min(CAST((CAST(pa AS HUGEINT) * CAST(s AS HUGEINT) + pb)
+                            % {p} AS UBIGINT)) AS v
+            FROM sh, pp GROUP BY doc_id, pid
+            UNION ALL
+            SELECT d.doc_id, perms.pid, 0::UBIGINT FROM documents d, perms
+            WHERE trim(coalesce(d.text, '')) = ''
+        ), band AS (
+            SELECT doc_id, pid // {rows} AS band_id,
+                   CAST(sum(CAST(v AS HUGEINT) * ({bpow}[(pid % {rows}) + 1]))
+                        % {p} AS BIGINT) AS band_hash
+            FROM sig GROUP BY doc_id, pid // {rows}
+        ), anch AS (
+            SELECT band_id, band_hash, min(doc_id) AS anchor,
+                   count(*) AS n
+            FROM band GROUP BY band_id, band_hash
+        ), cand AS (
+            SELECT DISTINCT a.anchor AS u, m.doc_id AS v
+            FROM band m JOIN anch a USING (band_id, band_hash)
+            WHERE a.n > 1 AND m.doc_id <> a.anchor
+        ), shl AS (SELECT doc_id, list(s) AS ss FROM sh GROUP BY doc_id),
+        pairs AS (
+            SELECT u, v FROM (
+                SELECT c.u, c.v,
+                       coalesce(len(list_intersect(x.ss, y.ss)), 0) AS i_,
+                       coalesce(len(x.ss), 0) + coalesce(len(y.ss), 0) AS t_
+                FROM cand c
+                LEFT JOIN shl x ON x.doc_id = c.u
+                LEFT JOIN shl y ON y.doc_id = c.v)
+            WHERE t_ - i_ = 0
+               OR CAST(i_ AS DOUBLE) / (t_ - i_) >= {threshold}
+        ), e AS (
+            SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
+        ), walk(n, reach) AS (
+            SELECT u, u FROM e
+            UNION
+            SELECT w.n, e.v FROM walk w JOIN e ON e.u = w.reach
+        ), lab AS (
+            SELECT n AS doc_id, min(reach) AS cluster_id
+            FROM walk GROUP BY n
+        )"""
 
 
 def _pagerank_sql(iters: int, damping_pct: int, scale: int) -> str:
@@ -600,6 +692,30 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS keeper_doc_id, count(*) AS dup_count
             FROM documents GROUP BY md5(text) ORDER BY keeper_doc_id
+        """,
+        # full MinHash+LSH pipeline in SQL (see _minhash_lab_cte):
+        # shingle → 64-perm signature → 16 bands → hot-bucket anchor
+        # pairs → exact-Jaccard verify → min-label components
+        "dedup_minhash": _minhash_lab_cte(0.7) + """
+            SELECT doc_id, cluster_id FROM lab ORDER BY doc_id
+        """,
+        # the flagship keep pipeline: exact md5 losers ∪ near-dup
+        # cluster non-minima, 'exact' winning per doc (min over reason)
+        "corpus_dedup_keep": _minhash_lab_cte(0.7) + """
+            , exact_drops AS (
+                SELECT doc_id, 'exact' AS reason FROM (
+                    SELECT doc_id,
+                           min(doc_id) OVER (PARTITION BY md5(text)) AS k
+                    FROM documents)
+                WHERE doc_id <> k
+            ), near_drops AS (
+                SELECT doc_id, 'near' AS reason FROM lab
+                WHERE doc_id <> cluster_id
+            )
+            SELECT doc_id, min(reason) AS reason
+            FROM (SELECT * FROM exact_drops
+                  UNION ALL SELECT * FROM near_drops)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         # full SimHash pipeline in SQL: md5 token hashes → per-bit votes
         # (count-weighted ±1, bit set iff votes > 0) → 4×16-bit bands →

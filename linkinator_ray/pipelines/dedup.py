@@ -72,11 +72,18 @@ def dedup_exact(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 # per-process token-hash memo: vocabularies are tiny relative to corpora,
-# so almost every token hash is a dict hit instead of a blake2b call
+# so almost every token hash is a dict hit instead of an md5 call
 _TOKEN_MEMO: dict[str, int] = {}
-# per-position odd mixing constants (seeded, stable across processes)
-_SHINGLE_MIX = np.random.default_rng(0xD1CE).integers(
-    1, 1 << 63, 16, dtype=np.uint64) | np.uint64(1)
+# Every hash below lives in the 2^61-1 field (token hash = md5 first 8
+# bytes big-endian mod p; shingle = polynomial in SHINGLE_B; permutation
+# = a·s+b mod p; band = polynomial in BAND_B). Chosen over wrap-around
+# uint64 mixing because DuckDB reproduces the field arithmetic exactly
+# (md5 + HUGEINT mulmod), giving dedup_minhash / corpus_dedup_keep
+# hash-checked SQL oracles — same trade rolling_fingerprint made.
+SHINGLE_B = 1000003
+BAND_B = 998244353
+_SHINGLE_POW = np.array([pow(SHINGLE_B, j, _MERSENNE) for j in range(16)],
+                        dtype=np.uint64)
 
 
 def _token_hashes(toks: list[str]) -> np.ndarray:
@@ -85,8 +92,8 @@ def _token_hashes(toks: list[str]) -> np.ndarray:
     for i, tok in enumerate(toks):
         h = memo.get(tok)
         if h is None:
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
+            h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8],
+                               "big") % _MERSENNE
             if len(memo) > 4_000_000:
                 memo.clear()
             memo[tok] = h
@@ -95,21 +102,23 @@ def _token_hashes(toks: list[str]) -> np.ndarray:
 
 
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Word n-gram shingle hashes: memoized per-token blake2b combined
-    with a vectorized positional mix (n numpy ops per doc instead of one
-    digest per gram)."""
+    """Word n-gram shingle hashes: memoized per-token md5 combined with
+    a vectorized polynomial in SHINGLE_B over the 2^61-1 field (n numpy
+    field ops per doc instead of one digest per gram)."""
+    from linkinator_ray.pipelines.text import _addmod_p, _mulmod_p
     toks = _WS.split(text.strip()) if text.strip() else []
     m = len(toks)
     if m == 0:
         return np.empty(0, dtype=np.uint64)
     th = _token_hashes(toks)
-    with np.errstate(over="ignore"):
-        if m < n:
-            acc = (th * _SHINGLE_MIX[:m]).sum(dtype=np.uint64)
-            return np.array([acc], dtype=np.uint64)
-        acc = np.zeros(m - n + 1, dtype=np.uint64)
-        for j in range(n):
-            acc += th[j:m - n + 1 + j] * _SHINGLE_MIX[j]
+    if m < n:
+        acc = np.zeros(1, dtype=np.uint64)
+        for j in range(m):
+            acc = _addmod_p(acc, _mulmod_p(th[j:j + 1], _SHINGLE_POW[j]))
+        return acc
+    acc = np.zeros(m - n + 1, dtype=np.uint64)
+    for j in range(n):
+        acc = _addmod_p(acc, _mulmod_p(th[j:m - n + 1 + j], _SHINGLE_POW[j]))
     return np.unique(acc)
 
 
@@ -127,9 +136,11 @@ class MinHasher:
     def signature_from_shingles(self, hs: np.ndarray) -> np.ndarray:
         if len(hs) == 0:
             return np.zeros(self.num_perms, dtype=np.uint64)
-        with np.errstate(over="ignore"):
-            # (num_perms, n_shingles) universal hash, min over shingles
-            prod = (hs[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
+        from linkinator_ray.pipelines.text import _addmod_p, _mulmod_p
+        # (num_perms, n_shingles) TRUE universal hash over the 2^61-1
+        # field (broadcast limb mulmod), min over shingles
+        prod = _addmod_p(_mulmod_p(hs[None, :], self.a[:, None]),
+                         self.b[:, None])
         return prod.min(axis=1).astype(np.uint64)
 
     def signature(self, text: str) -> np.ndarray:
@@ -161,11 +172,11 @@ class MinHasher:
                 group, acc = [], 0
         if group:
             chunks.append(group)
+        from linkinator_ray.pipelines.text import _addmod_p, _mulmod_p
         for group in chunks:
             hs = np.concatenate([shingle_lists[i] for i in group])
-            with np.errstate(over="ignore"):
-                prod = (hs[None, :] * self.a[:, None] + self.b[:, None]) \
-                    % _MERSENNE
+            prod = _addmod_p(_mulmod_p(hs[None, :], self.a[:, None]),
+                             self.b[:, None])
             starts = np.concatenate(
                 ([0], np.cumsum(lengths[group])[:-1])).astype(np.int64)
             mins = np.minimum.reduceat(prod, starts, axis=1)
@@ -180,23 +191,30 @@ class MinHasher:
         })
 
 
-def _band_rows(batch: pd.DataFrame, bands: int, rows: int) -> pd.DataFrame:
-    """signature → (band_id, band_hash, doc_id) rows — the LSH explode.
+def _band_hash_matrix(sigs: np.ndarray, bands: int, rows: int) -> np.ndarray:
+    """(docs × num_perms) signatures → (docs × bands) band hashes:
+    bh[b] = Σ_j sig[b·rows+j] · BAND_B^(j+1) mod 2^61-1 — a field
+    polynomial (not a byte digest) so the SQL oracle reproduces it.
+    Values < 2^61 fit int64 exactly (uint64 groupby keys silently
+    coerce to float64 in pandas aggregates, so int64 out)."""
+    from linkinator_ray.pipelines.text import _addmod_p, _mulmod_p
+    sigs = np.asarray(sigs, dtype=np.uint64).reshape(-1, bands, rows)
+    acc = np.zeros(sigs.shape[:2], dtype=np.uint64)
+    for j in range(rows):
+        coef = np.uint64(pow(BAND_B, j + 1, _MERSENNE))
+        acc = _addmod_p(acc, _mulmod_p(sigs[:, :, j], coef))
+    return acc.astype(np.int64)
 
-    band_hash is int64 (reinterpreted), not uint64: a uint64 groupby key
-    silently coerces to float64 in the aggregate path and equality joins
-    stop matching."""
+
+def _band_rows(batch: pd.DataFrame, bands: int, rows: int) -> pd.DataFrame:
+    """signature → (band_id, band_hash, doc_id) rows — the LSH explode."""
     doc_ids = np.repeat(batch["doc_id"].to_numpy(), bands)
     band_ids = np.tile(np.arange(bands), len(batch))
-    hashes = np.empty(len(batch) * bands, dtype=np.uint64)
-    for i, sig in enumerate(batch["sig"]):
-        sig = np.asarray(sig, dtype=np.uint64)
-        for b in range(bands):
-            chunk = sig[b * rows:(b + 1) * rows]
-            hashes[i * bands + b] = int.from_bytes(
-                hashlib.blake2b(chunk.tobytes(), digest_size=8).digest(), "little")
+    sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in batch["sig"]]) \
+        if len(batch) else np.empty((0, bands * rows), dtype=np.uint64)
     return pd.DataFrame({"band_id": band_ids,
-                         "band_hash": hashes.view(np.int64),
+                         "band_hash": _band_hash_matrix(
+                             sigs, bands, rows).reshape(-1),
                          "doc_id": doc_ids})
 
 
@@ -207,12 +225,7 @@ def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
 
 
 def _band_hashes_of_sig(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
-    out = np.empty(bands, dtype=np.uint64)
-    for b in range(bands):
-        out[b] = int.from_bytes(
-            hashlib.blake2b(sig[b * rows:(b + 1) * rows].tobytes(),
-                            digest_size=8).digest(), "little")
-    return out.view(np.int64)
+    return _band_hash_matrix(sig[None, :], bands, rows)[0]
 
 
 class _VerifyAgainstAnchors:
