@@ -129,6 +129,8 @@ class CheckOptions:
     results_dir: str | None = None     # stream results out as parquet parts
     results_flush_rows: int = 1_000_000  # spill threshold (rows held in driver)
     politeness_delay: float = 0.0  # min seconds between fetches to one host (token bucket)
+    host_salt_threshold: int = 256  # sticky dispatch: a host past this many frontier rows is salted across ceil(n/threshold) actors (0 = never salt); scripted transports never salt
+
     respect_robots: bool = False  # consult the robots cache actor
 
     def __post_init__(self) -> None:

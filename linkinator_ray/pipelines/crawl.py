@@ -515,7 +515,8 @@ class LinkChecker:
         # edge dedup is driver-local; one vectorized shard beats sharding
         self.edge_seen = SeenSet(1, "exact", use_ray=False)
         pool = FetchPool(worker_kwargs, transport_blob, use_ray=self.use_ray,
-                         num_actors=num_actors)
+                         num_actors=num_actors,
+                         salt_threshold=opts.host_salt_threshold)
 
         round_no = 0
         if resume_from is not None:
@@ -679,6 +680,10 @@ class LinkChecker:
         inflight: dict = {}            # future -> actor index
         batch_no = start_round
 
+        # cumulative per-host row counts: the pipelined stream admits
+        # tables incrementally, so hot-host salting needs running totals
+        salt_counts: dict[str, int] = {}
+
         def route(table: pa.Table) -> None:
             nonlocal queued_rows
             if table.num_rows == 0:
@@ -687,11 +692,18 @@ class LinkChecker:
                 queues[0].append(table)
             else:
                 if pool.sticky_hosts:
-                    key = urlkit.hash64_array(table["host"].to_pylist())
+                    from linkinator_ray.stages.fetch import sticky_assignment
+                    assign = sticky_assignment(
+                        table["host"].to_pylist(),
+                        table["url_hash"].to_numpy(zero_copy_only=False),
+                        num_actors, scripted=pool.scripted,
+                        salt_threshold=pool.salt_threshold,
+                        counts=salt_counts)
                 else:
-                    key = np.asarray(table["url_hash"].to_numpy(zero_copy_only=False),
-                                     dtype=np.uint64)
-                assign = (key % np.uint64(num_actors)).astype(np.int64)
+                    key = np.asarray(
+                        table["url_hash"].to_numpy(zero_copy_only=False),
+                        dtype=np.uint64)
+                    assign = (key % np.uint64(num_actors)).astype(np.int64)
                 for a in range(num_actors):
                     idx = np.flatnonzero(assign == a)
                     if len(idx):

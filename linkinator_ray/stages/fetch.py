@@ -784,6 +784,48 @@ class _BatchAccumulator:
         ], schema=schema.FRAGMENT_TARGETS)
 
 
+def sticky_assignment(hosts: list[str], url_hash, num_actors: int, *,
+                      scripted: bool = False, salt_threshold: int = 256,
+                      counts: dict | None = None) -> np.ndarray:
+    """``hash(host) % K`` dispatch with EXPLICIT hot-host salting (the
+    north_rule's skew handling): a host whose row count exceeds
+    ``salt_threshold`` is split into ``ceil(count/threshold)`` salted
+    sub-keys (capped at K) by ``url_hash``, so one mega-host stops
+    serializing a whole partition behind a single actor. Safe because
+    politeness (429 deadlines + token bucket) gates at ADMISSION on the
+    driver, not via worker affinity — the one thing that genuinely needs
+    a serial per-host stream is a scripted response sequence
+    (``scripted=True`` disables salting, preserving mock seq order).
+
+    ``counts``: cumulative per-host row counts (mutated in place) for
+    streaming callers that see the frontier table-by-table (pipelined
+    mode); ``None`` counts within this table only (round mode, where the
+    table IS the round's frontier).
+    """
+    if num_actors <= 1:
+        return np.zeros(len(hosts), dtype=np.int64)
+    base = urlkit.hash64_array(hosts)
+    if not scripted and salt_threshold > 0:
+        local: dict[str, int] = {}
+        for h in hosts:
+            local[h] = local.get(h, 0) + 1
+        if counts is not None:
+            for h, c in local.items():
+                counts[h] = counts.get(h, 0) + c
+            ref = counts
+        else:
+            ref = local
+        ks = np.fromiter(
+            (min(num_actors, -(-ref[h] // salt_threshold)) for h in hosts),
+            dtype=np.uint64, count=len(hosts))
+        hot = ks > 1
+        if hot.any():
+            uh = np.asarray(url_hash, dtype=np.uint64)
+            base = base.copy()
+            base[hot] += uh[hot] % ks[hot]
+    return (base % np.uint64(num_actors)).astype(np.int64)
+
+
 class FetchPool:
     """Host-sticky pool facade.
 
@@ -792,21 +834,26 @@ class FetchPool:
     ``hash(host) % K`` and dispatched as one Arrow batch per actor (the
     groupby('host')-shaped exchange of SURVEY.md §4, realized as explicit
     routing because politeness and scripted sequences need key affinity).
+    Hot hosts are salted across actors (``sticky_assignment``) unless the
+    transport is scripted.
     """
 
     def __init__(self, worker_kwargs: dict, transport_blob: dict,
                  use_ray: bool = False, num_actors: int = 8,
-                 sticky_hosts: bool | None = None):
+                 sticky_hosts: bool | None = None,
+                 salt_threshold: int = 256):
         self.use_ray = use_ray
         self.num_actors = num_actors if use_ray else 1
+        self.scripted = any(
+            e.get("seq", -1) >= 0
+            for e in transport_blob.get("http_map") or [])
+        self.salt_threshold = salt_threshold
         if sticky_hosts is None:
             # host affinity is only semantically required when per-host
             # state matters: scripted response sequences (mock seq
             # counters) or retry/politeness token buckets. Otherwise
             # balance by url_hash so a hot host doesn't straggle a round.
-            sticky_hosts = (
-                any(e.get("seq", -1) >= 0 for e in transport_blob.get("http_map") or [])
-                or worker_kwargs.get("retry", False))
+            sticky_hosts = self.scripted or worker_kwargs.get("retry", False)
         self.sticky_hosts = sticky_hosts
         if sticky_hosts:
             # scripted sequences / politeness ordering require serial
@@ -846,11 +893,15 @@ class FetchPool:
             return self._worker.fetch_batch(frontier, pending, now)
         import ray
         if self.sticky_hosts:
-            key_hash = urlkit.hash64_array(frontier["host"].to_pylist())
+            assignment = sticky_assignment(
+                frontier["host"].to_pylist(),
+                frontier["url_hash"].to_numpy(zero_copy_only=False),
+                self.num_actors, scripted=self.scripted,
+                salt_threshold=self.salt_threshold)
         else:
             key_hash = np.asarray(
                 frontier["url_hash"].to_numpy(zero_copy_only=False), dtype=np.uint64)
-        assignment = (key_hash % np.uint64(self.num_actors)).astype(np.int64)
+            assignment = (key_hash % np.uint64(self.num_actors)).astype(np.int64)
         futures = []
         for a in range(self.num_actors):
             idx = np.flatnonzero(assignment == a)
