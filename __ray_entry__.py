@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": components.dedup_components,
         "contamination_check": lambda sf: dedup.contamination_check(sf),
         "sample_by_source": text.sample_by_source,
+        "stratified_sample": lambda sf: text.stratified_sample(sf, 50),
         "pack_sequences": lambda sf: text.pack_sequences(
             sf, context_tokens=512),
         "shuffle_export": lambda sf: text.shuffle_export(sf, num_shards=8),
@@ -532,6 +533,18 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, source, u_ppm, p_ppm FROM s WHERE u_ppm < p_ppm
+        """,
+        # exact per-language quota sample: N smallest md5 coins per lang
+        # (text.py:stratified_sample — mergeable per-group top-N)
+        "stratified_sample": """
+            SELECT doc_id, lang, rank FROM (
+              SELECT doc_id, lang,
+                     row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                 1, 16))::UBIGINT, doc_id) AS rank
+              FROM documents)
+            WHERE rank <= 50 ORDER BY lang, rank
         """,
         # inverted-index-shaped per-doc top terms by exact integer
         # tf/df ratio (text.py:tfidf_top_terms)

@@ -153,6 +153,7 @@ def run_queries() -> dict:
         "dedup_components": lambda: components.dedup_components(SF_DIR),
         "contamination_check": lambda: dedup.contamination_check(SF_DIR),
         "sample_by_source": lambda: text.sample_by_source(SF_DIR),
+        "stratified_sample": lambda: text.stratified_sample(SF_DIR),
         "pack_sequences": lambda: text.pack_sequences(SF_DIR),
         "shuffle_export": lambda: text.shuffle_export(SF_DIR),
         "train_split": lambda: text.train_split(SF_DIR),

@@ -61,6 +61,38 @@ def _frontier_rows(**cols) -> pa.Table:
     return schema.table(schema.FRONTIER, **cols)
 
 
+def host_fair_order(table: pa.Table) -> pa.Table:
+    """Priority order for a dispatch slice: host round-robin first
+    (every queued host gets its 1st URL before any host gets its 2nd),
+    BFS depth as tiebreak, arrival order last. Within one host the
+    arrival order is preserved EXACTLY (the within-host rank is the
+    within-host arrival index), which is what scripted response
+    sequences rely on."""
+    n = table.num_rows
+    if n <= 1:
+        return table
+    hosts = table["host"]
+    if isinstance(hosts, pa.ChunkedArray):
+        hosts = hosts.combine_chunks()
+    code = np.asarray(hosts.dictionary_encode().indices
+                      .to_numpy(zero_copy_only=False), dtype=np.int64)
+    by_host = np.argsort(code, kind="stable")
+    sorted_code = code[by_host]
+    boundary = np.empty(n, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = sorted_code[1:] != sorted_code[:-1]
+    starts = np.flatnonzero(boundary)
+    within = np.arange(n, dtype=np.int64) - \
+        np.repeat(starts, np.diff(np.append(starts, n)))
+    rank = np.empty(n, dtype=np.int64)
+    rank[by_host] = within
+    depth = np.asarray(table["depth"].to_numpy(zero_copy_only=False),
+                       dtype=np.int64)
+    arrival = np.arange(n, dtype=np.int64)
+    order = np.lexsort((arrival, depth, rank))
+    return table.take(pa.array(order))
+
+
 def compute_requeues(fetched: pa.Table, now: float, delay_map: dict,
                      opts: CheckOptions, rng) -> tuple[pa.Table, list, int]:
     """Retry-After re-enqueues with host-wide max-of-deadlines
@@ -728,6 +760,12 @@ class LinkChecker:
                 queues[a] = []
                 queued_rows -= batch.num_rows
                 if batch.num_rows > opts.batch_size * 4:
+                    # the dispatched slice is a PRIORITY pick, not FIFO:
+                    # host round-robin with depth tiebreak (north_rule's
+                    # depth/host-fairness queue) — a hot host whose rows
+                    # arrived first can't monopolize the slice and
+                    # starve cold hosts queued behind it
+                    batch = host_fair_order(batch)
                     head = batch.slice(0, opts.batch_size * 4)
                     tail = batch.slice(opts.batch_size * 4)
                     queues[a] = [tail]

@@ -508,6 +508,73 @@ def sample_by_source(sf_dir: str):
         kernel, batch_format="pyarrow", batch_size=8192)
 
 
+def stratified_sample(sf_dir: str, n_per_lang: int = 50):
+    """EXACT per-language quota sample (vs sample_by_source's
+    per-row coin): for each lang keep the ``n_per_lang`` docs with the
+    smallest deterministic md5 coin — reproducible, no RNG state,
+    identical from any worker.
+
+    Shape: a mergeable per-group top-N. The per-batch combiner keeps at
+    most N smallest (coin, doc_id) rows per lang, so the ONE exchange
+    (hash-partitioned by lang) moves ≤ N·langs rows per input batch —
+    never the corpus. The per-partition finish re-sorts and ranks. At
+    100 TB this is the standard "exact stratified subset" primitive
+    (eval-set carving, per-language probes).
+
+    Output (doc_id, lang, rank) with rank 1..N per lang. Oracle:
+    row_number() over (partition by lang order by md5-coin, doc_id).
+    """
+
+    def coin_of(doc: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8],
+                            "big") for i in doc),
+            dtype=np.uint64, count=len(doc))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc = _int64(batch.column("doc_id"))
+        coin = coin_of(doc)
+        langs = batch.column("lang")
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        codes = langs.dictionary_encode()
+        code = np.asarray(codes.indices.to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        order = np.lexsort((doc, coin, code))
+        # within-group rank over the sorted run boundaries
+        sorted_code = code[order]
+        boundary = np.empty(len(order), dtype=bool)
+        if len(order):
+            boundary[0] = True
+            boundary[1:] = sorted_code[1:] != sorted_code[:-1]
+        starts = np.flatnonzero(boundary)
+        rank = np.arange(len(order), dtype=np.int64) - \
+            np.repeat(starts, np.diff(np.append(starts, len(order))))
+        keep = order[rank < n_per_lang]
+        return pa.table({
+            "doc_id": pa.array(doc[keep]),
+            "lang": langs.take(pa.array(keep)),
+            "coin": pa.array(coin[keep]),
+        })
+
+    from linkinator_ray.pipelines.hashagg import hash_map_groups
+    partials = read_docs(sf_dir, ["doc_id", "lang"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=8192)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["coin", "doc_id"]).head(n_per_lang)
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(),
+            "lang": g["lang"].to_numpy(),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                          "lang": pd.array([], dtype="string"),
+                          "rank": pd.array([], dtype="int64")})
+    return hash_map_groups(partials, "lang", finish, empty=empty)
+
+
 # ---------------------------------------------------------------------------
 # sequence packing — distributed prefix scan into fixed context windows
 # ---------------------------------------------------------------------------

@@ -706,3 +706,33 @@ def test_tfidf_top_terms_semantics(ray_session, tmp_path):
     # first of the equally-scored common terms
     top2 = df[(df["doc_id"] == 2) & (df["rank"] == 1)].iloc[0]
     assert top2["token"] == "alpha" and top2["df"] == 3
+
+
+def test_stratified_sample_exact_quota(ray_session):
+    """Exact per-lang quota: counts are min(N, lang size), the chosen
+    docs are exactly the N smallest md5 coins per lang (single-machine
+    differential), ranks are dense 1..N, and the sample is
+    deterministic across runs."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+    from linkinator_ray.pipelines.text import stratified_sample
+
+    sf = "/root/testdata/sf0.001"
+    got = stratified_sample(sf, n_per_lang=30).to_pandas() \
+        .sort_values(["lang", "rank"]).reset_index(drop=True)
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "lang"]).to_pandas()
+    docs["coin"] = [
+        int.from_bytes(hashlib.md5(str(i).encode()).digest()[:8], "big")
+        for i in docs["doc_id"]]
+    expect = docs.sort_values(["lang", "coin", "doc_id"]) \
+        .groupby("lang").head(30)
+    for lang, g in expect.groupby("lang"):
+        mine = got[got["lang"] == lang]
+        assert len(mine) == min(30, (docs["lang"] == lang).sum())
+        assert list(mine.sort_values("rank")["doc_id"]) == list(g["doc_id"])
+        assert list(mine["rank"].sort_values()) == list(range(1, len(mine) + 1))
+    again = stratified_sample(sf, n_per_lang=30).to_pandas() \
+        .sort_values(["lang", "rank"]).reset_index(drop=True)
+    assert got.equals(again)
