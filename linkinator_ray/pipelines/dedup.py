@@ -277,10 +277,12 @@ def _cluster_pairs(pairs, cluster: str):
     ``cluster="driver"``: union-find on the driver over the verified
     pairs (true near-dups only — orders smaller than candidates);
     returns a pyarrow Table. ``cluster="distributed"``: the pairs stay
-    a Dataset and cluster via the large-star/small-star component
-    engine (components.py) — nothing pair-shaped reaches the driver;
-    returns a Dataset. Use distributed when the verified-pair count
-    itself is driver-hostile (high-dup corpora at 100 TB)."""
+    a Dataset and cluster via the component engine (components.py) —
+    a bounded driver union-find below its edge threshold, the
+    large-star/small-star rounds above it, so nothing UNBOUNDED ever
+    reaches the driver; returns a Dataset. Use distributed when the
+    verified-pair count itself may be driver-hostile (high-dup corpora
+    at 100 TB)."""
     if cluster not in ("driver", "distributed"):
         raise ValueError(f"cluster must be driver|distributed: {cluster}")
     empty = pa.table({"doc_id": pa.array([], pa.int64()),

@@ -34,7 +34,9 @@ def _run_cc(edges_df: pd.DataFrame) -> pd.DataFrame:
     import ray.data as rd
     from linkinator_ray.pipelines.components import connected_components
     ds = rd.from_pandas(edges_df.astype("int64")).repartition(4)
-    return connected_components(ds).to_pandas()
+    # driver_threshold=0 forces the DISTRIBUTED star rounds — the
+    # driver union-find fallback would make these tests vacuous
+    return connected_components(ds, driver_threshold=0).to_pandas()
 
 
 def _check(edges_df: pd.DataFrame):
@@ -110,3 +112,25 @@ def test_dedup_components_all_unique(ray_session, tmp_path):
     assert (df["component_id"] == df["doc_id"]).all()
     assert (df["csize"] == 1).all()
     assert len(df) == 5
+
+
+def test_driver_fallback_equals_distributed(ray_session):
+    """The hybrid's two paths must be indistinguishable: the same edge
+    list through the driver union-find (under threshold) and through
+    the star rounds (threshold=0) yields the identical star forest."""
+    import ray.data as rd
+
+    from linkinator_ray.pipelines.components import connected_components
+    rng = np.random.default_rng(7)
+    edges = pd.DataFrame({
+        "u": rng.integers(0, 300, 500).astype("int64"),
+        "v": rng.integers(0, 300, 500).astype("int64"),
+    })
+    edges = edges[edges["u"] != edges["v"]]
+    ds = rd.from_pandas(edges).repartition(4)
+    fast = connected_components(ds).to_pandas() \
+        .sort_values(["u", "v"]).reset_index(drop=True)
+    ds2 = rd.from_pandas(edges).repartition(4)
+    dist = connected_components(ds2, driver_threshold=0).to_pandas() \
+        .sort_values(["u", "v"]).reset_index(drop=True)
+    assert fast.equals(dist)
