@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": lambda sf: tpch.pricing_summary(sf),
         "top_customers": lambda sf: tpch.top_customers(sf, k=10),
         "shipping_priority": lambda sf: tpch.shipping_priority(sf),
+        "orders_with_returns": tpch.orders_with_returns,  # semi-join
+        "idle_customers": tpch.idle_customers,            # anti-join
         # multimodal plumbing
         "media_features": media_features_sql_cols,
         "media_summary": multimodal.media_summary,
@@ -932,6 +934,23 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_shipdate > TIMESTAMP '1998-06-01'
             GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
             ORDER BY revenue_u DESC, l_orderkey LIMIT 10
+        """,
+        # semi-join: orders with >= 1 returned lineitem, per priority
+        "orders_with_returns": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                                 WHERE l_returnflag = 'R')
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        # anti-join: customers with NO orders since the cutoff
+        "idle_customers": """
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+            FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '1998-06-01')
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
         """,
         "events_by_segment": """
             SELECT coalesce(c.c_mktsegment, 'UNKNOWN') AS mktsegment,

@@ -159,6 +159,8 @@ def run_queries() -> dict:
         "train_split": lambda: text.train_split(SF_DIR),
         "length_quantiles": lambda: text.length_quantiles(SF_DIR),
         "shipping_priority": lambda: tpch.shipping_priority(SF_DIR),
+        "orders_with_returns": lambda: tpch.orders_with_returns(SF_DIR),
+        "idle_customers": lambda: tpch.idle_customers(SF_DIR),
         "tfidf_top_terms": lambda: text.tfidf_top_terms(SF_DIR),
         "kmeans_embeddings": lambda: similarity.kmeans_embeddings(
             SF_DIR, k=10, iters=5),

@@ -203,3 +203,69 @@ def shipping_priority(sf_dir: str, segment: str = "BUILDING",
         preserve_index=False))
     return top.select(["l_orderkey", "revenue_u", "o_orderdate",
                        "o_orderpriority"])
+
+
+def orders_with_returns(sf_dir: str):
+    """Q4-shaped SEMI-join: per-priority counts of orders that have at
+    least one returned lineitem. The lineitem side row-filters at the
+    parquet read (only l_orderkey leaves storage), collapses to
+    DISTINCT orderkeys through the combiner exchange, and the semi-join
+    is ONE hash-partitioned join against orders — the keys side is
+    pre-deduped so no row multiplication, and nothing broadcasts (the
+    qualifying-order set is unbounded at scale)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from linkinator_ray.pipelines.hashagg import hash_aggregate, hash_join
+
+    returned = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"],
+        filter=pads.field("l_returnflag") == "R")
+    keys = hash_aggregate(returned, "l_orderkey",
+                          {"n": ("l_orderkey", "count")}) \
+        .select_columns(["l_orderkey"])
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    hit = hash_join(orders, keys, on="o_orderkey", right_on="l_orderkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("o_orderpriority",
+                             use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"o_orderpriority": agg["o_orderpriority"],
+                         "n": agg["count_all"]})
+
+    out = hash_aggregate(hit.map_batches(partial, batch_format="pyarrow"),
+                         "o_orderpriority", {"n_orders": ("n", "sum")})
+    return out
+
+
+def idle_customers(sf_dir: str, since: str = "1998-06-01"):
+    """Q22-shaped ANTI-join: per-segment counts of customers with NO
+    orders since the cutoff (lapsed customers). Orders row-filter at
+    the parquet read and collapse to distinct custkeys (combiner
+    exchange), then one hash-partitioned LEFT ANTI join against the
+    customer dim — the not-exists primitive at the query surface (the
+    same join the dedup keep pipeline streams through)."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from linkinator_ray.pipelines.hashagg import hash_aggregate, hash_join
+
+    recent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"],
+        filter=pads.field("o_orderdate")
+        >= pa.scalar(np.datetime64(since, "us")))
+    okeys = hash_aggregate(
+        recent, "o_custkey",
+        {"n": ("o_custkey", "count")}).select_columns(["o_custkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    idle = hash_join(cust, okeys, on="c_custkey", right_on="o_custkey",
+                     how="left_anti")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("c_mktsegment",
+                             use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"c_mktsegment": agg["c_mktsegment"],
+                         "n": agg["count_all"]})
+
+    return hash_aggregate(idle.map_batches(partial, batch_format="pyarrow"),
+                          "c_mktsegment", {"n_customers": ("n", "sum")})
