@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_split": lambda sf: text.train_split(sf),
         "length_quantiles": lambda sf: text.length_quantiles(sf),
         "export_roundtrip": lambda sf: export.export_roundtrip(sf),
+        "export_tar_roundtrip": lambda sf: export.export_tar_roundtrip(sf),
         "tfidf_top_terms": lambda sf: text.tfidf_top_terms(sf, k=3),
         # similarity search
         "knn_bruteforce": knn,
@@ -596,6 +597,16 @@ def oracle_sql() -> dict[str, str]:
                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                         AS BIGINT) % 8 AS BIGINT) AS shard,
                    CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        # WebDataset-style shard-tar export, checked by reading every
+        # tar member back (export.py:export_tar_roundtrip)
+        "export_tar_roundtrip": r"""
+            SELECT doc_id,
+                   CAST(CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 8 AS BIGINT) AS shard,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
             FROM documents
         """,
         # exact per-lang token-length quantiles via mergeable integer

@@ -154,6 +154,9 @@ def run_queries() -> dict:
         "contamination_check": lambda: dedup.contamination_check(SF_DIR),
         "sample_by_source": lambda: text.sample_by_source(SF_DIR),
         "stratified_sample": lambda: text.stratified_sample(SF_DIR),
+        "export_tar_roundtrip": lambda: __import__(
+            "linkinator_ray.pipelines.export",
+            fromlist=["x"]).export_tar_roundtrip(SF_DIR),
         "pack_sequences": lambda: text.pack_sequences(SF_DIR),
         "shuffle_export": lambda: text.shuffle_export(SF_DIR),
         "train_split": lambda: text.train_split(SF_DIR),

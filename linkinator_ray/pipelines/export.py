@@ -125,3 +125,118 @@ def export_roundtrip(sf_dir: str, num_shards: int = 8):
         })
 
     return read_export(out_dir).map_batches(project, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# WebDataset-style sharded tar export
+# ---------------------------------------------------------------------------
+
+def export_tar(sf_dir: str, out_dir: str, num_shards: int = 8) -> dict:
+    """Export documents to WebDataset-style shard tars —
+    ``out_dir/shard-K.tar`` with one ``{doc_id}.txt`` member per doc —
+    the delivery format large training loaders stream (sequential tar
+    reads, one shard per loader worker).
+
+    Same resumability contract as ``export_corpus``: a shard is trusted
+    only with its ``shard-K._SUCCESS`` marker; a rerun deletes
+    untrusted tars and row-filters the input to ONLY the missing shards
+    (one vectorized ``pc.is_in`` per batch). Shard assignment is the
+    deterministic md5 coin, member order inside a tar is sorted doc_id,
+    and tar metadata (mtime/uid/perm) is zeroed — a shard's bytes are a
+    pure function of its docs, so reruns are bit-reproducible.
+
+    Each shard tar is written INSIDE the worker that owns the shard's
+    hash partition (hash_map_groups on the shard key): the driver never
+    sees document text, only the per-shard manifest rows.
+    """
+    import pandas as pd
+
+    from linkinator_ray.pipelines.hashagg import hash_map_groups
+
+    S = int(num_shards)
+    if S <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+    os.makedirs(out_dir, exist_ok=True)
+    done = {k for k in range(S)
+            if os.path.exists(os.path.join(out_dir, f"shard-{k}._SUCCESS"))}
+    todo = sorted(set(range(S)) - done)
+    if not todo:
+        return {"num_shards": S, "written": [], "skipped": sorted(done)}
+    for k in todo:
+        path = os.path.join(out_dir, f"shard-{k}.tar")
+        if os.path.exists(path):
+            os.remove(path)
+    todo_arr = pa.array(np.asarray(todo, dtype=np.int64))
+
+    def keep_todo(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        sharded = _shard_kernel(batch, S)
+        return sharded.filter(pc.is_in(sharded.column("shard"),
+                                       value_set=todo_arr))
+
+    rows = read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        keep_todo, batch_format="pyarrow", batch_size=8192)
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        import io
+        import tarfile
+        k = int(g["shard"].iloc[0])
+        g = g.sort_values("doc_id")
+        path = os.path.join(out_dir, f"shard-{k}.tar")
+        n_bytes = 0
+        with tarfile.open(path, "w") as tar:
+            for doc_id, text in zip(g["doc_id"], g["text"]):
+                payload = (text or "").encode("utf-8")
+                info = tarfile.TarInfo(name=f"{int(doc_id)}.txt")
+                info.size = len(payload)
+                info.mtime = 0
+                info.uid = info.gid = 0
+                info.mode = 0o644
+                tar.addfile(info, io.BytesIO(payload))
+                n_bytes += len(payload)
+        return pd.DataFrame({"shard": [k], "n_docs": [len(g)],
+                             "n_bytes": [n_bytes]})
+
+    empty = pd.DataFrame({"shard": pd.array([], dtype="int64"),
+                          "n_docs": pd.array([], dtype="int64"),
+                          "n_bytes": pd.array([], dtype="int64")})
+    manifest = hash_map_groups(rows, "shard", write_shard,
+                               num_parts=min(S, 16), empty=empty) \
+        .to_pandas().sort_values("shard")
+    for k in todo:
+        # empty shards still produce a (member-less) tar + marker
+        path = os.path.join(out_dir, f"shard-{k}.tar")
+        if not os.path.exists(path):
+            import tarfile
+            tarfile.open(path, "w").close()
+        with open(os.path.join(out_dir, f"shard-{k}._SUCCESS"), "w"):
+            pass
+    return {"num_shards": S, "written": todo, "skipped": sorted(done),
+            "manifest": manifest.to_dict("records")}
+
+
+def export_tar_roundtrip(sf_dir: str, num_shards: int = 8):
+    """Driver-checkable face of the tar export: write shard tars, read
+    every member back, return (doc_id, shard, n_bytes) — proving the
+    write/read cycle preserves the corpus byte counts. Oracle: the md5
+    shard coin + octet_length over documents."""
+    import tarfile
+
+    out_dir = os.path.join("/tmp", "linkinator_ray_export_tar",
+                           sf_dir.strip("/").replace("/", "_"),
+                           f"s{num_shards}")
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    export_tar(sf_dir, out_dir, num_shards=num_shards)
+    doc_ids, shards, sizes = [], [], []
+    for k in range(num_shards):
+        with tarfile.open(os.path.join(out_dir, f"shard-{k}.tar")) as tar:
+            for m in tar.getmembers():
+                doc_ids.append(int(m.name.removesuffix(".txt")))
+                shards.append(k)
+                sizes.append(m.size)
+    return pa.table({
+        "doc_id": pa.array(doc_ids, pa.int64()),
+        "shard": pa.array(shards, pa.int64()),
+        "n_bytes": pa.array(sizes, pa.int64()),
+    })

@@ -60,3 +60,52 @@ def test_export_roundtrip_and_resume(ray_session, tmp_path):
     # third run: nothing to do
     m3 = export_corpus(SF, out, num_shards=4)
     assert m3["written"] == [] and m3["skipped"] == [0, 1, 2, 3]
+
+
+def test_export_tar_roundtrip_and_resume(ray_session, tmp_path):
+    """Shard tars carry every doc exactly once; a crashed run (marker
+    missing, garbage partial tar) rewrites ONLY the untrusted shard —
+    finished tars are untouched byte-for-byte AND reproduced
+    bit-identically (zeroed tar metadata)."""
+    import os
+    import tarfile
+
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.export import export_tar
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "tars")
+    m1 = export_tar(sf, out, num_shards=4)
+    assert m1["written"] == [0, 1, 2, 3]
+
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pandas()
+    seen = {}
+    for k in range(4):
+        with tarfile.open(os.path.join(out, f"shard-{k}.tar")) as tar:
+            for m in tar.getmembers():
+                seen[int(m.name.removesuffix(".txt"))] = m.size
+    assert set(seen) == set(docs["doc_id"])
+    for _, row in docs.iterrows():
+        assert seen[row["doc_id"]] == len(row["text"].encode("utf-8"))
+
+    # simulate a crash: shard 2 loses its marker and has a garbage tar
+    keep_bytes = {k: open(os.path.join(out, f"shard-{k}.tar"), "rb").read()
+                  for k in (0, 1, 3)}
+    broken = open(os.path.join(out, "shard-2.tar"), "rb").read()
+    os.remove(os.path.join(out, "shard-2._SUCCESS"))
+    with open(os.path.join(out, "shard-2.tar"), "wb") as f:
+        f.write(b"garbage")
+
+    m2 = export_tar(sf, out, num_shards=4)
+    assert m2["written"] == [2] and m2["skipped"] == [0, 1, 3]
+    for k in (0, 1, 3):
+        assert open(os.path.join(out, f"shard-{k}.tar"), "rb").read() \
+            == keep_bytes[k], f"finished shard {k} was touched"
+    # bit-reproducible rebuild of the broken shard
+    assert open(os.path.join(out, "shard-2.tar"), "rb").read() == broken
+
+    # fully-finished export is a no-op
+    m3 = export_tar(sf, out, num_shards=4)
+    assert m3["written"] == []
