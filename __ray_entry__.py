@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": lambda sf: events.tumbling_window(sf, 3600),
         "sliding_window": lambda sf: events.sliding_window(sf, 7200, 3600),
         "sessionize": lambda sf: events.sessionize(sf, 1800),
+        "funnel": lambda sf: events.funnel(sf),
         # joins (broadcast small-side + hash-partitioned Dataset join)
         "events_by_segment": joins.events_by_segment,
         "events_join_customer": lambda sf: joins.events_join_customer(sf, 50),
@@ -881,6 +882,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
                        AS sum_cents
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # greedy ordered funnel: t_k = earliest stage-k event strictly
+        # after t_{k-1} (events.py:funnel)
+        "funnel": """
+            WITH v AS (
+                SELECT user_id, min(ts) AS t FROM events
+                WHERE event_type = 'view' GROUP BY user_id
+            ), c AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN v ON v.user_id = e.user_id
+                WHERE e.event_type = 'click' AND e.ts > v.t
+                GROUP BY e.user_id
+            ), p AS (
+                SELECT e.user_id, min(e.ts) AS t FROM events e
+                JOIN c ON c.user_id = e.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > c.t
+                GROUP BY e.user_id
+            )
+            SELECT CAST(1 AS BIGINT) AS stage, 'view' AS stage_name,
+                   CAST((SELECT count(*) FROM v) AS BIGINT) AS n_users
+            UNION ALL
+            SELECT 2, 'click', (SELECT count(*) FROM c)
+            UNION ALL
+            SELECT 3, 'purchase', (SELECT count(*) FROM p)
+            ORDER BY stage
         """,
         "sessionize": """
             WITH gaps AS (

@@ -146,6 +146,7 @@ def run_queries() -> dict:
         "tumbling_window": lambda: events.tumbling_window(SF_DIR),
         "sliding_window": lambda: events.sliding_window(SF_DIR),
         "sessionize": lambda: events.sessionize(SF_DIR),
+        "funnel": lambda: events.funnel(SF_DIR),
         "events_by_segment": lambda: joins.events_by_segment(SF_DIR),
         "events_join_customer": lambda: joins.events_join_customer(SF_DIR),
         "events_asof_order": lambda: joins.events_asof_order(SF_DIR),

@@ -121,3 +121,54 @@ def sliding_window(sf_dir: str, window_s: int = 7200, step_s: int = 3600):
     from linkinator_ray.pipelines.hashagg import hash_aggregate
     return hash_aggregate(partials, ["event_type", "window_start"],
                           {"n_events": ("n", "sum")})
+
+
+def funnel(sf_dir: str,
+           stages: tuple[str, ...] = ("view", "click", "purchase")):
+    """Multi-stage funnel analysis — how many users completed stage k
+    in ORDER (greedy earliest-completion semantics: t_k = the earliest
+    stage-k event strictly after t_{k-1}).
+
+    Shape: events row-filter at the parquet read to the funnel's event
+    types + 3 columns, hash-partition ONCE on user_id (all of one
+    user's events co-locate), and each partition runs the whole
+    per-user greedy chain vectorized (one groupby-min per stage) and
+    emits ONE count row per stage — the driver sums P×stages tiny
+    rows. No per-user data ever leaves its partition.
+
+    Output: (stage:int64, stage_name, n_users), stage 1-indexed.
+    """
+    import pyarrow.dataset as pads
+
+    from linkinator_ray.pipelines.hashagg import (hash_aggregate,
+                                                  hash_partition_apply)
+
+    ev = read_events(sf_dir, ["user_id", "ts", "event_type"])
+    types = pa.array(list(stages))
+
+    def prune(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.is_in(batch["event_type"], value_set=types))
+
+    pruned = ev.map_batches(prune, batch_format="pyarrow", batch_size=65536)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        counts = []
+        prev: pd.Series | None = None
+        for k, stage in enumerate(stages):
+            sub = df[df["event_type"] == stage]
+            if prev is not None:
+                t_prev = sub["user_id"].map(prev)
+                sub = sub[t_prev.notna() & (sub["ts"] > t_prev)]
+            cur = sub.groupby("user_id")["ts"].min()
+            counts.append(len(cur))
+            prev = cur
+        return pd.DataFrame({
+            "stage": np.arange(1, len(stages) + 1, dtype=np.int64),
+            "stage_name": list(stages),
+            "n": np.asarray(counts, dtype=np.int64),
+        })
+
+    partials = hash_partition_apply(pruned, "user_id", per_part)
+    return hash_aggregate(partials, ["stage", "stage_name"],
+                          {"n_users": ("n", "sum")})

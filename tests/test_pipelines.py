@@ -736,3 +736,41 @@ def test_stratified_sample_exact_quota(ray_session):
     again = stratified_sample(sf, n_per_lang=30).to_pandas() \
         .sort_values(["lang", "rank"]).reset_index(drop=True)
     assert got.equals(again)
+
+
+def test_funnel_planted_semantics(ray_session, tmp_path):
+    """Order matters: a user whose purchase PRECEDES the click must not
+    count as stage 3; the greedy chain anchors at the EARLIEST
+    qualifying event of each stage."""
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.events import funnel
+
+    def ev(eid, ts_s, uid, typ):
+        return {"event_id": eid, "ts": np.datetime64(ts_s, "us"),
+                "user_id": uid, "event_type": typ, "value": 1.0,
+                "props": ""}
+
+    rows = [
+        # u1: view -> click -> purchase (completes all 3)
+        ev(1, "2024-01-01T00:00:00", 1, "view"),
+        ev(2, "2024-01-01T00:01:00", 1, "click"),
+        ev(3, "2024-01-01T00:02:00", 1, "purchase"),
+        # u2: purchase BEFORE click: stops at stage 2
+        ev(4, "2024-01-01T00:00:00", 2, "view"),
+        ev(5, "2024-01-01T00:02:00", 2, "click"),
+        ev(6, "2024-01-01T00:01:00", 2, "purchase"),
+        # u3: click only: no view anchor, counts nowhere
+        ev(7, "2024-01-01T00:00:00", 3, "click"),
+        # u4: view only
+        ev(8, "2024-01-01T00:00:00", 4, "view"),
+        # u5: simultaneous view+click (strict > drops the click)
+        ev(9, "2024-01-01T00:00:00", 5, "view"),
+        ev(10, "2024-01-01T00:00:00", 5, "click"),
+    ]
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(out / "events.parquet"))
+    df = funnel(str(out)).to_pandas().set_index("stage").sort_index()
+    assert list(df["n_users"]) == [4, 2, 1]
+    assert list(df["stage_name"]) == ["view", "click", "purchase"]
