@@ -147,14 +147,18 @@ class MinHasher:
         return self.signature_from_shingles(_shingle_hashes(text, self.ngram))
 
     def signatures_batch(self, texts) -> np.ndarray:
+        return self.signatures_from_shingle_lists(
+            [_shingle_hashes(t, self.ngram) for t in texts])
+
+    def signatures_from_shingle_lists(self, shingle_lists) -> np.ndarray:
         """Whole-batch signatures: concatenate every doc's shingles and
         compute ONE (num_perms, total_shingles) universal hash, then a
         segmented min per doc (minimum.reduceat) — one numpy pass for
         the batch instead of a matmul per doc."""
-        shingle_lists = [_shingle_hashes(t, self.ngram) for t in texts]
         lengths = np.fromiter((len(s) for s in shingle_lists), np.int64,
                               len(shingle_lists))
-        out = np.zeros((len(texts), self.num_perms), dtype=np.uint64)
+        out = np.zeros((len(shingle_lists), self.num_perms),
+                       dtype=np.uint64)
         nonempty = np.flatnonzero(lengths)
         if not len(nonempty):
             return out
@@ -251,19 +255,24 @@ class _VerifyAgainstAnchors:
         self.threshold = threshold
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # whole-batch signatures + band hashes (one segmented numpy
+        # pass + one field-polynomial matrix), then cheap per-doc dict
+        # probes; only docs that actually hit a hot bucket pay the
+        # exact-Jaccard set intersection
         a_out, b_out = [], []
         anchor_of = self.anchor_of
         anchor_sh = self.anchor_sh
-        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
-            sh = _shingle_hashes(text, self.ngram)
-            sig = self.hasher.signature_from_shingles(sh)
-            bh = _band_hashes_of_sig(sig, self.bands, self.rows)
+        texts = list(batch["text"].fillna(""))
+        shingles = [_shingle_hashes(t, self.ngram) for t in texts]
+        sigs = self.hasher.signatures_from_shingle_lists(shingles)
+        bhs = _band_hash_matrix(sigs, self.bands, self.rows)
+        for i, doc_id in enumerate(batch["doc_id"]):
             anchors = {anchor_of.get((b, int(h)), -1)
-                       for b, h in enumerate(bh)}
+                       for b, h in enumerate(bhs[i])}
             anchors.discard(-1)
             anchors.discard(doc_id)
             for a in anchors:
-                if _jaccard(anchor_sh[a], sh) >= self.threshold:
+                if _jaccard(anchor_sh[a], shingles[i]) >= self.threshold:
                     a_out.append(a)
                     b_out.append(doc_id)
         return pd.DataFrame({"a": np.asarray(a_out, dtype=np.int64),
