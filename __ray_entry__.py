@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "export_roundtrip": lambda sf: export.export_roundtrip(sf),
         "export_tar_roundtrip": lambda sf: export.export_tar_roundtrip(sf),
         "tfidf_top_terms": lambda sf: text.tfidf_top_terms(sf, k=3),
+        "keyword_search": lambda sf: text.keyword_search(
+            sf, terms=("hash", "join"), k=10),
         # similarity search
         "knn_bruteforce": knn,
         "kmeans_embeddings": lambda sf: similarity.kmeans_embeddings(
@@ -537,6 +539,23 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             )
             SELECT doc_id, source, u_ppm, p_ppm FROM s WHERE u_ppm < p_ppm
+        """,
+        # boolean-AND keyword retrieval, total-tf ranking, top-k
+        # (text.py:keyword_search — mergeable per-batch top-k)
+        "keyword_search": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+            ), tc AS (
+                SELECT doc_id, tok, count(*) AS c FROM toks
+                WHERE tok IN ('hash', 'join') GROUP BY doc_id, tok
+            ), hit AS (
+                SELECT doc_id, sum(c) AS score, count(*) AS nt
+                FROM tc GROUP BY doc_id
+            )
+            SELECT doc_id, CAST(score AS BIGINT) AS score FROM hit
+            WHERE nt = 2 ORDER BY score DESC, doc_id LIMIT 10
         """,
         # exact per-language quota sample: N smallest md5 coins per lang
         # (text.py:stratified_sample — mergeable per-group top-N)

@@ -166,6 +166,7 @@ def run_queries() -> dict:
         "orders_with_returns": lambda: tpch.orders_with_returns(SF_DIR),
         "idle_customers": lambda: tpch.idle_customers(SF_DIR),
         "tfidf_top_terms": lambda: text.tfidf_top_terms(SF_DIR),
+        "keyword_search": lambda: text.keyword_search(SF_DIR),
         "kmeans_embeddings": lambda: similarity.kmeans_embeddings(
             SF_DIR, k=10, iters=5),
         "degree_stats": lambda: linkgraph.degree_stats(SF_DIR),

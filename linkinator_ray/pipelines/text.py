@@ -874,3 +874,53 @@ def tfidf_top_terms(sf_dir: str, k: int = 3):
              "rank": "int64"})
 
     return hash_partition_apply(joined, "doc_id", topk)
+
+
+def keyword_search(sf_dir: str, terms: tuple[str, ...] = ("hash", "join"),
+                   k: int = 10):
+    """Boolean-AND keyword retrieval: the k docs containing EVERY query
+    term, ranked by total term frequency (desc, doc_id tiebreak).
+
+    Shape: a doc never spans batches, so each batch computes its docs'
+    complete scores with two C-speed Arrow group_bys (term filter via
+    ``pc.is_in`` on the flattened token stream — the inverted-index
+    probe without materializing the index) and emits only its LOCAL
+    top-k. The driver merges ≤ batches×k rows — a mergeable top-k,
+    never a corpus-sized result. Matches the reference's "check one
+    page's links" granularity flipped corpus-wide.
+    """
+    import pyarrow.compute as pc
+
+    uniq_terms = sorted(set(terms))
+    term_arr = pa.array(uniq_terms)
+    need = len(uniq_terms)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(_text_col(batch))
+        lst = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        pairs = pa.table({"p": pc.list_parent_indices(lst),
+                          "tok": pc.list_flatten(lst)})
+        pairs = pairs.filter(pc.is_in(pairs["tok"], value_set=term_arr))
+        if pairs.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64())})
+        per = pairs.group_by(["p", "tok"], use_threads=False).aggregate(
+            [([], "count_all")])
+        agg = per.group_by("p", use_threads=False).aggregate(
+            [("count_all", "sum"), ([], "count_all")])
+        hit = agg.filter(pc.equal(agg["count_all"], need))
+        doc = batch["doc_id"].take(hit["p"])
+        out = pa.table({"doc_id": pc.cast(doc, pa.int64()),
+                        "score": pc.cast(hit["count_all_sum"], pa.int64())})
+        order = pc.sort_indices(out, sort_keys=[("score", "descending"),
+                                                ("doc_id", "ascending")])
+        return out.take(order[:k])
+
+    tops = read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=8192).to_pandas()
+    tops = tops.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(tops.reset_index(drop=True),
+                                preserve_index=False)

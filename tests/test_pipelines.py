@@ -774,3 +774,24 @@ def test_funnel_planted_semantics(ray_session, tmp_path):
     df = funnel(str(out)).to_pandas().set_index("stage").sort_index()
     assert list(df["n_users"]) == [4, 2, 1]
     assert list(df["stage_name"]) == ["view", "click", "purchase"]
+
+
+def test_keyword_search_planted(ray_session, tmp_path):
+    """AND semantics: a doc with only one query term never matches; the
+    ranking is total term frequency with doc_id tiebreak."""
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.text import keyword_search
+    rows = [
+        {"doc_id": 1, "text": "apple banana apple banana apple"},  # 3+2=5
+        {"doc_id": 2, "text": "apple banana"},                      # 1+1=2
+        {"doc_id": 3, "text": "apple apple apple apple"},           # missing banana
+        {"doc_id": 4, "text": "cherry"},
+        {"doc_id": 5, "text": "banana apple"},                      # 2, ties doc 2
+    ]
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(out / "documents.parquet"))
+    df = keyword_search(str(out), terms=("apple", "banana"), k=10).to_pandas()
+    assert list(df["doc_id"]) == [1, 2, 5]
+    assert list(df["score"]) == [5, 2, 2]
