@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": lambda sf: text.tfidf_top_terms(sf, k=3),
         "keyword_search": lambda sf: text.keyword_search(
             sf, terms=("hash", "join"), k=10),
+        "hll_distinct_tokens": text.hll_distinct_tokens,  # exact SQL oracle
         # similarity search
         "knn_bruteforce": knn,
         "kmeans_embeddings": lambda sf: similarity.kmeans_embeddings(
@@ -270,6 +271,52 @@ def _minhash_lab_cte(threshold: float = 0.7, num_perms: int = 64,
             SELECT n AS doc_id, min(reach) AS cluster_id
             FROM walk GROUP BY n
         )"""
+
+
+def _hll_sql() -> str:
+    """Integer HyperLogLog (text.py:hll_distinct_tokens) in SQL: md5
+    64-bit token hashes, rho via length(bin(suffix)) (exact — no float
+    log), HUGEINT fixed-point raw estimate, and the small-range linear
+    counting correction from the SAME precomputed integer table."""
+    from linkinator_ray.pipelines.text import (HLL_ALPHA_PPM, HLL_LC,
+                                               HLL_M, HLL_P)
+    sfx_bits = 64 - HLL_P
+    sfx_mask = (1 << sfx_bits) - 1
+    return f"""
+        WITH toks AS (
+            SELECT lang,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents
+        ), h AS (
+            SELECT lang,
+                   ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+            FROM toks
+        ), r AS (
+            SELECT lang, h >> {sfx_bits} AS b,
+                   CASE WHEN (h & {sfx_mask}) = 0 THEN {sfx_bits + 1}
+                        ELSE {sfx_bits} - length(bin(h & {sfx_mask})) + 1
+                   END AS rho
+            FROM h
+        ), reg AS (
+            SELECT lang, b, max(rho) AS mr FROM r GROUP BY lang, b
+        ), s AS (
+            SELECT lang,
+                   sum((1::HUGEINT << (64 - mr)))
+                   + ({HLL_M} - count(*)) * (1::HUGEINT << 64) AS S,
+                   {HLL_M} - count(*) AS v
+            FROM reg GROUP BY lang
+        ), raw AS (
+            SELECT lang, v,
+                   ({HLL_ALPHA_PPM}::HUGEINT * {HLL_M} * {HLL_M}
+                    * (1::HUGEINT << 64)) // S // 1000000 AS est
+            FROM s
+        )
+        SELECT lang,
+               CAST(CASE WHEN est <= {5 * HLL_M // 2} AND v > 0
+                         THEN ({HLL_LC})[v + 1]
+                         ELSE est END AS BIGINT) AS distinct_est
+        FROM raw ORDER BY lang
+    """
 
 
 def _pagerank_sql(iters: int, damping_pct: int, scale: int) -> str:
@@ -540,6 +587,10 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, source, u_ppm, p_ppm FROM s WHERE u_ppm < p_ppm
         """,
+        # per-lang HyperLogLog distinct-token estimate — integer
+        # fixed-point estimator + table-driven linear-counting
+        # correction, bit-for-bit (text.py:hll_distinct_tokens)
+        "hll_distinct_tokens": _hll_sql(),
         # boolean-AND keyword retrieval, total-tf ranking, top-k
         # (text.py:keyword_search — mergeable per-batch top-k)
         "keyword_search": r"""

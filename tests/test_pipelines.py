@@ -795,3 +795,26 @@ def test_keyword_search_planted(ray_session, tmp_path):
     df = keyword_search(str(out), terms=("apple", "banana"), k=10).to_pandas()
     assert list(df["doc_id"]) == [1, 2, 5]
     assert list(df["score"]) == [5, 2, 2]
+
+
+def test_hll_distinct_tokens_accuracy(ray_session):
+    """The sketch estimate must land within the HLL error envelope
+    (~1.04/sqrt(256) = 6.5%; assert 10%) of the exact per-lang
+    distinct-token count, and be deterministic."""
+    import duckdb
+
+    from linkinator_ray.pipelines.text import hll_distinct_tokens
+
+    sf = "/root/testdata/sf0.001"
+    got = hll_distinct_tokens(sf).to_pandas().set_index("lang")
+    exact = dict(duckdb.sql(f"""
+        SELECT lang, count(DISTINCT tok) FROM (
+          SELECT lang, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM read_parquet('{sf}/documents.parquet')) GROUP BY lang
+    """).fetchall())
+    assert set(got.index) == set(exact)
+    for lang, true_n in exact.items():
+        est = int(got.loc[lang, "distinct_est"])
+        assert abs(est - true_n) / true_n < 0.10, (lang, est, true_n)
+    again = hll_distinct_tokens(sf).to_pandas().set_index("lang")
+    assert got.sort_index().equals(again.sort_index())
