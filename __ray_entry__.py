@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_search": lambda sf: text.keyword_search(
             sf, terms=("hash", "join"), k=10),
         "hll_distinct_tokens": text.hll_distinct_tokens,  # exact SQL oracle
+        "cms_token_counts": lambda sf: text.cms_token_counts(sf),
         # similarity search
         "knn_bruteforce": knn,
         "kmeans_embeddings": lambda sf: similarity.kmeans_embeddings(
@@ -591,6 +592,36 @@ def oracle_sql() -> dict[str, str]:
         # fixed-point estimator + table-driven linear-counting
         # correction, bit-for-bit (text.py:hll_distinct_tokens)
         "hll_distinct_tokens": _hll_sql(),
+        # count-min sketch frequency estimates (text.py:cms_token_counts)
+        # — d=4 × w=1024 counters, per-row col = md5("r:tok") mod w,
+        # min-of-rows readout; the full sketch (collisions included)
+        # reproduces bit-for-bit
+        "cms_token_counts": r"""
+            WITH toks AS (
+                SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok
+                FROM documents
+            ), rws AS (SELECT unnest(range(4)) AS r),
+            cells AS (
+                SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR)
+                               || ':' || tok), 1, 16))::UBIGINT
+                           % 1024 AS col,
+                       count(*) AS n
+                FROM toks, rws GROUP BY r, col
+            ), q AS (
+                SELECT unnest(['hash', 'join', 'llama', 'scan',
+                               'zzz_absent']) AS token
+            ), qc AS (
+                SELECT q.token, rws.r,
+                       ('0x' || substr(md5(CAST(rws.r AS VARCHAR)
+                            || ':' || q.token), 1, 16))::UBIGINT
+                           % 1024 AS col
+                FROM q, rws
+            )
+            SELECT qc.token,
+                   CAST(min(coalesce(c.n, 0)) AS BIGINT) AS est_count
+            FROM qc LEFT JOIN cells c ON c.r = qc.r AND c.col = qc.col
+            GROUP BY qc.token ORDER BY qc.token
+        """,
         # boolean-AND keyword retrieval, total-tf ranking, top-k
         # (text.py:keyword_search — mergeable per-batch top-k)
         "keyword_search": r"""

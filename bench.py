@@ -168,6 +168,7 @@ def run_queries() -> dict:
         "tfidf_top_terms": lambda: text.tfidf_top_terms(SF_DIR),
         "keyword_search": lambda: text.keyword_search(SF_DIR),
         "hll_distinct_tokens": lambda: text.hll_distinct_tokens(SF_DIR),
+        "cms_token_counts": lambda: text.cms_token_counts(SF_DIR),
         "kmeans_embeddings": lambda: similarity.kmeans_embeddings(
             SF_DIR, k=10, iters=5),
         "degree_stats": lambda: linkgraph.degree_stats(SF_DIR),

@@ -1022,3 +1022,82 @@ def hll_distinct_tokens(sf_dir: str):
     empty = pd.DataFrame({"lang": pd.array([], dtype="string"),
                           "distinct_est": pd.array([], dtype="int64")})
     return hash_map_groups(regs, "lang", estimate, empty=empty)
+
+
+# Count-min sketch parameters shared with the DuckDB oracle: d=4 rows,
+# w=1024 counters; per-row column hash = md5("r:token") mod w — exact
+# on both engines, so the sketch (and its over-estimates) reproduce
+# bit-for-bit.
+CMS_D = 4
+CMS_W = 1024
+
+
+def cms_token_counts(sf_dir: str,
+                     query_tokens: tuple[str, ...] = (
+                         "hash", "join", "scan", "llama", "zzz_absent")):
+    """Count-min sketch frequency estimates for a query-token set — the
+    streaming answer to "how often does X occur" without a vocabulary
+    shuffle: every batch reduces to ≤ d×w counter increments, ONE
+    sum-merge exchange combines them (counters are mergeable by
+    addition), and the query tokens read min-of-d cells off the final
+    d×w=4096-cell sketch. Estimates are ≥ truth (one-sided error, by
+    construction); collisions only ever ADD.
+
+    Output: (token, est_count) for each query token.
+    """
+    import pyarrow.compute as pc
+
+    def col_of(row: int, toks: list[str]) -> np.ndarray:
+        return np.fromiter(
+            (int.from_bytes(hashlib.md5(f"{row}:{t}".encode()).digest()[:8],
+                            "big") % CMS_W for t in toks),
+            dtype=np.int64, count=len(toks))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(_text_col(batch))
+        lst = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = pc.list_flatten(lst)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        if len(flat) == 0:
+            return pa.table({"row": pa.array([], pa.int64()),
+                             "col": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        # one md5 per DISTINCT token per row-salt; counts via group_by
+        d = flat.dictionary_encode()
+        uniq = d.dictionary.to_pylist()
+        counts = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(counts, np.asarray(
+            d.indices.to_numpy(zero_copy_only=False), dtype=np.int64), 1)
+        rows, cols, ns = [], [], []
+        for r in range(CMS_D):
+            c = col_of(r, uniq)
+            # collapse distinct tokens sharing a cell within this batch
+            cell = np.zeros(CMS_W, dtype=np.int64)
+            np.add.at(cell, c, counts)
+            nz = np.flatnonzero(cell)
+            rows.append(np.full(len(nz), r, dtype=np.int64))
+            cols.append(nz.astype(np.int64))
+            ns.append(cell[nz])
+        return pa.table({"row": pa.array(np.concatenate(rows)),
+                         "col": pa.array(np.concatenate(cols)),
+                         "n": pa.array(np.concatenate(ns))})
+
+    from linkinator_ray.pipelines.hashagg import hash_aggregate
+    sketch = hash_aggregate(
+        read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            partial, batch_format="pyarrow", batch_size=8192),
+        ["row", "col"], {"n": ("n", "sum")}).to_pandas()
+    cells = {(int(r), int(c)): int(n)
+             for r, c, n in zip(sketch["row"], sketch["col"], sketch["n"])}
+    toks = sorted(set(query_tokens))
+    ests = []
+    for t in toks:
+        est = min(cells.get(
+            (r, int.from_bytes(hashlib.md5(f"{r}:{t}".encode()).digest()[:8],
+                               "big") % CMS_W), 0) for r in range(CMS_D))
+        ests.append(est)
+    return pa.table({"token": pa.array(toks, pa.string()),
+                     "est_count": pa.array(ests, pa.int64())})

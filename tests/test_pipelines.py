@@ -818,3 +818,33 @@ def test_hll_distinct_tokens_accuracy(ray_session):
         assert abs(est - true_n) / true_n < 0.10, (lang, est, true_n)
     again = hll_distinct_tokens(sf).to_pandas().set_index("lang")
     assert got.sort_index().equals(again.sort_index())
+
+
+def test_cms_token_counts_one_sided(ray_session):
+    """Count-min guarantees: estimate >= truth always (collisions only
+    add), an absent token stays near zero, and frequent tokens come
+    back within the epsilon envelope on this vocab."""
+    import duckdb
+
+    from linkinator_ray.pipelines.text import cms_token_counts
+
+    sf = "/root/testdata/sf0.001"
+    got = cms_token_counts(sf, query_tokens=(
+        "hash", "join", "scan", "zzz_absent")).to_pandas() \
+        .set_index("token")["est_count"]
+    truth = dict(duckdb.sql(f"""
+        SELECT tok, count(*) FROM (
+          SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM read_parquet('{sf}/documents.parquet'))
+        WHERE tok IN ('hash','join','scan') GROUP BY tok
+    """).fetchall())
+    total = duckdb.sql(f"""
+        SELECT count(*) FROM (SELECT unnest(
+          string_split_regex(trim(text), '\\s+')) FROM
+          read_parquet('{sf}/documents.parquet'))""").fetchone()[0]
+    for tok, true_n in truth.items():
+        est = int(got.loc[tok])
+        assert est >= true_n, (tok, est, true_n)
+        # CM bound: overshoot <= e/w * total with high probability
+        assert est - true_n <= 3 * total / 1024, (tok, est, true_n)
+    assert int(got.loc["zzz_absent"]) <= 3 * total / 1024
