@@ -326,7 +326,8 @@ def _cluster_pairs(pairs, cluster: str):
 
 def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
                   bands: int = 16, ngram: int = 3,
-                  verify: str = "broadcast", cluster: str = "driver"):
+                  verify: str = "auto", cluster: str = "auto",
+                  hot_bucket_threshold: int = 200_000):
     """MinHash+LSH near-dup: shingle → minhash → band → bucket groupby →
     anchor pairing → exact-Jaccard verify → min-label clusters.
 
@@ -357,9 +358,22 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
     verified pairs stay a Dataset and cluster through the
     large-star/small-star component engine (components.py) — no
     pair-shaped driver state at all; returns a Dataset.
-    """
-    if verify not in ("broadcast", "partitioned"):
-        raise ValueError(f"verify must be broadcast|partitioned: {verify}")
+
+    ``verify="auto"`` / ``cluster="auto"`` (the defaults) pick by the
+    measured HOT-BUCKET COUNT — the quantity that actually bounds the
+    broadcast mode's driver state: at or under ``hot_bucket_threshold``
+    hot buckets (200k buckets ≈ a few MB of anchor map + anchor
+    shingles) the cheap broadcast+driver combination runs; above it the
+    scale-safe partitioned+distributed combination runs. Same hybrid
+    pattern as ``components.connected_components(driver_threshold=...)``
+    — identical output either way (differential-tested both ways in
+    tests/test_pipelines.py)."""
+    if verify not in ("auto", "broadcast", "partitioned"):
+        raise ValueError(f"verify must be auto|broadcast|partitioned: "
+                         f"{verify}")
+    if cluster not in ("auto", "driver", "distributed"):
+        raise ValueError(f"cluster must be auto|driver|distributed: "
+                         f"{cluster}")
     rows = num_perms // bands
     docs = read_docs(sf_dir, ["doc_id", "text"])
     sigs = docs.map_batches(MinHasher, batch_format="pandas", batch_size=512,
@@ -377,14 +391,23 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
     counts = hash_aggregate(
         banded, ["band_id", "band_hash"],
         {"n": ("doc_id", "count"), "anchor": ("doc_id", "min")})
+    hot_ds = counts.filter(expr="n > 1").select_columns(
+        ["band_id", "band_hash", "anchor"]).materialize()
+    n_hot = hot_ds.count()
+    if verify == "auto":
+        verify = "broadcast" if n_hot <= hot_bucket_threshold \
+            else "partitioned"
+    if cluster == "auto":
+        cluster = "driver" if n_hot <= hot_bucket_threshold \
+            else "distributed"
     if verify == "partitioned":
         return _cluster_pairs(_minhash_verify_partitioned(
-            sf_dir, banded, counts, ngram, threshold), cluster)
-    hot = counts.filter(expr="n > 1").to_pandas()
+            sf_dir, banded, hot_ds, ngram, threshold), cluster)
+    if n_hot == 0:
+        return _cluster_pairs(None, cluster)
+    hot = hot_ds.to_pandas()
     anchor_of = {(b, h): a for b, h, a in
                  zip(hot["band_id"], hot["band_hash"], hot["anchor"])}
-    if not anchor_of:
-        return _cluster_pairs(None, cluster)
 
     # anchor shingles: small filtered scan, shingled in workers
     anchor_ids = sorted({a for a in anchor_of.values()})
@@ -417,10 +440,12 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
     return _cluster_pairs(verified, cluster)
 
 
-def _minhash_verify_partitioned(sf_dir: str, banded, counts, ngram: int,
+def _minhash_verify_partitioned(sf_dir: str, banded, hot, ngram: int,
                                 threshold: float):
     """The no-driver-state verify path of ``dedup_minhash`` — returns
     the VERIFIED (a, b) pair Dataset (or None when no bucket is hot).
+    ``hot`` is the materialized (band_id, band_hash, anchor) Dataset of
+    hot buckets computed by the caller.
 
     Hot buckets stay a Dataset; candidate (anchor, member) pairs come
     from a hash-partitioned join of the band rows against the hot
@@ -435,8 +460,6 @@ def _minhash_verify_partitioned(sf_dir: str, banded, counts, ngram: int,
     from linkinator_ray.pipelines.hashagg import (default_parts,
                                                   hash_aggregate, hash_join)
     parts = default_parts()
-    hot = counts.filter(expr="n > 1").select_columns(
-        ["band_id", "band_hash", "anchor"]).materialize()
     if hot.count() == 0:
         return None
     cands = hash_join(banded, hot, on=["band_id", "band_hash"],
@@ -564,10 +587,20 @@ def simhash_signatures(sf_dir: str):
         SimHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 8))
 
 
-def dedup_simhash(sf_dir: str, max_hamming: int = 3):
+def dedup_simhash(sf_dir: str, max_hamming: int = 3,
+                  cluster: str = "driver"):
     """SimHash near-dup via 4-band LSH (any identical 16-bit band ⇒
     candidate; Hamming ≤ max_hamming over ≤3-bit-different docs is
-    guaranteed caught by pigeonhole)."""
+    guaranteed caught by pigeonhole).
+
+    Verified pairs are filtered IN the bucket partitions (never a
+    driver pair list) and cluster through the same ``_cluster_pairs``
+    tail as ``dedup_minhash``: ``cluster="driver"`` union-finds the
+    true near-dup pairs on the driver (a pyarrow Table);
+    ``cluster="distributed"`` routes them through the
+    large-star/small-star component engine (components.py) — no
+    pair-shaped driver state; returns a Dataset. High-dup corpora at
+    100 TB should use distributed."""
     sigs = simhash_signatures(sf_dir)
 
     def bands(batch: pd.DataFrame) -> pd.DataFrame:
@@ -597,16 +630,16 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3):
         mask = ids != anchor_id
         x = shs[mask] ^ anchor_sh[mask]
         ham = np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
-        return pd.DataFrame({"a": anchor_id[mask], "b": ids[mask],
-                             "ham": ham.astype(np.int64)})
+        # Hamming verify happens HERE, inside the bucket partition —
+        # only true near-dup (a, b) pairs ever leave the workers
+        keep = ham <= max_hamming
+        return pd.DataFrame({"a": anchor_id[mask][keep],
+                             "b": ids[mask][keep]}).drop_duplicates()
 
     from linkinator_ray.pipelines.hashagg import hash_partition_apply
     pairs = hash_partition_apply(
-        banded, ["band_id", "band_hash"], bucket_pairs_part) \
-        .to_pandas().drop_duplicates()
-    keep = [(a, b) for a, b, h in zip(pairs["a"], pairs["b"], pairs["ham"])
-            if h <= max_hamming and a != b]
-    return _clusters_from_pairs(keep)
+        banded, ["band_id", "band_hash"], bucket_pairs_part)
+    return _cluster_pairs(pairs, cluster)
 
 
 # ---------------------------------------------------------------------------

@@ -72,26 +72,56 @@ def tumbling_window(sf_dir: str, window_s: int = 3600):
     return out  # unordered; comparators sort
 
 
-def sessionize(sf_dir: str, gap_s: int = 1800):
+def sessionize(sf_dir: str, gap_s: int = 1800,
+               num_parts: int | None = None):
     """Per-user session count + max session length, 30-min inactivity
-    gap. Per-user map_groups over ts-sorted events (in-group sort makes
-    the result independent of block order)."""
+    gap.
 
-    def per_user(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values("ts")
-        epoch = g["ts"].astype("int64") // 1_000_000
-        gaps = epoch.diff().fillna(0)
-        new_session = (gaps > gap_s).cumsum()
-        sizes = new_session.value_counts()
+    Shape: hash-partition ONCE on user_id (all of one user's events
+    co-locate), then one segmented numpy kernel per PARTITION — sort by
+    (user, ts), boundary mask, ``reduceat`` reductions over session and
+    user segments. No per-user Python dispatch: the old
+    groupby(user).map_groups built a 1-row frame per user (10^8 pandas
+    constructions at 10^8 users); this pays the vectorized cost P
+    times. Ties in ts are order-invariant (equal ts ⇒ gap 0 ⇒ same
+    session), so the result is independent of block order."""
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        if n == 0:
+            return pd.DataFrame({
+                "user_id": pd.Series(dtype="int64"),
+                "n_sessions": pd.Series(dtype="int64"),
+                "max_session_events": pd.Series(dtype="int64"),
+                "n_events": pd.Series(dtype="int64")})
+        uid = df["user_id"].to_numpy(dtype=np.int64)
+        epoch = df["ts"].to_numpy(dtype="datetime64[us]") \
+            .astype(np.int64) // 1_000_000
+        order = np.lexsort((epoch, uid))
+        u, e = uid[order], epoch[order]
+        user_start = np.empty(n, dtype=bool)
+        user_start[0] = True
+        user_start[1:] = u[1:] != u[:-1]
+        sess_start = user_start.copy()
+        sess_start[1:] |= (e[1:] - e[:-1]) > gap_s
+        sess_id = np.cumsum(sess_start) - 1            # 0..S-1 per row
+        sess_sizes = np.bincount(sess_id)              # S entries
+        urows = np.flatnonzero(user_start)             # first row per user
+        n_events = np.diff(np.append(urows, n))
+        first_sess = sess_id[urows]                    # user's first session
+        n_sessions = np.diff(np.append(first_sess, sess_id[-1] + 1))
+        max_sess = np.maximum.reduceat(sess_sizes, first_sess)
         return pd.DataFrame({
-            "user_id": [g["user_id"].iloc[0]],
-            "n_sessions": [int(new_session.nunique())],
-            "max_session_events": [int(sizes.max())],
-            "n_events": [len(g)],
+            "user_id": u[urows],
+            "n_sessions": n_sessions.astype(np.int64),
+            "max_session_events": max_sess.astype(np.int64),
+            "n_events": n_events.astype(np.int64),
         })
 
-    return _fanout(read_events(sf_dir, ["ts", "user_id"])).groupby("user_id").map_groups(
-        per_user, batch_format="pandas")  # unordered
+    from linkinator_ray.pipelines.hashagg import hash_partition_apply
+    return hash_partition_apply(
+        _fanout(read_events(sf_dir, ["ts", "user_id"])), "user_id",
+        per_part, num_parts=num_parts)  # unordered
 
 
 def sliding_window(sf_dir: str, window_s: int = 7200, step_s: int = 3600):
@@ -138,8 +168,6 @@ def funnel(sf_dir: str,
 
     Output: (stage:int64, stage_name, n_users), stage 1-indexed.
     """
-    import pyarrow.dataset as pads
-
     from linkinator_ray.pipelines.hashagg import (hash_aggregate,
                                                   hash_partition_apply)
 

@@ -111,6 +111,61 @@ def test_simhash_exact_dup_distance_zero(ray_session):
     assert bin(a ^ c).count("1") > 8
 
 
+def test_simhash_distributed_cluster_matches_driver(ray_session, tmp_path):
+    """Plant near-identical docs; the distributed clustering tail
+    (large-star/small-star over the verified pairs) must produce the
+    SAME (doc_id, cluster_id) table as the driver union-find, and both
+    must cluster the planted dups."""
+    import duckdb
+    import pyarrow.parquet as pq
+    from linkinator_ray.pipelines.dedup import dedup_simhash
+    base = duckdb.sql(
+        f"SELECT doc_id, text, lang, source, n_chars "
+        f"FROM '{SF}/documents.parquet' LIMIT 50").arrow()
+    rows = base.to_pylist()
+    next_id = 20_000
+    planted = []
+    for src in rows[:5]:
+        dup = dict(src)
+        dup["doc_id"] = next_id
+        dup["text"] = src["text"]  # exact dup: simhash distance 0
+        planted.append((src["doc_id"], next_id))
+        rows.append(dup)
+        next_id += 1
+    out_dir = tmp_path / "sf"
+    out_dir.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(out_dir / "documents.parquet"))
+    drv = dedup_simhash(str(out_dir), 3, cluster="driver").to_pandas() \
+        .sort_values(["doc_id", "cluster_id"]).reset_index(drop=True)
+    dist = dedup_simhash(str(out_dir), 3, cluster="distributed") \
+        .to_pandas().sort_values(["doc_id", "cluster_id"]) \
+        .reset_index(drop=True)
+    assert drv.astype("int64").values.tolist() == \
+        dist.astype("int64").values.tolist()
+    cluster_of = dict(zip(drv["doc_id"], drv["cluster_id"]))
+    for orig, dup in planted:
+        assert cluster_of.get(orig) == cluster_of.get(dup) is not None
+
+
+def test_minhash_auto_threshold_both_ways(ray_session):
+    """The hot-bucket auto-switch must produce identical clusters
+    whether it resolves to broadcast+driver (threshold above the hot
+    count) or partitioned+distributed (threshold forced to 0)."""
+    from linkinator_ray.pipelines.dedup import dedup_minhash
+
+    def norm(x):
+        df = x.to_pandas() if hasattr(x, "to_pandas") else x
+        if hasattr(df, "to_pandas"):  # pyarrow Table
+            df = df.to_pandas()
+        return df.sort_values(["doc_id", "cluster_id"]) \
+            .reset_index(drop=True).astype("int64").values.tolist()
+
+    low = dedup_minhash(SF, threshold=0.7, hot_bucket_threshold=10**9)
+    high = dedup_minhash(SF, threshold=0.7, hot_bucket_threshold=0)
+    assert norm(low) == norm(high)
+
+
 def test_knn_bruteforce_self_nearest(ray_session):
     from linkinator_ray.pipelines.similarity import knn_bruteforce
     df = knn_bruteforce(SF, k=5, num_queries=3).to_pandas()
@@ -150,6 +205,39 @@ def test_sessionize_event_conservation(ray_session):
     assert df["n_events"].sum() == total
     assert (df["n_sessions"] >= 1).all()
     assert (df["max_session_events"] <= df["n_events"]).all()
+
+
+def test_sessionize_matches_sql_and_partition_invariant(ray_session):
+    """The segmented-numpy kernel must equal the SQL window-function
+    definition exactly, independent of how many hash partitions the
+    events land in (per-user co-location is the only requirement)."""
+    import duckdb
+    from linkinator_ray.pipelines.events import read_events, sessionize
+    from linkinator_ray.pipelines.hashagg import hash_partition_apply
+    want = duckdb.sql(f"""
+        WITH gaps AS (
+            SELECT user_id, ts,
+                   CASE WHEN epoch_us(ts) // 1000000
+                             - epoch_us(lag(ts) OVER w) // 1000000 > 1800
+                        THEN 1 ELSE 0 END AS new_sess
+            FROM '{SF}/events.parquet'
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), sess AS (
+            SELECT user_id,
+                   sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                       ROWS UNBOUNDED PRECEDING) AS sess_id FROM gaps
+        ), sizes AS (SELECT user_id, sess_id, count(*) AS sz
+                     FROM sess GROUP BY user_id, sess_id)
+        SELECT user_id, count(*)::BIGINT AS n_sessions,
+               max(sz)::BIGINT AS max_session_events,
+               sum(sz)::BIGINT AS n_events
+        FROM sizes GROUP BY user_id ORDER BY user_id""").df()
+    for parts in (1, 7):
+        got = sessionize(SF, 1800, num_parts=parts).to_pandas() \
+            .sort_values("user_id").reset_index(drop=True)[
+                want.columns.tolist()]
+        assert got.astype("int64").values.tolist() == \
+            want.astype("int64").values.tolist(), parts
 
 
 def test_media_decoder_plumbing(ray_session):
