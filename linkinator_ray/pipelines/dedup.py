@@ -232,51 +232,56 @@ def _band_hashes_of_sig(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
     return _band_hash_matrix(sig[None, :], bands, rows)[0]
 
 
-class _VerifyAgainstAnchors:
-    """Second map-only pass over documents: re-shingle (needed for the
-    exact Jaccard anyway), re-derive the minhash band hashes, look up
-    this doc's hot-bucket anchors, and verify against the broadcast
-    anchor shingles — no join, no driver text pull. Both broadcast maps
-    ride the object store once (ray.put → __init__)."""
+def _bcast_get(ref):
+    if isinstance(ref, (dict, pd.DataFrame)):
+        return ref
+    import ray
+    return ray.get(ref)
 
-    def __init__(self, anchor_ref, anchor_sh_ref, num_perms, bands, ngram,
-                 threshold, seed=42):
-        def _get(ref):
-            if isinstance(ref, dict):
-                return ref
-            import ray
-            return ray.get(ref)
-        self.anchor_of = _get(anchor_ref)
-        self.anchor_sh = _get(anchor_sh_ref)
-        self.hasher = MinHasher(num_perms, ngram, seed)
-        self.bands = bands
-        self.rows = num_perms // bands
+
+class _VerifyMembers:
+    """Verify candidate (anchor, member) pairs: a map-only pass over the
+    MEMBER texts only (the parquet read is doc_id-filtered down to the
+    candidate set) — each member re-shingles once and set-intersects
+    against the broadcast anchor shingles. No minhash recompute: band
+    membership was already decided from the materialized band table.
+    Both broadcast maps ride the object store once (ray.put →
+    __init__)."""
+
+    def __init__(self, anchors_of_ref, anchor_sh_ref, ngram, threshold):
+        self.anchors_of = _bcast_get(anchors_of_ref)  # member -> [anchors]
+        self.anchor_sh = _bcast_get(anchor_sh_ref)    # anchor -> shingles
         self.ngram = ngram
         self.threshold = threshold
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        # whole-batch signatures + band hashes (one segmented numpy
-        # pass + one field-polynomial matrix), then cheap per-doc dict
-        # probes; only docs that actually hit a hot bucket pay the
-        # exact-Jaccard set intersection
         a_out, b_out = [], []
-        anchor_of = self.anchor_of
+        anchors_of = self.anchors_of
         anchor_sh = self.anchor_sh
-        texts = list(batch["text"].fillna(""))
-        shingles = [_shingle_hashes(t, self.ngram) for t in texts]
-        sigs = self.hasher.signatures_from_shingle_lists(shingles)
-        bhs = _band_hash_matrix(sigs, self.bands, self.rows)
-        for i, doc_id in enumerate(batch["doc_id"]):
-            anchors = {anchor_of.get((b, int(h)), -1)
-                       for b, h in enumerate(bhs[i])}
-            anchors.discard(-1)
-            anchors.discard(doc_id)
-            for a in anchors:
-                if _jaccard(anchor_sh[a], shingles[i]) >= self.threshold:
+        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+            sh = _shingle_hashes(text, self.ngram)
+            for a in anchors_of.get(int(doc_id), ()):
+                if _jaccard(anchor_sh[a], sh) >= self.threshold:
                     a_out.append(a)
-                    b_out.append(doc_id)
+                    b_out.append(int(doc_id))
         return pd.DataFrame({"a": np.asarray(a_out, dtype=np.int64),
                              "b": np.asarray(b_out, dtype=np.int64)})
+
+
+class _CandAgainstHot:
+    """Band rows × broadcast hot-bucket table → distinct candidate
+    (a=anchor, b=member) pairs, merged per batch in the workers — the
+    broadcast-mode replacement for the partitioned path's hash join."""
+
+    def __init__(self, hot_ref):
+        self.hot = _bcast_get(hot_ref)  # (band_id, band_hash, anchor)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        m = batch.merge(self.hot, on=["band_id", "band_hash"])
+        m = m[m["doc_id"] != m["anchor"]]
+        return pd.DataFrame({
+            "a": m["anchor"].to_numpy(dtype=np.int64),
+            "b": m["doc_id"].to_numpy(dtype=np.int64)}).drop_duplicates()
 
 
 def _cluster_pairs(pairs, cluster: str):
@@ -331,25 +336,29 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
     """MinHash+LSH near-dup: shingle → minhash → band → bucket groupby →
     anchor pairing → exact-Jaccard verify → min-label clusters.
 
-    ``verify="broadcast"`` (default): one shuffle total (the bucket
-    count/min aggregate). Verification is a second MAP-ONLY pass over
-    documents: each doc re-shingles (needed for the exact Jaccard
-    anyway), re-derives its band hashes, looks up its hot-bucket anchors
-    and verifies against the broadcast anchor shingles — candidate texts
-    never route through the driver and no join shuffle is paid. Each
-    member verifies each distinct anchor once (per-row set), so
-    band-duplicate candidates cost nothing extra.
+    The signature stage runs exactly ONCE: the band table (bands int64
+    triples per doc) is materialized and feeds both the bucket
+    aggregate and the candidate derivation — lineage would otherwise
+    re-execute the shingle+minhash pass per consumer.
+
+    ``verify="broadcast"``: one shuffle total (the bucket count/min
+    aggregate). Candidate (anchor, member) pairs come from a worker-side
+    merge of the band table against the BROADCAST hot-bucket table;
+    verification then reads ONLY the candidate texts (doc_id filter
+    pushed to the parquet read) — members re-shingle once and
+    set-intersect against the broadcast anchor shingles. Candidate
+    texts never route through the driver; the driver holds the distinct
+    (anchor, member) id pairs and the anchor shingles only.
 
     Partitioning assumption of the broadcast mode (SURVEY.md §4): the
-    anchor set — one doc per hot bucket — fits in the object store as a
-    broadcast map (anchor ids + their shingle arrays, ~text-sized). A
-    high-dup-rate corpus whose near-dup cluster count breaks that
-    assumption should pass ``verify="partitioned"``: hot buckets stay a
-    Dataset keyed by (band_id, band_hash), candidate (anchor, member)
-    pairs come from a hash join of the band rows against the hot
-    buckets, and the exact-Jaccard verify joins the pair list against
-    the document texts (hash-partitioned ``Dataset.join`` both times) —
-    3 extra shuffles, nothing anchor-shaped on the driver.
+    hot buckets, the distinct candidate-pair ids and the anchor
+    shingles fit on the driver / in one broadcast object. A
+    high-dup-rate corpus that breaks that should pass
+    ``verify="partitioned"``: hot buckets stay a Dataset, candidate
+    pairs come from a hash join of the band rows against them, and the
+    exact-Jaccard verify joins the pair list against the document texts
+    (hash-partitioned joins) — 3 extra shuffles, nothing pair-shaped on
+    the driver.
 
     Returns (doc_id, cluster_id) for every doc in a near-dup cluster of
     size ≥ 2. ``cluster="driver"`` (default): union-find on the driver
@@ -376,13 +385,18 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
                          f"{cluster}")
     rows = num_perms // bands
     docs = read_docs(sf_dir, ["doc_id", "text"])
-    sigs = docs.map_batches(MinHasher, batch_format="pandas", batch_size=512,
-                            concurrency=(1, 8),
+    sigs = docs.map_batches(MinHasher, batch_format="pandas",
+                            batch_size=2048, concurrency=(1, 8),
                             fn_constructor_kwargs={"num_perms": num_perms,
                                                    "ngram": ngram})
+    # The band table feeds BOTH the bucket aggregate and the candidate
+    # derivation; materialized so the signature pass (the expensive
+    # shingle+minhash stage over the corpus text) runs exactly ONCE —
+    # unmaterialized, Ray Data lineage re-executes it per consumer.
+    # Cost: bands int64 triples per doc (~`bands`×24 B/doc), spillable.
     banded = sigs.map_batches(
         lambda b: _band_rows(b, bands, rows), batch_format="pandas",
-        batch_size=4096)
+        batch_size=4096).materialize()
 
     # hot buckets: count+min per bucket — the single aggregate shuffle,
     # expressed as the two-level combiner (hashagg) because the bucket
@@ -406,11 +420,30 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
     if n_hot == 0:
         return _cluster_pairs(None, cluster)
     hot = hot_ds.to_pandas()
-    anchor_of = {(b, h): a for b, h, a in
-                 zip(hot["band_id"], hot["band_hash"], hot["anchor"])}
+    try:
+        import ray
+        _put = ray.put if ray.is_initialized() else (lambda x: x)
+    except Exception:
+        _put = lambda x: x  # noqa: E731
 
-    # anchor shingles: small filtered scan, shingled in workers
-    anchor_ids = sorted({a for a in anchor_of.values()})
+    # candidate pairs: band rows merged against the broadcast hot
+    # table in the workers, distinct pairs collected on the driver
+    # (bounded by the candidate count — the quantity the auto-switch
+    # already guards; partitioned mode keeps them a Dataset instead)
+    from linkinator_ray.pipelines.hashagg import hash_aggregate as _hagg
+    pairs = _hagg(
+        banded.map_batches(_CandAgainstHot, batch_format="pandas",
+                           batch_size=65536, concurrency=(1, 4),
+                           fn_constructor_kwargs={"hot_ref": _put(hot)}),
+        ["a", "b"], {"n_bands": ("b", "count")}).select_columns(
+        ["a", "b"]).to_pandas()
+    if not len(pairs):
+        return _cluster_pairs(None, cluster)
+    anchors_of: dict[int, list[int]] = {}
+    for a, b in zip(pairs["a"], pairs["b"]):
+        anchors_of.setdefault(int(b), []).append(int(a))
+    anchor_ids = sorted(set(pairs["a"].tolist()))
+    member_ids = sorted(anchors_of)
     import ray.data as rd
 
     def shingle_anchors(batch: pd.DataFrame) -> pd.DataFrame:
@@ -425,18 +458,17 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
         shingle_anchors, batch_format="pandas", batch_size=4096).to_pandas()
     anchor_sh = dict(zip(anchor_rows["doc_id"], anchor_rows["sh"]))
 
-    try:
-        import ray
-        _put = ray.put if ray.is_initialized() else (lambda x: x)
-    except Exception:
-        _put = lambda x: x  # noqa: E731
-    verified = docs.map_batches(
-        _VerifyAgainstAnchors, batch_format="pandas", batch_size=512,
+    # verify pass reads ONLY the member texts (doc_id filter pushed to
+    # the parquet read) — not a second full-corpus shingle pass
+    verified = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
+        filter=_ISIN(member_ids)).map_batches(
+        _VerifyMembers, batch_format="pandas", batch_size=2048,
         concurrency=(1, 8),
         fn_constructor_kwargs={
-            "anchor_ref": _put(anchor_of), "anchor_sh_ref": _put(anchor_sh),
-            "num_perms": num_perms, "bands": bands, "ngram": ngram,
-            "threshold": threshold})
+            "anchors_of_ref": _put(anchors_of),
+            "anchor_sh_ref": _put(anchor_sh),
+            "ngram": ngram, "threshold": threshold})
     return _cluster_pairs(verified, cluster)
 
 
