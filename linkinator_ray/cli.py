@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default=None)
     p.add_argument("--verbosity", choices=["none", "error", "warning", "info", "debug"],
                    default=None)
+    p.add_argument("--silent", action="store_true",
+                   help="only output broken links (verbosity=error; "
+                        "conflicts with --verbosity — src/cli.ts:607-620)")
     p.add_argument("--concurrency", type=int, default=100)
     p.add_argument("--timeout", type=float, default=0)
     p.add_argument("--markdown", action="store_true")
@@ -204,13 +207,13 @@ def main(argv: list[str] | None = None) -> int:
     config.pop("config", None)
     # CLI-level keys configure output, not CheckOptions; flag wins over
     # config, silent ⇒ verbosity ERROR (src/cli.ts:607-620)
-    cfg_silent = bool(config.pop("silent", False))
-    if cfg_silent and (args.verbosity or config.get("verbosity")):
+    silent = bool(args.silent) or bool(config.pop("silent", False))
+    if silent and (args.verbosity or config.get("verbosity")):
         raise SystemExit("The SILENT and VERBOSITY flags cannot both be "
                          "defined. Please consider using VERBOSITY only.")
     args.format = args.format or config.pop("format", None) or "text"
     args.verbosity = (args.verbosity or config.pop("verbosity", None)
-                      or ("error" if cfg_silent else "warning"))
+                      or ("error" if silent else "warning"))
     merged = merge_config({k: v for k, v in flags.items()}, config)
     merged = {k: v for k, v in merged.items() if v is not None}
     merged.setdefault("links_to_skip", [])

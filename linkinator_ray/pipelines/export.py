@@ -203,12 +203,18 @@ def export_tar(sf_dir: str, out_dir: str, num_shards: int = 8) -> dict:
     manifest = hash_map_groups(rows, "shard", write_shard,
                                num_parts=min(S, 16), empty=empty) \
         .to_pandas().sort_values("shard")
+    # Which todo shards are genuinely empty comes from the RETURNED
+    # manifest (shards absent from it received no rows) — never from
+    # probing the driver filesystem: on a multi-node cluster without a
+    # shared fs, a worker-written tar lives on another node and an
+    # os.path.exists probe here would stamp an EMPTY tar over real data.
+    written_shards = set(int(s) for s in manifest["shard"])
     for k in todo:
-        # empty shards still produce a (member-less) tar + marker
-        path = os.path.join(out_dir, f"shard-{k}.tar")
-        if not os.path.exists(path):
+        if k not in written_shards:
+            # genuinely empty shard: member-less tar + marker
             import tarfile
-            tarfile.open(path, "w").close()
+            tarfile.open(os.path.join(out_dir, f"shard-{k}.tar"),
+                         "w").close()
         with open(os.path.join(out_dir, f"shard-{k}._SUCCESS"), "w"):
             pass
     return {"num_shards": S, "written": todo, "skipped": sorted(done),

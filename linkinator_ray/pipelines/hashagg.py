@@ -199,9 +199,12 @@ def hash_join(left, right, on: list[str] | str,
     can intermittently deadlock its hash-shuffle scheduling under tight
     CPU budgets (observed on Ray 2.49 with num_cpus=4); this shape has
     no separate aggregator actors to schedule. Semantics follow
-    ``Dataset.join``: ``how`` ∈ {"inner", "left_anti"}; right key
-    columns are renamed onto the left key names; non-key column names
-    must not collide.
+    ``Dataset.join``: ``how`` ∈ {"inner", "semi", "left_anti"}; right
+    key columns are renamed onto the left key names; non-key column
+    names must not collide. "semi" keeps left rows whose key EXISTS on
+    the right (right side deduped inside the merge — callers can skip a
+    dedicated distinct exchange and just pre-thin the right side with a
+    per-batch local unique).
     """
     on = [on] if isinstance(on, str) else list(on)
     right_on = on if right_on is None else (
@@ -270,6 +273,8 @@ def hash_join(left, right, on: list[str] | str,
                 rdf = rdf.astype({c: "int64"})
         if how == "inner":
             return ldf.merge(rdf, on=on, how="inner")
+        if how == "semi":
+            return ldf.merge(rdf[on].drop_duplicates(), on=on, how="inner")
         if how == "left_anti":
             m = ldf.merge(rdf[on].drop_duplicates(), on=on,
                           how="left", indicator=True)

@@ -130,6 +130,16 @@ def pagerank(sf_dir: str, iters: int = PR_ITERS,
 
         def update(batch: pa.Table) -> pa.Table:
             contrib = batch["contrib"].to_numpy(zero_copy_only=False)
+            # contrib approaches |in-links|·scale for a hub; past
+            # (2^63-1)//damping_pct the int64 multiply would WRAP
+            # silently and diverge from the bigint oracle — fail loudly
+            # instead (recoverable by lowering PR_SCALE)
+            if len(contrib) and int(contrib.max()) > \
+                    (2**63 - 1) // damping_pct:
+                raise OverflowError(
+                    "pagerank contrib would overflow int64 in the "
+                    f"damping multiply (max contrib {int(contrib.max())}, "
+                    f"damping {damping_pct}); lower scale")
             return pa.table({
                 "d": batch["d"],
                 "deg": batch["deg"],

@@ -221,11 +221,17 @@ def orders_with_returns(sf_dir: str):
     returned = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"],
         filter=pads.field("l_returnflag") == "R")
-    keys = hash_aggregate(returned, "l_orderkey",
-                          {"n": ("l_orderkey", "count")}) \
-        .select_columns(["l_orderkey"])
+    # combiner: per-batch LOCAL distinct (same-order lineitems cluster
+    # within row groups, so most duplicate volume dies before the wire);
+    # the semi merge dedups the remainder co-located — no dedicated
+    # distinct exchange
+    keys = returned.map_batches(
+        lambda t: pa.table({"l_orderkey": pc.unique(
+            t.column("l_orderkey").combine_chunks())}),
+        batch_format="pyarrow", batch_size=131072)
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
-    hit = hash_join(orders, keys, on="o_orderkey", right_on="l_orderkey")
+    hit = hash_join(orders, keys, on="o_orderkey", right_on="l_orderkey",
+                    how="semi")
 
     def partial(batch: pa.Table) -> pa.Table:
         agg = batch.group_by("o_orderpriority",
@@ -254,9 +260,12 @@ def idle_customers(sf_dir: str, since: str = "1998-06-01"):
         f"{sf_dir}/orders.parquet", columns=["o_custkey"],
         filter=pads.field("o_orderdate")
         >= pa.scalar(np.datetime64(since, "us")))
-    okeys = hash_aggregate(
-        recent, "o_custkey",
-        {"n": ("o_custkey", "count")}).select_columns(["o_custkey"])
+    # combiner: per-batch LOCAL distinct; the anti merge dedups the
+    # remainder co-located — no dedicated distinct exchange
+    okeys = recent.map_batches(
+        lambda t: pa.table({"o_custkey": pc.unique(
+            t.column("o_custkey").combine_chunks())}),
+        batch_format="pyarrow", batch_size=131072)
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     idle = hash_join(cust, okeys, on="c_custkey", right_on="o_custkey",
                      how="left_anti")

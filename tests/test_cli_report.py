@@ -370,6 +370,28 @@ def test_cli_reference_style_js_config(tmp_path):
     assert payload["links"] == []
 
 
+def test_cli_silent_flag(tmp_path):
+    """--silent as a first-class CLI flag (src/cli.ts:607-620):
+    silent ⇒ verbosity ERROR (OK links suppressed from TEXT output),
+    and --silent + --verbosity is the same conflict as via config."""
+    fixture = fx.recurse()
+    corpus = str(tmp_path / "docs.parquet")
+    pq.write_table(fixture.documents, corpus)
+    ok = subprocess.run(
+        [sys.executable, "-m", "linkinator_ray.cli", corpus, "recurse/",
+         "--recurse", "--silent", "--skip", "example.invalid"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert ok.returncode == 0, ok.stderr
+    # ERROR verbosity: per-link OK lines filtered from the report body
+    assert "[200]" not in ok.stdout
+    conflict = subprocess.run(
+        [sys.executable, "-m", "linkinator_ray.cli", corpus, "recurse/",
+         "--silent", "--verbosity", "debug"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert conflict.returncode != 0
+    assert "SILENT and VERBOSITY" in conflict.stderr
+
+
 def test_cli_config_silent_verbosity_conflict(tmp_path):
     docs = fx.docs_table(fx.doc("s/index.html", fx.span("text", "", "x")))
     corpus = str(tmp_path / "docs.parquet")
