@@ -15,25 +15,40 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 class _SegmentLookup:
-    """Broadcast dimension lookup: the customer→segment map rides the
-    object store once (ray.put on the driver, ray.get in __init__ —
-    once per actor, never per batch)."""
+    """Broadcast dimension lookup: the customer→(key array, segment
+    array) pair rides the object store once (ray.put on the driver,
+    ray.get in __init__ — once per actor, never per batch). The probe
+    is pure Arrow: ``pc.index_in`` against the broadcast key array +
+    ``pc.take`` of the segment array (unmatched keys take the appended
+    UNKNOWN slot) — no pandas conversion, no per-row dict probes."""
 
     def __init__(self, seg_ref):
         try:
             import ray
-            self.seg = ray.get(seg_ref) if not isinstance(seg_ref, dict) else seg_ref
+            keys, vals = ray.get(seg_ref) \
+                if not isinstance(seg_ref, tuple) else seg_ref
         except Exception:
-            self.seg = seg_ref
+            keys, vals = seg_ref
+        import pyarrow as pa
+        self.keys = pa.array(keys, pa.int64())
+        self.vals = pa.array(list(vals) + ["UNKNOWN"], pa.string())
+        self.unknown_idx = len(keys)
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        seg = batch["user_id"].map(self.seg).fillna("UNKNOWN")
-        out = pd.DataFrame({
-            "mktsegment": seg,
-            "cents": np.floor(batch["value"].to_numpy() * 100).astype("int64"),
-        })
-        return out.groupby("mktsegment", as_index=False).agg(
-            n=("cents", "size"), total=("cents", "sum"))
+    def __call__(self, batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        idx = pc.fill_null(
+            pc.index_in(batch["user_id"], value_set=self.keys),
+            self.unknown_idx)
+        seg = pc.take(self.vals, idx)
+        cents = pc.cast(pc.floor(pc.multiply(
+            batch["value"], pa.scalar(100.0))), pa.int64())
+        t = pa.table({"mktsegment": seg, "cents": cents})
+        agg = t.group_by("mktsegment", use_threads=False).aggregate(
+            [("cents", "sum"), ([], "count_all")])
+        return pa.table({"mktsegment": agg["mktsegment"],
+                         "n": agg["count_all"],
+                         "total": agg["cents_sum"]})
 
 
 def events_by_segment(sf_dir: str):
@@ -44,15 +59,15 @@ def events_by_segment(sf_dir: str):
     from ray.data.aggregate import Sum
     customer = pq.read_table(f"{sf_dir}/customer.parquet",
                              columns=["c_custkey", "c_mktsegment"])
-    seg_map = dict(zip(customer["c_custkey"].to_pylist(),
-                       customer["c_mktsegment"].to_pylist()))
+    seg_pair = (customer["c_custkey"].to_pylist(),
+                customer["c_mktsegment"].to_pylist())
     try:
         import ray
-        seg_ref = ray.put(seg_map) if ray.is_initialized() else seg_map
+        seg_ref = ray.put(seg_pair) if ray.is_initialized() else seg_pair
     except Exception:
-        seg_ref = seg_map
+        seg_ref = seg_pair
     partials = _read(sf_dir, "events", ["user_id", "value"]).map_batches(
-        _SegmentLookup, batch_format="pandas", batch_size=16384,
+        _SegmentLookup, batch_format="pyarrow", batch_size=16384,
         concurrency=(1, 4), fn_constructor_kwargs={"seg_ref": seg_ref})
     from linkinator_ray.pipelines.dedup import _fanout
     return _fanout(partials).groupby("mktsegment").aggregate(

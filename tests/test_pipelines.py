@@ -255,6 +255,61 @@ def test_media_decode_real_is_gated():
         decode_real(b"xx", "image")
 
 
+def _make_wav(n_frames: int = 800, rate: int = 8000, freq: float = 440.0):
+    """Genuine 16-bit mono PCM WAV bytes (stdlib writer) + its samples."""
+    import io
+    import wave
+    t = np.arange(n_frames) / rate
+    samples = (np.sin(2 * np.pi * freq * t) * 12000).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.tobytes())
+    return buf.getvalue(), samples
+
+
+def test_media_decode_wav_real():
+    """The REAL audio path: a genuine WAV payload decodes to its true
+    frame count / rate / RMS (cross-checked against the raw samples)."""
+    from linkinator_ray.pipelines.multimodal import decode_real, decode_wav
+    payload, samples = _make_wav()
+    f = decode_wav(payload)
+    assert f["n_frames"] == len(samples)
+    assert f["sample_rate"] == 8000
+    assert f["n_channels"] == 1
+    assert f["duration_ms"] == len(samples) * 1000 // 8000
+    want_rms = int(round(float(np.sqrt(np.mean(
+        samples.astype(np.float64) ** 2))) * 1000))
+    assert f["rms_milli"] == want_rms
+    assert decode_real(payload, "audio") == f
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxWAVEgarbage")
+
+
+def test_media_decoder_real_wav_in_batch(ray_session):
+    """MediaDecoder detects a genuine WAV payload inside a batch and
+    emits REAL features for it while stub rows keep the deterministic
+    fake path (decoded_real flags which is which)."""
+    from linkinator_ray.pipelines.multimodal import MediaDecoder
+    payload, samples = _make_wav(n_frames=640)
+    stub = b"\x00" * 64
+    batch = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "kind": pa.array(["audio", "audio"], pa.string()),
+        "payload": pa.array([payload, stub], pa.binary()),
+    })
+    out = MediaDecoder(frame_sample_rate=4)(batch).to_pandas()
+    real = out[out["media_id"] == 1].iloc[0]
+    fake = out[out["media_id"] == 2].iloc[0]
+    assert bool(real["decoded_real"]) and not bool(fake["decoded_real"])
+    assert real["n_frames"] == 640
+    assert real["sampled_frames"] == 160
+    assert real["rms_milli"] > 0
+    assert fake["n_frames"] == 1 and fake["rms_milli"] == 0
+
+
 def test_rolling_fingerprint_edit_stability(ray_session, tmp_path):
     """Winnowing-style min-hash fingerprint should survive a small tail
     edit on a long doc (content-defined, not position-defined)."""
