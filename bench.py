@@ -200,6 +200,69 @@ def run_queries() -> dict:
     return timings
 
 
+def build_x10_corpus(src_dir: str) -> str:
+    """Deterministic 10× documents corpus under /tmp for the dedup
+    scale probe: copy 0 is the source; copies 1-9 re-id rows with a
+    +k*10^7 offset and append ~half-a-doc of per-copy unique tokens
+    (pushing 3-gram Jaccard vs the source below the 0.7 near-dup
+    threshold) UNLESS doc_id % 13 == k — those stay verbatim, planting
+    exact/near dup clusters at a realistic ~8% rate. Built once,
+    reused."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+    out_dir = os.path.join("/tmp", "linkinator_ray_x10_v2",
+                           src_dir.strip("/").replace("/", "_"))
+    marker = os.path.join(out_dir, "_SUCCESS")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    src = pq_.read_table(f"{src_dir}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source",
+                                  "n_chars"])
+    parts = [src]
+    ids = src["doc_id"].to_numpy()
+    texts = src["text"].to_pylist()
+    n_tok = [max(1, len(t.split()) // 2) for t in texts]
+    for k in range(1, 10):
+        keep = ids % 13 == k
+        new_text = [t if keep[i] else t + "".join(
+            f" u{k}q{ids[i]}x{j}" for j in range(n_tok[i]))
+                    for i, t in enumerate(texts)]
+        parts.append(pa.table({
+            "doc_id": pa.array(ids + k * 10_000_000, pa.int64()),
+            "text": pa.array(new_text, pa.string()),
+            "lang": src["lang"], "source": src["source"],
+            "n_chars": src["n_chars"]}))
+    pq_.write_table(pa.concat_tables(parts),
+                    os.path.join(out_dir, "documents.parquet"),
+                    row_group_size=4096)
+    open(marker, "w").close()
+    return out_dir
+
+
+def run_dedup_scale() -> dict:
+    """Scale probe: corpus_dedup_keep on a 10× sf corpus (sf0.1 → the
+    sf1.0-equivalent 500k docs). One timed run (no best-of — this is
+    the long-tail probe), with driver peak RSS recorded. The hot-bucket
+    count at this scale exceeds the auto threshold, so the run
+    exercises the partitioned+distributed (no-driver-state) path."""
+    import resource
+
+    import pyarrow.parquet as pq_
+
+    from linkinator_ray.pipelines import dedup
+    x10 = build_x10_corpus(SF_DIR)
+    n_input = pq_.read_metadata(
+        os.path.join(x10, "documents.parquet")).num_rows
+    t0 = time.time()
+    res = dedup.corpus_dedup_keep(x10)
+    sec = time.time() - t0
+    rss_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
+    return {"sec": round(sec, 3), "dropped_docs": len(res),
+            "input_docs": int(n_input),
+            "driver_rss_gb": round(rss_gb, 2)}
+
+
 def main() -> None:
     import ray
     ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
@@ -212,6 +275,10 @@ def main() -> None:
     crawl = run_crawl(NCPU)
     queries = run_queries()
     queries["crawl_synthetic"] = crawl["crawl_sec"]
+    dedup_scale = None
+    if os.environ.get("BENCH_DEDUP_SCALE", "1") != "0":
+        dedup_scale = run_dedup_scale()
+        queries["corpus_dedup_keep_x10"] = dedup_scale["sec"]
     out = {
         "metric": "synthetic multi-host crawl drain time "
                   f"({crawl['urls_checked']} URLs, {CRAWL_HOSTS} hosts)",
@@ -224,6 +291,8 @@ def main() -> None:
         "rounds": crawl["rounds"],
         "seen_urls": crawl["seen_urls"],
     }
+    if dedup_scale is not None:
+        out["dedup_scale_x10"] = dedup_scale
     ray.shutdown()
     print(json.dumps(out))
 

@@ -33,15 +33,26 @@ def read_docs(sf_dir: str, columns=None):
 
 
 def _fanout(ds):
-    """Repartition to ~CPU count before an all-to-all: Ray Data sizes its
-    shuffle off the input block count, and a single-file read gives one
-    block -> a serial shuffle (3x slower measured at sf0.1)."""
+    """Repartition to ~CPU count before an all-to-all or an expensive
+    map stage: Ray Data sizes its shuffle off the input block count,
+    and a single-file read gives one block -> a serial shuffle / a
+    one-actor map stage (23x slower measured on a 50k-doc single-file
+    corpus). Skipped when the read is already parallel (input file
+    count >= the target — the real-cluster case, where parquet arrives
+    as many files and the extra exchange would only cost)."""
     try:
         import ray
         n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
     except Exception:
         n = 8
-    return ds.repartition(min(32, max(4, n)))
+    target = min(32, max(4, n))
+    try:
+        files = ds.input_files()
+        if files and len(files) >= target:
+            return ds
+    except Exception:
+        pass
+    return ds.repartition(target)
 
 def dedup_exact(sf_dir: str):
     """Group identical texts; keep the lowest doc_id per group.
@@ -122,6 +133,62 @@ def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
     return np.unique(acc)
 
 
+def _shingle_flat(texts, n: int = 3):
+    """Batched ``_shingle_hashes``: per-doc UNIQUE shingle hashes laid
+    FLAT — returns (vals, offsets) with
+    ``vals[offsets[i]:offsets[i+1]] == _shingle_hashes(texts[i], n)``.
+
+    One rolling polynomial over the whole batch's concatenated token
+    hashes (windows crossing document boundaries masked out by
+    position), one lexsort for the per-doc unique — no per-document
+    numpy dispatch (the per-doc path pays ~0.25 ms/doc of small-array
+    overhead; this pays it once per batch)."""
+    from linkinator_ray.pipelines.text import _addmod_p, _mulmod_p
+    toks_per_doc = [_WS.split(t.strip()) if t and t.strip() else []
+                    for t in texts]
+    D = len(texts)
+    lens = np.fromiter((len(x) for x in toks_per_doc), np.int64, D)
+    th = _token_hashes([tok for toks in toks_per_doc for tok in toks])
+    tok_start = np.zeros(D + 1, np.int64)
+    np.cumsum(lens, out=tok_start[1:])
+    total = int(tok_start[-1])
+    vals_parts, doc_parts = [], []
+    if total >= n:
+        acc = np.zeros(total - n + 1, dtype=np.uint64)
+        for j in range(n):
+            acc = _addmod_p(acc, _mulmod_p(th[j:total - n + 1 + j],
+                                           _SHINGLE_POW[j]))
+        long_docs = np.flatnonzero(lens >= n)
+        if len(long_docs):
+            reps = lens[long_docs] - n + 1
+            cum = np.concatenate(([0], np.cumsum(reps)))
+            offs = np.arange(cum[-1]) - np.repeat(cum[:-1], reps)
+            pos = np.repeat(tok_start[long_docs], reps) + offs
+            vals_parts.append(acc[pos])
+            doc_parts.append(np.repeat(long_docs, reps))
+    for i in np.flatnonzero((lens > 0) & (lens < n)):  # rare short docs
+        s, m = int(tok_start[i]), int(lens[i])
+        a = np.zeros(1, dtype=np.uint64)
+        for j in range(m):
+            a = _addmod_p(a, _mulmod_p(th[s + j:s + j + 1],
+                                       _SHINGLE_POW[j]))
+        vals_parts.append(a)
+        doc_parts.append(np.array([i], dtype=np.int64))
+    offsets = np.zeros(D + 1, np.int64)
+    if not vals_parts:
+        return np.empty(0, np.uint64), offsets
+    vals = np.concatenate(vals_parts)
+    docs = np.concatenate(doc_parts)
+    order = np.lexsort((vals, docs))
+    vals, docs = vals[order], docs[order]
+    keep = np.empty(len(vals), bool)
+    keep[0] = True
+    keep[1:] = (docs[1:] != docs[:-1]) | (vals[1:] != vals[:-1])
+    vals, docs = vals[keep], docs[keep]
+    np.cumsum(np.bincount(docs, minlength=D), out=offsets[1:])
+    return vals, offsets
+
+
 class MinHasher:
     """num_perms universal-hash minhash signatures; permutation params
     built once per actor (seeded → deterministic across the cluster)."""
@@ -147,14 +214,56 @@ class MinHasher:
         return self.signature_from_shingles(_shingle_hashes(text, self.ngram))
 
     def signatures_batch(self, texts) -> np.ndarray:
-        return self.signatures_from_shingle_lists(
-            [_shingle_hashes(t, self.ngram) for t in texts])
+        return self.signatures_from_flat(*_shingle_flat(texts, self.ngram))
+
+    def signatures_from_flat(self, vals: np.ndarray,
+                             offsets: np.ndarray) -> np.ndarray:
+        """Signatures straight off the flat (vals, offsets) layout of
+        ``_shingle_flat`` — same unique+gather+reduceat pass as
+        ``signatures_from_shingle_lists`` without rebuilding per-doc
+        lists. Empty docs (zero shingles) keep the all-zeros signature."""
+        from linkinator_ray.pipelines.text import _addmod_p, _mulmod_p
+        D = len(offsets) - 1
+        out = np.zeros((D, self.num_perms), dtype=np.uint64)
+        counts = np.diff(offsets)
+        nonempty = np.flatnonzero(counts)
+        if not len(nonempty):
+            return out
+        budget = 65_536
+        # chunk nonempty docs by shingle budget; their vals regions are
+        # contiguous (empty docs occupy no space)
+        group: list[int] = []
+        acc = 0
+        chunks: list[list[int]] = []
+        for i in nonempty:
+            group.append(int(i))
+            acc += counts[i]
+            if acc >= budget:
+                chunks.append(group)
+                group, acc = [], 0
+        if group:
+            chunks.append(group)
+        for group in chunks:
+            lo = offsets[group[0]]
+            hi = offsets[group[-1] + 1]
+            hs = vals[lo:hi]
+            uniq, inv = np.unique(hs, return_inverse=True)
+            prod_u = _addmod_p(_mulmod_p(uniq[None, :], self.a[:, None]),
+                               self.b[:, None])
+            prod = prod_u[:, inv]
+            starts = (offsets[group] - lo).astype(np.int64)
+            mins = np.minimum.reduceat(prod, starts, axis=1)
+            out[group] = mins.T.astype(np.uint64)
+        return out
 
     def signatures_from_shingle_lists(self, shingle_lists) -> np.ndarray:
-        """Whole-batch signatures: concatenate every doc's shingles and
-        compute ONE (num_perms, total_shingles) universal hash, then a
-        segmented min per doc (minimum.reduceat) — one numpy pass for
-        the batch instead of a matmul per doc."""
+        """Whole-batch signatures: concatenate every doc's shingles,
+        DEDUPLICATE them across the batch (shingles repeat heavily
+        across documents — shared vocabulary alone gives 5-10x, dup
+        corpora more), compute the (num_perms, n_unique) universal hash
+        once, gather it back per position, then a segmented min per doc
+        (minimum.reduceat) — one numpy pass for the batch, field mulmod
+        paid per DISTINCT shingle only (12x measured at sf0.1)."""
         lengths = np.fromiter((len(s) for s in shingle_lists), np.int64,
                               len(shingle_lists))
         out = np.zeros((len(shingle_lists), self.num_perms),
@@ -179,8 +288,10 @@ class MinHasher:
         from linkinator_ray.pipelines.text import _addmod_p, _mulmod_p
         for group in chunks:
             hs = np.concatenate([shingle_lists[i] for i in group])
-            prod = _addmod_p(_mulmod_p(hs[None, :], self.a[:, None]),
-                             self.b[:, None])
+            uniq, inv = np.unique(hs, return_inverse=True)
+            prod_u = _addmod_p(_mulmod_p(uniq[None, :], self.a[:, None]),
+                               self.b[:, None])
+            prod = prod_u[:, inv]
             starts = np.concatenate(
                 ([0], np.cumsum(lengths[group])[:-1])).astype(np.int64)
             mins = np.minimum.reduceat(prod, starts, axis=1)
@@ -384,7 +495,9 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
         raise ValueError(f"cluster must be auto|driver|distributed: "
                          f"{cluster}")
     rows = num_perms // bands
-    docs = read_docs(sf_dir, ["doc_id", "text"])
+    # _fanout: a single-file read is ONE block, and one block feeds ONE
+    # actor — the signature stage (the expensive pass) would serialize
+    docs = _fanout(read_docs(sf_dir, ["doc_id", "text"]))
     sigs = docs.map_batches(MinHasher, batch_format="pandas",
                             batch_size=2048, concurrency=(1, 8),
                             fn_constructor_kwargs={"num_perms": num_perms,
@@ -607,6 +720,9 @@ class SimHasher:
         return int(self.bit_masks[votes > 0].sum())
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        # per-doc stays: the token-memo + small cache-hot bit matrices
+        # beat a whole-batch bit tensor (measured 10x — the (tokens, 64)
+        # uint64 broadcast temp is ~1 GB per 2.5M tokens)
         return pd.DataFrame({
             "doc_id": batch["doc_id"],
             "simhash": np.array([self.simhash(t) for t in batch["text"].fillna("")],
@@ -615,7 +731,8 @@ class SimHasher:
 
 
 def simhash_signatures(sf_dir: str):
-    return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+    # _fanout: single-file read = one block = one actor otherwise
+    return _fanout(read_docs(sf_dir, ["doc_id", "text"])).map_batches(
         SimHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 8))
 
 

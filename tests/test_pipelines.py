@@ -101,6 +101,27 @@ def test_minhash_finds_planted_neardups(ray_session, tmp_path):
     assert dist.values.tolist() == clusters.values.tolist()
 
 
+def test_shingle_flat_matches_per_doc():
+    """The flat batched shingle/signature kernel must be bit-identical
+    to the per-doc reference path across edge cases (empty, whitespace,
+    shorter-than-ngram, repeated-token docs)."""
+    import duckdb
+    from linkinator_ray.pipelines.dedup import (MinHasher, _shingle_flat,
+                                                _shingle_hashes)
+    texts = duckdb.sql(
+        f"SELECT text FROM '{SF}/documents.parquet' LIMIT 100").df()[
+        "text"].tolist()
+    cases = texts + ["", "   ", "one", "one two", "one two three",
+                     "a a a a", "\t\n"]
+    ref = [_shingle_hashes(t or "", 3) for t in cases]
+    vals, offsets = _shingle_flat(cases, 3)
+    for i in range(len(cases)):
+        assert np.array_equal(vals[offsets[i]:offsets[i + 1]], ref[i]), i
+    h = MinHasher(64, 3)
+    assert np.array_equal(h.signatures_from_shingle_lists(ref),
+                          h.signatures_batch(cases))
+
+
 def test_simhash_exact_dup_distance_zero(ray_session):
     from linkinator_ray.pipelines.dedup import SimHasher
     h = SimHasher()
