@@ -173,6 +173,7 @@ def run_queries() -> dict:
             SF_DIR, k=10, iters=5),
         "degree_stats": lambda: linkgraph.degree_stats(SF_DIR),
         "pagerank": lambda: linkgraph.pagerank(SF_DIR),
+        "pagerank_actors": lambda: linkgraph.pagerank_actors(SF_DIR),
     }
     if os.path.isdir(WARM_SF_DIR):
         global SF_DIR

@@ -171,3 +171,221 @@ def pagerank_reference(edges: list[tuple[int, int]], iters: int = PR_ITERS,
             contrib[v] += pr[u] // deg[u]
         pr = {v: base + contrib[v] * damping_pct // 100 for v in nodes}
     return pr
+
+
+# ---------------------------------------------------------------------------
+# Actor-partitioned PageRank — iterative algorithms without per-iteration
+# edge shuffles
+# ---------------------------------------------------------------------------
+
+def _owner_of(ids: np.ndarray, num_shards: int) -> np.ndarray:
+    """Node → shard assignment (splitmix64 mod P — balanced under
+    sequential doc_ids)."""
+    from linkinator_ray.pipelines.hashagg import _splitmix64
+    with np.errstate(over="ignore"):
+        return (_splitmix64(ids.astype(np.int64).view(np.uint64))
+                % np.uint64(num_shards)).astype(np.int64)
+
+
+def _make_graph_shard():
+    """Defined lazily so importing this module never requires Ray."""
+    import ray
+
+    @ray.remote
+    class GraphShard:
+        """One partition of the link graph, held resident across
+        PageRank iterations: local edges (every edge whose src this
+        shard OWNS), local out-degrees, and the rank vector of owned
+        nodes. Per iteration the only data on the wire is the
+        PRE-AGGREGATED (dst, contribution) rows — the edge list never
+        moves again after the one-time build scatter.
+
+        This is the documented raw-actor escape hatch (SURVEY §2.3 /
+        ray_guide): Ray Data has no persistent co-partitioning, so the
+        Dataset version of pagerank() re-partitions the full edge list
+        every iteration; at 10^10 edges that shuffle dwarfs the
+        rank-row traffic this design pays instead."""
+
+        def __init__(self, shard_id: int, num_shards: int):
+            self.shard_id = shard_id
+            self.P = num_shards
+            self._edge_parts: list = []    # (src, dst) arrays
+            self._node_parts: list = []    # announced owned node ids
+            self.n_edges_recv = 0
+            self.n_nodes_recv = 0
+            self._inbox: dict = {}         # iter -> list of (dst, c)
+            self._inbox_n: dict = {}       # iter -> senders heard
+
+        # ---- build ----
+        def add_edges(self, src: np.ndarray, dst: np.ndarray) -> None:
+            self._edge_parts.append((src, dst))
+            self.n_edges_recv += len(src)
+
+        def add_nodes(self, ids: np.ndarray) -> None:
+            self._node_parts.append(ids)
+            self.n_nodes_recv += len(ids)
+
+        def received(self) -> tuple:
+            return self.n_edges_recv, self.n_nodes_recv
+
+        def seal(self, scale: int) -> int:
+            """Freeze the partition: dedupe owned nodes, compute local
+            out-degrees, init ranks. Returns owned node count."""
+            if self._edge_parts:
+                self.src = np.concatenate([p[0] for p in self._edge_parts])
+                self.dst = np.concatenate([p[1] for p in self._edge_parts])
+            else:
+                self.src = np.empty(0, np.int64)
+                self.dst = np.empty(0, np.int64)
+            self._edge_parts = None
+            owned = [self.src] + self._node_parts
+            self._node_parts = None
+            self.nodes = np.unique(np.concatenate(owned)) if owned \
+                else np.empty(0, np.int64)
+            # local degree == global degree: ALL edges of an owned src
+            # live here (edges scattered by src owner)
+            if len(self.src):
+                su, sc = np.unique(self.src, return_counts=True)
+                deg = np.zeros(len(self.nodes), np.int64)
+                deg[np.searchsorted(self.nodes, su)] = sc
+            else:
+                deg = np.zeros(len(self.nodes), np.int64)
+            self.deg = deg
+            self.pr = np.full(len(self.nodes), scale, dtype=np.int64)
+            # pre-resolve per-edge src slot + per-edge dst owner
+            self.src_slot = np.searchsorted(self.nodes, self.src)
+            self.dst_owner = _owner_of(self.dst, self.P)
+            return len(self.nodes)
+
+        # ---- iterate ----
+        def send_contribs(self, it: int, peers: list) -> None:
+            """Compute local shares pr[src]//deg[src], pre-aggregate by
+            dst, and push one message per peer shard (empty messages
+            keep the barrier deterministic)."""
+            import ray
+            if len(self.src):
+                shares = self.pr[self.src_slot] // self.deg[self.src_slot]
+                order = np.argsort(self.dst, kind="stable")
+                d_s, c_s = self.dst[order], shares[order]
+                cut = np.empty(len(d_s), bool)
+                cut[0] = True
+                cut[1:] = d_s[1:] != d_s[:-1]
+                starts = np.flatnonzero(cut)
+                d_u = d_s[starts]
+                c_u = np.add.reduceat(c_s, starts)
+                own = _owner_of(d_u, self.P)
+            else:
+                d_u = np.empty(0, np.int64)
+                c_u = np.empty(0, np.int64)
+                own = np.empty(0, np.int64)
+            for p in range(self.P):
+                m = own == p
+                peers[p].receive_contribs.remote(it, self.shard_id,
+                                                 d_u[m], c_u[m])
+
+        def receive_contribs(self, it: int, sender: int,
+                             dst: np.ndarray, c: np.ndarray) -> None:
+            self._inbox.setdefault(it, []).append((dst, c))
+            self._inbox_n[it] = self._inbox_n.get(it, 0) + 1
+
+        def ready(self, it: int) -> bool:
+            return self._inbox_n.get(it, 0) >= self.P
+
+        def apply_update(self, it: int, base: int,
+                         damping_pct: int) -> None:
+            contrib = np.zeros(len(self.nodes), np.int64)
+            for dst, c in self._inbox.pop(it, []):
+                if len(dst):
+                    np.add.at(contrib, np.searchsorted(self.nodes, dst), c)
+            self._inbox_n.pop(it, None)
+            if len(contrib) and int(contrib.max()) > \
+                    (2**63 - 1) // damping_pct:
+                raise OverflowError("pagerank contrib would overflow "
+                                    "int64; lower scale")
+            self.pr = base + contrib * damping_pct // 100
+
+        def ranks(self) -> "pa.Table":
+            return pa.table({"doc_id": pa.array(self.nodes, pa.int64()),
+                             "pr": pa.array(self.pr, pa.int64())})
+
+    return GraphShard
+
+
+def pagerank_actors(sf_dir: str, iters: int = PR_ITERS,
+                    damping_pct: int = PR_DAMPING_PCT,
+                    scale: int = PR_SCALE, num_shards: int | None = None):
+    """PageRank over resident graph-shard actors: the edge list is
+    scattered by src-owner ONCE; each iteration exchanges only the
+    pre-aggregated (dst, contribution) rows between shards. Same exact
+    integer recurrence as ``pagerank()`` — bit-identical output
+    (pinned by test + the same DuckDB oracle).
+
+    Build-scatter barrier: routing tasks return per-shard row counts;
+    the driver polls each shard until its received counters match —
+    actor mailbox ordering is only per-sender, so a bare 'seal' RPC
+    could overtake in-flight scatter messages (same counter pattern as
+    state/mesh.py quiescence)."""
+    import time as _time
+
+    import ray
+    import ray.data as rd
+
+    from linkinator_ray.pipelines.hashagg import default_parts
+    P = num_shards or max(2, min(16, default_parts() // 2))
+    base = (100 - damping_pct) * scale // 100
+    GraphShard = _make_graph_shard()
+    shards = [GraphShard.remote(i, P) for i in range(P)]
+
+    edges = graph.extract_edges(sf_dir)
+
+    def scatter(batch: pa.Table) -> pa.Table:
+        src = batch["src_doc"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        dst = batch["dst_doc"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        e_cnt = np.zeros(P, np.int64)
+        n_cnt = np.zeros(P, np.int64)
+        so = _owner_of(src, P)
+        do = _owner_of(dst, P)
+        for p in range(P):
+            m = so == p
+            if m.any():
+                shards[p].add_edges.remote(src[m], dst[m])
+                e_cnt[p] = int(m.sum())
+            dm = do == p
+            if dm.any():
+                ids = np.unique(dst[dm])
+                shards[p].add_nodes.remote(ids)
+                n_cnt[p] = len(ids)
+        return pa.table({"shard": pa.array(np.arange(P)),
+                         "e": pa.array(e_cnt), "n": pa.array(n_cnt)})
+
+    sent = edges.map_batches(scatter, batch_format="pyarrow",
+                             batch_size=65536).to_pandas() \
+        .groupby("shard")[["e", "n"]].sum()
+    expected = {int(i): (int(r["e"]), int(r["n"]))
+                for i, r in sent.iterrows()}
+    deadline = _time.time() + 120
+    while True:
+        got = ray.get([s.received.remote() for s in shards])
+        if all(tuple(got[p]) == expected.get(p, (0, 0)) for p in range(P)):
+            break
+        if _time.time() > deadline:
+            raise TimeoutError(f"scatter barrier: {got} != {expected}")
+        _time.sleep(0.02)
+    ray.get([s.seal.remote(scale) for s in shards])
+
+    for it in range(iters):
+        ray.get([s.send_contribs.remote(it, shards) for s in shards])
+        deadline = _time.time() + 120
+        while not all(ray.get([s.ready.remote(it) for s in shards])):
+            if _time.time() > deadline:
+                raise TimeoutError(f"iteration {it} barrier")
+            _time.sleep(0.02)
+        ray.get([s.apply_update.remote(it, base, damping_pct)
+                 for s in shards])
+
+    tables = ray.get([s.ranks.remote() for s in shards])
+    for s in shards:
+        ray.kill(s)
+    return rd.from_arrow([t for t in tables if t.num_rows])

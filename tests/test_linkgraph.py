@@ -69,6 +69,21 @@ def test_pagerank_distributed_equals_reference(ray_session):
         assert int(got.loc[d]) == v, f"doc {d}: {got.loc[d]} != {v}"
 
 
+def test_pagerank_actors_equals_dataset(ray_session):
+    """The actor-partitioned variant (edges scattered once, only rank
+    contributions on the wire per iteration) must be BIT-IDENTICAL to
+    the Dataset version — same integer recurrence, different physical
+    plan. Exercised at two shard counts (partition-invariance)."""
+    from linkinator_ray.pipelines.linkgraph import pagerank, \
+        pagerank_actors
+    want = pagerank(SF, iters=4).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    for shards in (2, 5):
+        got = pagerank_actors(SF, iters=4, num_shards=shards).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert got.values.tolist() == want.values.tolist(), shards
+
+
 def test_pagerank_iteration_changes_ranks(ray_session):
     # guards against a silently-cached/unmaterialized loop: iters=0
     # is the uniform init, iters=4 must differ
