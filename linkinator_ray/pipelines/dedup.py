@@ -519,20 +519,30 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
         banded, ["band_id", "band_hash"],
         {"n": ("doc_id", "count"), "anchor": ("doc_id", "min")})
     hot_ds = counts.filter(expr="n > 1").select_columns(
-        ["band_id", "band_hash", "anchor"]).materialize()
+        ["band_id", "band_hash", "anchor", "n"]).materialize()
     n_hot = hot_ds.count()
+    # the auto-switch guards BOTH driver-state quantities: the
+    # hot-bucket count (the broadcast table) AND the candidate-pair
+    # bound Σ(n−1) over hot buckets (the pair set broadcast verify
+    # drains to the driver — one boilerplate text duplicated 5M times
+    # is only 16 hot buckets but 5M pairs)
+    n_cand = 0
+    if 0 < n_hot <= hot_bucket_threshold:
+        n_cand = int(hot_ds.to_pandas()["n"].sum()) - n_hot
+    driver_ok = n_hot <= hot_bucket_threshold \
+        and n_cand <= hot_bucket_threshold
     if verify == "auto":
-        verify = "broadcast" if n_hot <= hot_bucket_threshold \
-            else "partitioned"
+        verify = "broadcast" if driver_ok else "partitioned"
     if cluster == "auto":
-        cluster = "driver" if n_hot <= hot_bucket_threshold \
-            else "distributed"
+        cluster = "driver" if driver_ok else "distributed"
+    hot_keys = hot_ds.select_columns(["band_id", "band_hash", "anchor"])
     if verify == "partitioned":
         return _cluster_pairs(_minhash_verify_partitioned(
-            sf_dir, banded, hot_ds, ngram, threshold), cluster)
+            sf_dir, banded, hot_keys.materialize(), ngram, threshold),
+            cluster)
     if n_hot == 0:
         return _cluster_pairs(None, cluster)
-    hot = hot_ds.to_pandas()
+    hot = hot_keys.to_pandas()
     try:
         import ray
         _put = ray.put if ray.is_initialized() else (lambda x: x)
@@ -565,17 +575,19 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
             "sh": [_shingle_hashes(t or "", ngram) for t in batch["text"]],
         })
 
-    anchor_rows = rd.read_parquet(
+    anchor_rows = _fanout(rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-        filter=_ISIN(anchor_ids)).map_batches(
+        filter=_ISIN(anchor_ids))).map_batches(
         shingle_anchors, batch_format="pandas", batch_size=4096).to_pandas()
     anchor_sh = dict(zip(anchor_rows["doc_id"], anchor_rows["sh"]))
 
     # verify pass reads ONLY the member texts (doc_id filter pushed to
-    # the parquet read) — not a second full-corpus shingle pass
-    verified = rd.read_parquet(
+    # the parquet read) — not a second full-corpus shingle pass.
+    # _fanout: the filtered single-file read is still ONE block, and
+    # one block would feed ONE verify actor
+    verified = _fanout(rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
-        filter=_ISIN(member_ids)).map_batches(
+        filter=_ISIN(member_ids))).map_batches(
         _VerifyMembers, batch_format="pandas", batch_size=2048,
         concurrency=(1, 8),
         fn_constructor_kwargs={

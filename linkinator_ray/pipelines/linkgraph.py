@@ -42,6 +42,29 @@ PR_DAMPING_PCT = 85
 PR_ITERS = 4
 
 
+def _guard_contrib(contrib: np.ndarray, damping_pct: int) -> None:
+    """Fail loudly instead of diverging from the bigint oracle.
+
+    contrib approaches |in-links|·pr for a hub. Two wrap points: the
+    int64 SUM itself (pairwise wrap lands negative — checked via
+    min()<0; a double-wrap back to positive needs ≈2^64·pr of mass,
+    i.e. ≥2^24 MORE in-links past the first detection point), and the
+    damping multiply (checked against (2^63−1)//damping_pct). Both
+    recoverable by lowering PR_SCALE."""
+    if not len(contrib):
+        return
+    lo, hi = int(contrib.min()), int(contrib.max())
+    if lo < 0:
+        raise OverflowError(
+            "pagerank contribution SUM wrapped int64 (negative "
+            f"partial {lo}); lower scale")
+    if hi > (2**63 - 1) // damping_pct:
+        raise OverflowError(
+            "pagerank contrib would overflow int64 in the damping "
+            f"multiply (max contrib {hi}, damping {damping_pct}); "
+            "lower scale")
+
+
 def degree_stats(sf_dir: str):
     """(doc_id, out_deg, in_deg) over the distinct extracted edge set.
 
@@ -130,16 +153,7 @@ def pagerank(sf_dir: str, iters: int = PR_ITERS,
 
         def update(batch: pa.Table) -> pa.Table:
             contrib = batch["contrib"].to_numpy(zero_copy_only=False)
-            # contrib approaches |in-links|·scale for a hub; past
-            # (2^63-1)//damping_pct the int64 multiply would WRAP
-            # silently and diverge from the bigint oracle — fail loudly
-            # instead (recoverable by lowering PR_SCALE)
-            if len(contrib) and int(contrib.max()) > \
-                    (2**63 - 1) // damping_pct:
-                raise OverflowError(
-                    "pagerank contrib would overflow int64 in the "
-                    f"damping multiply (max contrib {int(contrib.max())}, "
-                    f"damping {damping_pct}); lower scale")
+            _guard_contrib(contrib, damping_pct)
             return pa.table({
                 "d": batch["d"],
                 "deg": batch["deg"],
@@ -187,6 +201,18 @@ def _owner_of(ids: np.ndarray, num_shards: int) -> np.ndarray:
                 % np.uint64(num_shards)).astype(np.int64)
 
 
+def _batch_checksum(src: np.ndarray, dst: np.ndarray) -> int:
+    """Content checksum of one scatter batch. Batches partition the
+    globally-DISTINCT edge set, so batch contents never repeat and the
+    checksum is a valid idempotency key (collision odds ~2^-64 — the
+    same trust level as the documented cuckoo budget)."""
+    from linkinator_ray.pipelines.hashagg import _splitmix64
+    with np.errstate(over="ignore"):
+        h = _splitmix64(src.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                        + dst.view(np.uint64))
+        return int(h.sum(dtype=np.uint64))
+
+
 def _make_graph_shard():
     """Defined lazily so importing this module never requires Ray."""
     import ray
@@ -204,24 +230,36 @@ def _make_graph_shard():
         ray_guide): Ray Data has no persistent co-partitioning, so the
         Dataset version of pagerank() re-partitions the full edge list
         every iteration; at 10^10 edges that shuffle dwarfs the
-        rank-row traffic this design pays instead."""
+        rank-row traffic this design pays instead.
+
+        Every build message carries an idempotency key (content
+        checksum of its source batch): Ray Data map tasks RETRY, and a
+        retried scatter task re-sends its messages — duplicates are
+        dropped here so the exact-count barrier stays satisfiable."""
 
         def __init__(self, shard_id: int, num_shards: int):
             self.shard_id = shard_id
             self.P = num_shards
             self._edge_parts: list = []    # (src, dst) arrays
             self._node_parts: list = []    # announced owned node ids
+            self._seen_keys: set = set()
             self.n_edges_recv = 0
             self.n_nodes_recv = 0
             self._inbox: dict = {}         # iter -> list of (dst, c)
             self._inbox_n: dict = {}       # iter -> senders heard
 
         # ---- build ----
-        def add_edges(self, src: np.ndarray, dst: np.ndarray) -> None:
+        def add_edges(self, key, src: np.ndarray, dst: np.ndarray) -> None:
+            if key in self._seen_keys:
+                return                     # retried scatter task
+            self._seen_keys.add(key)
             self._edge_parts.append((src, dst))
             self.n_edges_recv += len(src)
 
-        def add_nodes(self, ids: np.ndarray) -> None:
+        def add_nodes(self, key, ids: np.ndarray) -> None:
+            if key in self._seen_keys:
+                return
+            self._seen_keys.add(key)
             self._node_parts.append(ids)
             self.n_nodes_recv += len(ids)
 
@@ -230,7 +268,11 @@ def _make_graph_shard():
 
         def seal(self, scale: int) -> int:
             """Freeze the partition: dedupe owned nodes, compute local
-            out-degrees, init ranks. Returns owned node count."""
+            out-degrees, init ranks, and precompute every
+            ITERATION-INVARIANT piece of the contribution exchange
+            (dst sort order, group starts, per-peer destination
+            slices) — send_contribs then does no sorting at all.
+            Returns the owned node count."""
             if self._edge_parts:
                 self.src = np.concatenate([p[0] for p in self._edge_parts])
                 self.dst = np.concatenate([p[1] for p in self._edge_parts])
@@ -240,48 +282,54 @@ def _make_graph_shard():
             self._edge_parts = None
             owned = [self.src] + self._node_parts
             self._node_parts = None
+            self._seen_keys = None
             self.nodes = np.unique(np.concatenate(owned)) if owned \
                 else np.empty(0, np.int64)
             # local degree == global degree: ALL edges of an owned src
             # live here (edges scattered by src owner)
+            deg = np.zeros(len(self.nodes), np.int64)
             if len(self.src):
                 su, sc = np.unique(self.src, return_counts=True)
-                deg = np.zeros(len(self.nodes), np.int64)
                 deg[np.searchsorted(self.nodes, su)] = sc
-            else:
-                deg = np.zeros(len(self.nodes), np.int64)
             self.deg = deg
             self.pr = np.full(len(self.nodes), scale, dtype=np.int64)
-            # pre-resolve per-edge src slot + per-edge dst owner
-            self.src_slot = np.searchsorted(self.nodes, self.src)
-            self.dst_owner = _owner_of(self.dst, self.P)
+            # iteration-invariant exchange plan: edges sorted by dst,
+            # one (dst, start) group table, per-peer group index ranges
+            order = np.argsort(self.dst, kind="stable")
+            self.src_slot = np.searchsorted(self.nodes, self.src)[order]
+            d_s = self.dst[order]
+            if len(d_s):
+                cut = np.empty(len(d_s), bool)
+                cut[0] = True
+                cut[1:] = d_s[1:] != d_s[:-1]
+                self.grp_starts = np.flatnonzero(cut)
+                self.d_u = d_s[self.grp_starts]
+                own = _owner_of(self.d_u, self.P)
+                self.peer_groups = [np.flatnonzero(own == p)
+                                    for p in range(self.P)]
+            else:
+                self.grp_starts = np.empty(0, np.int64)
+                self.d_u = np.empty(0, np.int64)
+                self.peer_groups = [np.empty(0, np.int64)
+                                    for _ in range(self.P)]
+            self.src = None
+            self.dst = None
             return len(self.nodes)
 
         # ---- iterate ----
         def send_contribs(self, it: int, peers: list) -> None:
-            """Compute local shares pr[src]//deg[src], pre-aggregate by
-            dst, and push one message per peer shard (empty messages
-            keep the barrier deterministic)."""
-            import ray
-            if len(self.src):
+            """Shares pr[src]//deg[src] in precomputed dst order, one
+            reduceat over the precomputed group starts, one message per
+            peer shard (empty messages keep the barrier deterministic)."""
+            if len(self.grp_starts):
                 shares = self.pr[self.src_slot] // self.deg[self.src_slot]
-                order = np.argsort(self.dst, kind="stable")
-                d_s, c_s = self.dst[order], shares[order]
-                cut = np.empty(len(d_s), bool)
-                cut[0] = True
-                cut[1:] = d_s[1:] != d_s[:-1]
-                starts = np.flatnonzero(cut)
-                d_u = d_s[starts]
-                c_u = np.add.reduceat(c_s, starts)
-                own = _owner_of(d_u, self.P)
+                c_u = np.add.reduceat(shares, self.grp_starts)
             else:
-                d_u = np.empty(0, np.int64)
                 c_u = np.empty(0, np.int64)
-                own = np.empty(0, np.int64)
             for p in range(self.P):
-                m = own == p
+                g = self.peer_groups[p]
                 peers[p].receive_contribs.remote(it, self.shard_id,
-                                                 d_u[m], c_u[m])
+                                                 self.d_u[g], c_u[g])
 
         def receive_contribs(self, it: int, sender: int,
                              dst: np.ndarray, c: np.ndarray) -> None:
@@ -298,10 +346,7 @@ def _make_graph_shard():
                 if len(dst):
                     np.add.at(contrib, np.searchsorted(self.nodes, dst), c)
             self._inbox_n.pop(it, None)
-            if len(contrib) and int(contrib.max()) > \
-                    (2**63 - 1) // damping_pct:
-                raise OverflowError("pagerank contrib would overflow "
-                                    "int64; lower scale")
+            _guard_contrib(contrib, damping_pct)
             self.pr = base + contrib * damping_pct // 100
 
         def ranks(self) -> "pa.Table":
@@ -324,7 +369,10 @@ def pagerank_actors(sf_dir: str, iters: int = PR_ITERS,
     the driver polls each shard until its received counters match —
     actor mailbox ordering is only per-sender, so a bare 'seal' RPC
     could overtake in-flight scatter messages (same counter pattern as
-    state/mesh.py quiescence)."""
+    state/mesh.py quiescence). Scatter messages carry content-checksum
+    idempotency keys so a RETRIED map task cannot double-count.
+    Shards are killed in a finally block — a failed run leaves no
+    resident graph copies behind."""
     import time as _time
 
     import ray
@@ -335,57 +383,61 @@ def pagerank_actors(sf_dir: str, iters: int = PR_ITERS,
     base = (100 - damping_pct) * scale // 100
     GraphShard = _make_graph_shard()
     shards = [GraphShard.remote(i, P) for i in range(P)]
+    try:
+        edges = graph.extract_edges(sf_dir)
 
-    edges = graph.extract_edges(sf_dir)
+        def scatter(batch: pa.Table) -> pa.Table:
+            src = batch["src_doc"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            dst = batch["dst_doc"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            key = _batch_checksum(src, dst)
+            e_cnt = np.zeros(P, np.int64)
+            n_cnt = np.zeros(P, np.int64)
+            so = _owner_of(src, P)
+            do = _owner_of(dst, P)
+            for p in range(P):
+                m = so == p
+                if m.any():
+                    shards[p].add_edges.remote((key, "e", p), src[m],
+                                               dst[m])
+                    e_cnt[p] = int(m.sum())
+                dm = do == p
+                if dm.any():
+                    ids = np.unique(dst[dm])
+                    shards[p].add_nodes.remote((key, "n", p), ids)
+                    n_cnt[p] = len(ids)
+            return pa.table({"shard": pa.array(np.arange(P)),
+                             "e": pa.array(e_cnt), "n": pa.array(n_cnt)})
 
-    def scatter(batch: pa.Table) -> pa.Table:
-        src = batch["src_doc"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        dst = batch["dst_doc"].to_numpy(zero_copy_only=False) \
-            .astype(np.int64)
-        e_cnt = np.zeros(P, np.int64)
-        n_cnt = np.zeros(P, np.int64)
-        so = _owner_of(src, P)
-        do = _owner_of(dst, P)
-        for p in range(P):
-            m = so == p
-            if m.any():
-                shards[p].add_edges.remote(src[m], dst[m])
-                e_cnt[p] = int(m.sum())
-            dm = do == p
-            if dm.any():
-                ids = np.unique(dst[dm])
-                shards[p].add_nodes.remote(ids)
-                n_cnt[p] = len(ids)
-        return pa.table({"shard": pa.array(np.arange(P)),
-                         "e": pa.array(e_cnt), "n": pa.array(n_cnt)})
-
-    sent = edges.map_batches(scatter, batch_format="pyarrow",
-                             batch_size=65536).to_pandas() \
-        .groupby("shard")[["e", "n"]].sum()
-    expected = {int(i): (int(r["e"]), int(r["n"]))
-                for i, r in sent.iterrows()}
-    deadline = _time.time() + 120
-    while True:
-        got = ray.get([s.received.remote() for s in shards])
-        if all(tuple(got[p]) == expected.get(p, (0, 0)) for p in range(P)):
-            break
-        if _time.time() > deadline:
-            raise TimeoutError(f"scatter barrier: {got} != {expected}")
-        _time.sleep(0.02)
-    ray.get([s.seal.remote(scale) for s in shards])
-
-    for it in range(iters):
-        ray.get([s.send_contribs.remote(it, shards) for s in shards])
+        sent = edges.map_batches(scatter, batch_format="pyarrow",
+                                 batch_size=65536).to_pandas() \
+            .groupby("shard")[["e", "n"]].sum()
+        expected = {int(i): (int(r["e"]), int(r["n"]))
+                    for i, r in sent.iterrows()}
         deadline = _time.time() + 120
-        while not all(ray.get([s.ready.remote(it) for s in shards])):
+        while True:
+            got = ray.get([s.received.remote() for s in shards])
+            if all(tuple(got[p]) == expected.get(p, (0, 0))
+                   for p in range(P)):
+                break
             if _time.time() > deadline:
-                raise TimeoutError(f"iteration {it} barrier")
+                raise TimeoutError(f"scatter barrier: {got} != {expected}")
             _time.sleep(0.02)
-        ray.get([s.apply_update.remote(it, base, damping_pct)
-                 for s in shards])
+        ray.get([s.seal.remote(scale) for s in shards])
 
-    tables = ray.get([s.ranks.remote() for s in shards])
-    for s in shards:
-        ray.kill(s)
+        for it in range(iters):
+            ray.get([s.send_contribs.remote(it, shards) for s in shards])
+            deadline = _time.time() + 120
+            while not all(ray.get([s.ready.remote(it) for s in shards])):
+                if _time.time() > deadline:
+                    raise TimeoutError(f"iteration {it} barrier")
+                _time.sleep(0.02)
+            ray.get([s.apply_update.remote(it, base, damping_pct)
+                     for s in shards])
+
+        tables = ray.get([s.ranks.remote() for s in shards])
+    finally:
+        for s in shards:
+            ray.kill(s)
     return rd.from_arrow([t for t in tables if t.num_rows])

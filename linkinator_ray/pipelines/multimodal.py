@@ -131,12 +131,15 @@ class MediaDecoder:
         n_frames = np.where(np.asarray(kinds) == "video",
                             (n_bytes // 32), 1).astype(np.int64)
         sampled = np.maximum(1, n_frames // self.frame_sample_rate)
-        # REAL decode for genuine WAV payloads (RIFF magic): frame
-        # count and RMS come from the actual PCM stream, not the stub
+        # REAL decode for genuine WAV payloads — gated on kind=='audio'
+        # AND the RIFF magic: a video/image row whose bytes happen to
+        # carry WAVE must keep its declared-kind semantics (the n_frames
+        # contract differs per kind)
         rms_milli = np.zeros(len(payloads), dtype=np.int64)
         decoded_real = np.zeros(len(payloads), dtype=bool)
         for i, p in enumerate(payloads):
-            if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+            if kinds[i] == "audio" and p[:4] == b"RIFF" \
+                    and p[8:12] == b"WAVE":
                 try:
                     f = decode_wav(p)
                 except ValueError:
