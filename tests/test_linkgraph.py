@@ -84,6 +84,20 @@ def test_pagerank_actors_equals_dataset(ray_session):
         assert got.values.tolist() == want.values.tolist(), shards
 
 
+def test_guard_contrib_detects_wraps():
+    """Both overflow modes fail loudly: a wrapped-negative SUM partial
+    and a contrib too large for the damping multiply."""
+    import numpy as np
+    import pytest as _pytest
+    from linkinator_ray.pipelines.linkgraph import _guard_contrib
+    _guard_contrib(np.array([0, 10**15], dtype=np.int64), 85)  # fine
+    with _pytest.raises(OverflowError, match="wrapped"):
+        _guard_contrib(np.array([5, -3], dtype=np.int64), 85)
+    with _pytest.raises(OverflowError, match="damping"):
+        _guard_contrib(np.array([(2**63 - 1) // 85 + 1], dtype=np.int64),
+                       85)
+
+
 def test_pagerank_iteration_changes_ranks(ray_session):
     # guards against a silently-cached/unmaterialized loop: iters=0
     # is the uniform init, iters=4 must differ

@@ -187,6 +187,32 @@ def test_minhash_auto_threshold_both_ways(ray_session):
     assert norm(low) == norm(high)
 
 
+def test_minhash_pair_bound_auto_switch(ray_session, tmp_path):
+    """A pair-bomb corpus (one text duplicated N times = few hot
+    buckets but ~N candidate pairs) must auto-route to the
+    partitioned+distributed path once the PAIR bound exceeds the
+    threshold — and still cluster every copy together."""
+    import pyarrow.parquet as pq
+    from linkinator_ray.pipelines.dedup import dedup_minhash
+    n = 300
+    rows = [{"doc_id": i, "text": "the same boilerplate text in every doc"}
+            for i in range(n)]
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(d / "documents.parquet"))
+    # few hot buckets (16) but ~299 pairs > 100 ⇒ partitioned+distributed
+    out = dedup_minhash(str(d), threshold=0.7, hot_bucket_threshold=100)
+    assert not isinstance(out, pa.Table)  # Dataset ⇒ distributed tail ran
+    df = out.to_pandas()
+    assert len(df) == n
+    assert set(df["cluster_id"]) == {0}
+    # forced broadcast on the same corpus agrees exactly
+    bc = dedup_minhash(str(d), threshold=0.7, verify="broadcast",
+                       cluster="driver").to_pandas()
+    assert df.sort_values("doc_id").values.tolist() == \
+        bc.sort_values("doc_id").values.tolist()
+
+
 def test_knn_bruteforce_self_nearest(ray_session):
     from linkinator_ray.pipelines.similarity import knn_bruteforce
     df = knn_bruteforce(SF, k=5, num_queries=3).to_pandas()
