@@ -243,6 +243,7 @@ def _make_graph_shard():
             self._edge_parts: list = []    # (src, dst) arrays
             self._node_parts: list = []    # announced owned node ids
             self._seen_keys: set = set()
+            self._sealed = False
             self.n_edges_recv = 0
             self.n_nodes_recv = 0
             self._inbox: dict = {}         # iter -> list of (dst, c)
@@ -250,14 +251,17 @@ def _make_graph_shard():
 
         # ---- build ----
         def add_edges(self, key, src: np.ndarray, dst: np.ndarray) -> None:
-            if key in self._seen_keys:
-                return                     # retried scatter task
+            # post-seal arrivals can only be retry duplicates: the
+            # exact-count barrier already accounted for every unique
+            # batch before seal ran
+            if self._sealed or key in self._seen_keys:
+                return
             self._seen_keys.add(key)
             self._edge_parts.append((src, dst))
             self.n_edges_recv += len(src)
 
         def add_nodes(self, key, ids: np.ndarray) -> None:
-            if key in self._seen_keys:
+            if self._sealed or key in self._seen_keys:
                 return
             self._seen_keys.add(key)
             self._node_parts.append(ids)
@@ -283,6 +287,7 @@ def _make_graph_shard():
             owned = [self.src] + self._node_parts
             self._node_parts = None
             self._seen_keys = None
+            self._sealed = True
             self.nodes = np.unique(np.concatenate(owned)) if owned \
                 else np.empty(0, np.int64)
             # local degree == global degree: ALL edges of an owned src
