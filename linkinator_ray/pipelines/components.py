@@ -47,17 +47,11 @@ import pyarrow as pa
 
 from linkinator_ray.pipelines.dedup import read_docs, _fanout, _explode_chunks
 from linkinator_ray.pipelines.hashagg import (
-    hash_partition_apply, hash_aggregate, hash_join, default_parts)
+    hash_partition_apply, hash_aggregate, hash_join, default_parts,
+    _splitmix64 as _splitmix_np)
 
 _EMPTY_EDGES = pd.DataFrame({"u": pd.Series(dtype="int64"),
                              "v": pd.Series(dtype="int64")})
-
-
-def _splitmix_np(z: np.ndarray) -> np.ndarray:
-    z = z + np.uint64(0x9E3779B97F4A7C15)
-    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
-    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
-    return z ^ (z >> np.uint64(31))
 
 
 def _edge_stats(edges) -> tuple[int, int]:

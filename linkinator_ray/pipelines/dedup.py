@@ -31,6 +31,20 @@ def read_docs(sf_dir: str, columns=None):
 # ---------------------------------------------------------------------------
 
 
+def _md5_text_hash_kernel(batch: pa.Table) -> pa.Table:
+    """(doc_id, text_hash=md5-hex) — the shared exact-dedup hash kernel
+    of dedup_exact and corpus_dedup_drops (one definition so the drop
+    set and the keeper set can never disagree on the hash)."""
+    text = batch.column("text")
+    if text.null_count:
+        text = text.fill_null("")
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "text_hash": pa.array([hashlib.md5(t.encode()).hexdigest()
+                               for t in text.to_pylist()], pa.string()),
+    })
+
+
 
 def _fanout(ds):
     """Repartition to ~CPU count before an all-to-all or an expensive
@@ -40,12 +54,8 @@ def _fanout(ds):
     corpus). Skipped when the read is already parallel (input file
     count >= the target — the real-cluster case, where parquet arrives
     as many files and the extra exchange would only cost)."""
-    try:
-        import ray
-        n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    except Exception:
-        n = 8
-    target = min(32, max(4, n))
+    from linkinator_ray.pipelines.hashagg import default_parts
+    target = default_parts(cap=32)
     try:
         files = ds.input_files()
         if files and len(files) >= target:
@@ -59,18 +69,8 @@ def dedup_exact(sf_dir: str):
 
     Output: (keeper_doc_id, dup_count) one row per distinct text.
     """
-    def hash_kernel(batch: pa.Table) -> pa.Table:
-        text = batch.column("text")
-        if text.null_count:
-            text = text.fill_null("")
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "text_hash": pa.array([hashlib.md5(t.encode()).hexdigest()
-                                   for t in text.to_pylist()], pa.string()),
-        })
-
     hashed = read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        hash_kernel, batch_format="pyarrow", batch_size=8192)
+        _md5_text_hash_kernel, batch_format="pyarrow", batch_size=8192)
     from linkinator_ray.pipelines.hashagg import hash_aggregate
     out = hash_aggregate(hashed, "text_hash",
                          {"keeper_doc_id": ("doc_id", "min"),
@@ -494,6 +494,11 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
     if cluster not in ("auto", "driver", "distributed"):
         raise ValueError(f"cluster must be auto|driver|distributed: "
                          f"{cluster}")
+    if bands <= 0 or num_perms % bands != 0:
+        # validate BEFORE the expensive signature pass — an invalid
+        # combination otherwise dies in a reshape deep inside a map task
+        raise ValueError(f"bands must divide num_perms: "
+                         f"num_perms={num_perms}, bands={bands}")
     rows = num_perms // bands
     # _fanout: a single-file read is ONE block, and one block feeds ONE
     # actor — the signature stage (the expensive pass) would serialize
@@ -640,12 +645,21 @@ def _minhash_verify_partitioned(sf_dir: str, banded, hot, ngram: int,
                         num_parts=parts)
 
     def verify_kernel(t: pa.Table) -> pa.Table:
+        # per-batch shingle memo: a hot anchor appears in MANY pairs of
+        # one batch — shingle each distinct doc once, not once per pair
+        memo: dict[int, np.ndarray] = {}
+
+        def sh(doc_id: int, text) -> np.ndarray:
+            s = memo.get(doc_id)
+            if s is None:
+                s = memo[doc_id] = _shingle_hashes(text or "", ngram)
+            return s
+
         a_out, b_out = [], []
         for a, b, ta, tb in zip(t["a"].to_pylist(), t["b"].to_pylist(),
                                 t["text_a"].to_pylist(),
                                 t["text"].to_pylist()):
-            if _jaccard(_shingle_hashes(ta or "", ngram),
-                        _shingle_hashes(tb or "", ngram)) >= threshold:
+            if _jaccard(sh(a, ta), sh(b, tb)) >= threshold:
                 a_out.append(a)
                 b_out.append(b)
         return pa.table({"a": pa.array(a_out, pa.int64()),
@@ -939,14 +953,6 @@ def corpus_dedup_drops(sf_dir: str, threshold: float = 0.7):
     from linkinator_ray.pipelines.hashagg import (hash_aggregate,
                                                   hash_partition_apply)
 
-    def hash_kernel(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").fill_null("").to_pylist()
-        return pa.table({
-            "doc_id": batch.column("doc_id"),
-            "text_hash": pa.array([hashlib.md5(t.encode()).hexdigest()
-                                   for t in texts], pa.string()),
-        })
-
     def exact_drops_part(part: pd.DataFrame) -> pd.DataFrame:
         gmin = part.groupby("text_hash")["doc_id"].transform("min")
         out = part.loc[part["doc_id"] != gmin, ["doc_id"]].copy()
@@ -954,7 +960,7 @@ def corpus_dedup_drops(sf_dir: str, threshold: float = 0.7):
         return out
 
     hashed = read_docs(sf_dir, ["doc_id", "text"]).map_batches(
-        hash_kernel, batch_format="pyarrow", batch_size=8192)
+        _md5_text_hash_kernel, batch_format="pyarrow", batch_size=8192)
     exact_drops = hash_partition_apply(hashed, "text_hash",
                                        exact_drops_part)
 
@@ -1121,9 +1127,14 @@ def _explode_chunks(batch: pa.Table, W: int, payload: str) -> pa.Table:
     # chunk boundaries are run starts (tokens of one chunk are
     # contiguous): vectorized per-chunk join via a ListArray view
     bounds = np.flatnonzero(j % W == 0)
-    offsets = np.append(bounds, total).astype(np.int32)
+    # int64 offsets (LargeListArray): a batch whose total token count
+    # exceeds 2^31 would wrap int32 offsets negative and crash
+    offsets = np.append(bounds, total).astype(np.int64)
     chunks = pc.binary_join(
-        pa.ListArray.from_arrays(pa.array(offsets), flat), " ")
+        pa.LargeListArray.from_arrays(
+            pa.array(offsets, pa.int64()), flat), " ")
+    if chunks.type != pa.string():  # keep block schemas stable
+        chunks = chunks.cast(pa.string())
     parents = np.asarray(pc.list_parent_indices(lst).to_numpy(
         zero_copy_only=False), dtype=np.int64)
     doc_np = np.asarray(batch.column("doc_id").to_numpy(

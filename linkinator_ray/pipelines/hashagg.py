@@ -72,7 +72,12 @@ def _part_of_table(t: pa.Table, keys: list[str], num_parts: int) -> pa.Array:
                     col = col.fill_null(0)
                 v = np.asarray(col.to_numpy(zero_copy_only=False))
                 if v.dtype.kind == "f":
-                    kh = _splitmix64(v.astype(np.float64).view(np.uint64))
+                    # canonicalize before bit-pattern hashing: pandas
+                    # groups -0.0 with 0.0 (+0.0 addition normalizes
+                    # the sign) and treats every NaN as one key
+                    v = v.astype(np.float64) + 0.0
+                    v[np.isnan(v)] = np.nan
+                    kh = _splitmix64(v.view(np.uint64))
                 else:
                     kh = _splitmix64(
                         v.astype(np.int64, copy=False).view(np.uint64))
