@@ -895,16 +895,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT doc_id, sh, band_id,
                        (sh >> (16 * band_id)) & 65535 AS band_hash
                 FROM sig, (SELECT unnest(range(4)) AS band_id) b
-            ), anch AS (
-                SELECT band_id, band_hash, min(doc_id) AS anchor
-                FROM band GROUP BY band_id, band_hash
             ), pairs AS (
-                SELECT DISTINCT a.anchor AS u, m.doc_id AS v
-                FROM band m
-                JOIN anch a USING (band_id, band_hash)
-                JOIN sig asig ON asig.doc_id = a.anchor
-                WHERE m.doc_id <> a.anchor
-                  AND bit_count(xor(m.sh, asig.sh)) <= 3
+                -- within-bucket ALL PAIRS: preserves the pigeonhole
+                -- recall guarantee (anchor pairing drops near-dups
+                -- whose bucket min is an unrelated 16-bit collision)
+                SELECT DISTINCT m1.doc_id AS u, m2.doc_id AS v
+                FROM band m1
+                JOIN band m2 USING (band_id, band_hash)
+                WHERE m1.doc_id < m2.doc_id
+                  AND bit_count(xor(m1.sh, m2.sh)) <= 3
             ), e AS (
                 SELECT u, v FROM pairs UNION SELECT v, u FROM pairs
             ), walk(n, reach) AS (

@@ -763,10 +763,21 @@ def simhash_signatures(sf_dir: str):
 
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 3,
-                  cluster: str = "driver"):
+                  cluster: str = "driver", bucket_cap: int = 512):
     """SimHash near-dup via 4-band LSH (any identical 16-bit band ⇒
-    candidate; Hamming ≤ max_hamming over ≤3-bit-different docs is
-    guaranteed caught by pigeonhole).
+    candidate; pigeonhole: two docs with Hamming ≤ 3 share at least one
+    clean band).
+
+    Within each bucket ALL PAIRS are Hamming-verified (vectorized
+    triu XOR+popcount), which preserves the pigeonhole recall
+    guarantee exactly — anchor-star pairing would silently drop a
+    near-dup pair whenever the bucket's min-doc anchor is an unrelated
+    16-bit collision (common at ≥1M docs: each band has only 65536
+    values). Buckets larger than ``bucket_cap`` fall back to
+    anchor-star (k² work bounded; recall above the cap is best-effort
+    and DOCUMENTED — a 512-member 16-bit bucket at realistic scale is
+    dominated by true duplicates, which the star still catches
+    transitively through the cluster step).
 
     Verified pairs are filtered IN the bucket partitions (never a
     driver pair list) and cluster through the same ``_cluster_pairs``
@@ -792,29 +803,63 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3,
 
     banded = sigs.map_batches(bands, batch_format="pandas", batch_size=8192)
 
-    def bucket_pairs_part(part: pd.DataFrame) -> pd.DataFrame:
-        # anchor pairing — every member vs its bucket minimum — fully
-        # vectorized across the partition's buckets: sort, groupby
-        # transform('first') for the anchors, uint64 xor + popcount
-        g = part.sort_values(["band_id", "band_hash", "doc_id"])
-        grp = g.groupby(["band_id", "band_hash"], sort=False)
-        anchor_id = grp["doc_id"].transform("first").to_numpy()
-        anchor_sh = grp["simhash"].transform("first").to_numpy().astype(np.uint64)
-        ids = g["doc_id"].to_numpy()
-        shs = g["simhash"].to_numpy().astype(np.uint64)
-        mask = ids != anchor_id
-        x = shs[mask] ^ anchor_sh[mask]
-        ham = np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
-        # Hamming verify happens HERE, inside the bucket partition —
-        # only true near-dup (a, b) pairs ever leave the workers
-        keep = ham <= max_hamming
-        return pd.DataFrame({"a": anchor_id[mask][keep],
-                             "b": ids[mask][keep]}).drop_duplicates()
+    from functools import partial
 
     from linkinator_ray.pipelines.hashagg import hash_partition_apply
     pairs = hash_partition_apply(
-        banded, ["band_id", "band_hash"], bucket_pairs_part)
+        banded, ["band_id", "band_hash"],
+        partial(_simhash_bucket_pairs, max_hamming=max_hamming,
+                bucket_cap=bucket_cap))
     return _cluster_pairs(pairs, cluster)
+
+
+def _ham64(x: np.ndarray) -> np.ndarray:
+    return np.unpackbits(x.view(np.uint8)).reshape(len(x), 64).sum(axis=1)
+
+
+def _simhash_bucket_pairs(part: pd.DataFrame, max_hamming: int,
+                          bucket_cap: int) -> pd.DataFrame:
+    """Within-bucket ALL-PAIRS Hamming verify (recall-exact up to
+    bucket_cap; anchor-star fallback above it); only multi-member
+    buckets — the rare dup candidates — reach the per-bucket loop.
+    Verification happens HERE, inside the bucket partition — only true
+    near-dup (a, b) pairs ever leave the workers."""
+    g = part.sort_values(["band_id", "band_hash", "doc_id"])
+    bid = g["band_id"].to_numpy()
+    bh = g["band_hash"].to_numpy()
+    ids = g["doc_id"].to_numpy()
+    shs = g["simhash"].to_numpy().astype(np.uint64)
+    n = len(g)
+    out_a, out_b = [], []
+    if n:
+        new = np.empty(n, bool)
+        new[0] = True
+        new[1:] = (bid[1:] != bid[:-1]) | (bh[1:] != bh[:-1])
+        starts = np.flatnonzero(new)
+        ends = np.append(starts[1:], n)
+        for s, e in zip(starts, ends):
+            k = e - s
+            if k < 2:
+                continue
+            b_ids, b_sh = ids[s:e], shs[s:e]
+            if k > bucket_cap:
+                # anchor-star fallback (sorted ⇒ row 0 is the min)
+                keep = _ham64(b_sh[1:] ^ b_sh[0]) <= max_hamming
+                out_a.append(np.full(int(keep.sum()), b_ids[0],
+                                     dtype=np.int64))
+                out_b.append(b_ids[1:][keep])
+            else:
+                iu, ju = np.triu_indices(k, 1)
+                keep = _ham64(b_sh[iu] ^ b_sh[ju]) <= max_hamming
+                out_a.append(b_ids[iu[keep]])
+                out_b.append(b_ids[ju[keep]])
+    if not out_a:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64")})
+    return pd.DataFrame({
+        "a": np.concatenate(out_a).astype(np.int64),
+        "b": np.concatenate(out_b).astype(np.int64),
+    }).drop_duplicates()
 
 
 # ---------------------------------------------------------------------------

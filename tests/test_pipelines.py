@@ -169,6 +169,28 @@ def test_simhash_distributed_cluster_matches_driver(ray_session, tmp_path):
         assert cluster_of.get(orig) == cluster_of.get(dup) is not None
 
 
+def test_simhash_bucket_pairs_recall():
+    """The recall case anchor pairing LOSES: a bucket whose min doc is
+    an unrelated 16-bit collision (ham > max) between two true
+    near-dups. All-pairs must emit (b, c); the capped fallback reverts
+    to anchor-star and misses it (documented trade)."""
+    from linkinator_ray.pipelines.dedup import _simhash_bucket_pairs
+    sh_b = np.uint64(0x1234)                        # band 0 = 0x1234
+    sh_c = sh_b | (np.uint64(3) << np.uint64(60))   # ham(b,c)=2
+    sh_a = sh_b | (np.uint64(0xFFFFFF) << np.uint64(32))  # ham(a,·)≫3
+    part = pd.DataFrame({
+        "band_id": [0, 0, 0],
+        "band_hash": [0x1234] * 3,
+        "doc_id": [1, 2, 3],                        # anchor = unrelated 1
+        "simhash": np.array([sh_a, sh_b, sh_c], dtype=np.uint64),
+    })
+    pairs = _simhash_bucket_pairs(part, max_hamming=3, bucket_cap=512)
+    assert [(2, 3)] == list(zip(pairs["a"], pairs["b"]))
+    # capped bucket falls back to anchor-star and loses the pair
+    capped = _simhash_bucket_pairs(part, max_hamming=3, bucket_cap=2)
+    assert len(capped) == 0
+
+
 def test_minhash_auto_threshold_both_ways(ray_session):
     """The hot-bucket auto-switch must produce identical clusters
     whether it resolves to broadcast+driver (threshold above the hot
