@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import dataclasses
 import fnmatch
+import os
 import uuid
 
 import numpy as np
@@ -253,6 +254,107 @@ def assemble_result_tables(fetched: pa.Table, link_results: pa.Table,
     return out, fetched
 
 
+def apply_rewrites_table(table: pa.Table, rewrites) -> pa.Table:
+    """urlRewriteExpressions over frontier URLs (src/index.ts:311-318).
+
+    Shared kernel: the driver modes and the mesh nodes must apply the
+    SAME rewrite → rehash → rehost transform or their seen/routing keys
+    diverge (exact-equality contract, SURVEY.md §2.6)."""
+    if not rewrites:
+        return table
+    urls = table["url"].to_pylist()
+    out, changed = [], False
+    for url in urls:
+        new = url
+        for rw in rewrites:
+            new = rw.pattern.sub(rw.replacement, new)
+        changed |= new != url
+        out.append(new)
+    if not changed:
+        return table
+    hashes = urlkit.hash64_array(out)
+    hosts = [urlkit.host_of(u) for u in out]
+    table = table.set_column(0, "url", pa.array(out, pa.string()))
+    table = table.set_column(1, "url_hash", pa.array(hashes, pa.uint64()))
+    return table.set_column(2, "host", pa.array(hosts, pa.string()))
+
+
+def politeness_gate_table(table: pa.Table, now: float, delay_map: dict,
+                          politeness_delay: float):
+    """Host deadline gate (delayCache, src/index.ts:326-342) plus the
+    optional per-host token-bucket stagger (north_rule politeness):
+    with ``politeness_delay`` > 0 each host runs at most one fetch per
+    delay window; excess rows carry to ``not_before`` slots.
+
+    Shared kernel (driver modes + mesh nodes). Returns
+    ``(runnable, deferred_tables)`` — deferred rows carry their wake
+    deadline in ``not_before``."""
+    deferred = []
+    if delay_map and table.num_rows:
+        hosts = table["host"].to_pylist()
+        deadlines = np.fromiter(
+            (delay_map.get(h, 0.0) for h in hosts), np.float64, len(hosts))
+        gate = deadlines > now
+        if gate.any():
+            parked = table.filter(pa.array(gate))
+            parked = parked.set_column(
+                parked.schema.get_field_index("not_before"), "not_before",
+                pa.array(deadlines[gate], pa.float64()))
+            deferred.append(parked)
+            table = table.filter(pa.array(~gate))
+    if politeness_delay > 0 and table.num_rows:
+        hosts = table["host"].to_pylist()
+        first_seen: dict[str, int] = {}
+        slot = np.zeros(len(hosts), dtype=np.int64)
+        for i, h in enumerate(hosts):
+            slot[i] = first_seen.get(h, 0)
+            first_seen[h] = slot[i] + 1
+        later = slot > 0
+        if later.any():
+            parked = table.filter(pa.array(later))
+            parked = parked.set_column(
+                parked.schema.get_field_index("not_before"), "not_before",
+                pa.array(now + slot[later] * politeness_delay, pa.float64()))
+            deferred.append(parked)
+            table = table.filter(pa.array(~later))
+    return table, deferred
+
+
+def prune_stale_spill_parts(results_dir: str | None, spill_part: int,
+                            node_spill_parts: list[int]) -> None:
+    """Resume hygiene: delete results_dir parquet parts written AFTER
+    the checkpoint being resumed (the dead run kept spilling past its
+    last snapshot; the replay re-produces those rows, so stale parts
+    would double-count them in the results_dir scan). Driver parts are
+    ``part_{k:05d}.parquet`` (stale when k >= the restored spill_part);
+    mesh node parts are ``node{i:02d}_part_{k:05d}.parquet`` (stale when
+    k >= that node's checkpointed spill_part — indices beyond the saved
+    node list had no pre-checkpoint parts, so everything is stale).
+    Orphan ``.tmp`` files from an interrupted atomic write also go."""
+    import re
+    if not results_dir or not os.path.isdir(results_dir):
+        return
+    pat = re.compile(r"^(?:node(\d+)_)?part_(\d+)\.parquet(\.tmp)?$")
+    for name in os.listdir(results_dir):
+        m = pat.match(name)
+        if not m:
+            continue
+        node, k, tmp = m.group(1), int(m.group(2)), m.group(3)
+        if tmp:
+            stale = True
+        elif node is None:
+            stale = k >= spill_part
+        else:
+            i = int(node)
+            floor = node_spill_parts[i] if i < len(node_spill_parts) else 0
+            stale = k >= floor
+        if stale:
+            try:
+                os.remove(os.path.join(results_dir, name))
+            except FileNotFoundError:
+                pass
+
+
 class LinkChecker:
     """One crawl job. Construct with options + the corpus table (+ mock
     http_map); ``check()`` runs the BFS loop to frontier exhaustion."""
@@ -262,7 +364,11 @@ class LinkChecker:
                  corpus_host: str = "corpus.test", use_ray: bool | None = None,
                  transport_latency_s: float = 0.0, jitter_seed: int = 42,
                  multi_host: bool = False, on_results=None):
-        self.opts = options
+        # shallow copy: _expand_paths' markdown auto-detect assigns into
+        # opts; the caller's options object must stay untouched so a
+        # second check() with the same object behaves identically
+        import copy
+        self.opts = copy.copy(options)
         self.clock = clock or FakeClock()
         self.corpus_host = corpus_host
         self.corpus_base = f"http://{corpus_host}/"
@@ -633,20 +739,21 @@ class LinkChecker:
 
         return self._finish(pool)
 
-    def _maybe_spill_results(self) -> None:
+    def _maybe_spill_results(self, force: bool = False) -> None:
         """Streaming results sink (options.results_dir): when the driver
         holds more than ``results_flush_rows`` result rows, write them to
         an atomic parquet part and keep only the frontier-level BROKEN
         rows (the duplicate-broken join's input). At 10^10 URLs the
         results never accumulate in driver memory; output is partitioned
-        so a rerun diffs/resumes per part."""
+        so a rerun diffs/resumes per part. ``force`` flushes the tail at
+        finish time regardless of the threshold (never mutate the
+        caller's shared opts to do this)."""
         opts = self.opts
         if not opts.results_dir:
             return
         held = sum(t.num_rows for t in self.results_tables)
-        if held < opts.results_flush_rows:
+        if held == 0 or (not force and held < opts.results_flush_rows):
             return
-        import os
         import pyarrow.parquet as pq
         merged = pa.concat_tables(self.results_tables).combine_chunks()
         self.broken_first_tables.append(merged.filter(
@@ -670,8 +777,7 @@ class LinkChecker:
         if self.opts.results_dir and self.results_tables:
             # flush the tail (including the J1 re-reports) so the parquet
             # parts are the complete result record
-            self.opts.results_flush_rows = 0
-            self._maybe_spill_results()
+            self._maybe_spill_results(force=True)
         results = self._final_results()
         # spilled rows were counted at spill time; in-memory rows (tail +
         # J1 re-reports) are disjoint from the spilled parts
@@ -743,7 +849,18 @@ class LinkChecker:
             queued_rows += table.num_rows
 
         def admit(table: pa.Table, now: float) -> None:
-            """Rewrite + skip + politeness classify, then route."""
+            """Rewrite + skip + politeness classify, then route. Rows
+            with a future ``not_before`` (checkpoint-restored retry /
+            politeness deferrals) park until their deadline — the rounds
+            loop gets this via runnable_mask; this is the pipelined
+            equivalent."""
+            nb = table["not_before"].to_numpy(zero_copy_only=False)
+            future = nb > now
+            if future.any():
+                deferred.append(table.filter(pa.array(future)))
+                table = table.filter(pa.array(~future))
+                if table.num_rows == 0:
+                    return
             table = self._apply_rewrites(table)
             live, _ = self._skip_stage(table, batch_no)
             live, gated = self._politeness_gate(live, now)
@@ -1075,6 +1192,7 @@ class LinkChecker:
         from linkinator_ray.state.seen import seen_blob_to_table
         ray.get([n.pause.remote() for n in nodes])
         prev = None
+        last_change = _time.monotonic()
         while True:
             polls = ray.get([n.poll.remote() for n in nodes])
             for p in polls:
@@ -1103,6 +1221,14 @@ class LinkChecker:
                     and not any(p["pump_scheduled"] for p in polls) \
                     and not any(p["held_cand"] for p in polls):
                 break
+            if state != prev:
+                last_change = _time.monotonic()
+            elif _time.monotonic() - last_change > 60:
+                # a lost message leaves sent != received forever; raise
+                # with the state dump (mirrors _run_mesh_body's stall
+                # detector) instead of hanging the paused mesh silently
+                raise RuntimeError(
+                    f"mesh checkpoint settle stalled 60s: nodes={polls}")
             prev = state
             _time.sleep(0.005)
         self._maybe_spill_results()
@@ -1231,6 +1357,10 @@ class LinkChecker:
         # on disk and the results_dir scan still collects them
         node_parts = [saved_parts[i] if i < len(saved_parts) else 0
                       for i in range(num_actors)]
+        # drop parts the dead run spilled after this epoch (driver tail
+        # parts >= spill_part, node parts >= that node's saved counter)
+        prune_stale_spill_parts(self.opts.results_dir, self._spill_part,
+                                saved_parts)
         if not elastic:
             ray.get([
                 nodes[i].restore_state.remote(
@@ -1298,26 +1428,7 @@ class LinkChecker:
     # ------------------------------------------------------------------
 
     def _apply_rewrites(self, frontier: pa.Table) -> pa.Table:
-        """urlRewriteExpressions over frontier URLs (src/index.ts:311-318)."""
-        if not self.opts.url_rewrites:
-            return frontier
-        urls = frontier["url"].to_pylist()
-        changed = False
-        out = []
-        for url in urls:
-            new = url
-            for rw in self.opts.url_rewrites:
-                new = rw.pattern.sub(rw.replacement, new)
-            if new != url:
-                changed = True
-            out.append(new)
-        if not changed:
-            return frontier
-        hashes = urlkit.hash64_array(out)
-        hosts = [urlkit.host_of(u) for u in out]
-        frontier = frontier.set_column(0, "url", pa.array(out, pa.string()))
-        frontier = frontier.set_column(1, "url_hash", pa.array(hashes, pa.uint64()))
-        return frontier.set_column(2, "host", pa.array(hosts, pa.string()))
+        return apply_rewrites_table(frontier, self.opts.url_rewrites)
 
     def _skip_stage(self, frontier: pa.Table, round_no: int):
         """Frontier-level skip classification (src/index.ts:320-323,
@@ -1363,40 +1474,8 @@ class LinkChecker:
         return live, skip_mask.sum()
 
     def _politeness_gate(self, frontier: pa.Table, now: float):
-        """Host deadline gate (delayCache, src/index.ts:326-342) plus the
-        optional per-host token-bucket stagger (north_rule politeness):
-        with ``politeness_delay`` > 0 each host runs at most one fetch per
-        delay window; excess rows carry to ``not_before`` slots."""
-        deferred = []
-        if self.delay_map:
-            hosts = frontier["host"].to_pylist()
-            deadlines = np.fromiter(
-                (self.delay_map.get(h, 0.0) for h in hosts), np.float64, len(hosts))
-            gate = deadlines > now
-            if gate.any():
-                parked = frontier.filter(pa.array(gate))
-                parked = parked.set_column(
-                    parked.schema.get_field_index("not_before"), "not_before",
-                    pa.array(deadlines[gate], pa.float64()))
-                deferred.append(parked)
-                frontier = frontier.filter(pa.array(~gate))
-        delay = self.opts.politeness_delay
-        if delay > 0 and frontier.num_rows:
-            hosts = frontier["host"].to_pylist()
-            first_seen: dict[str, int] = {}
-            slot = np.zeros(len(hosts), dtype=np.int64)
-            for i, h in enumerate(hosts):
-                slot[i] = first_seen.get(h, 0)
-                first_seen[h] = slot[i] + 1
-            later = slot > 0
-            if later.any():
-                parked = frontier.filter(pa.array(later))
-                parked = parked.set_column(
-                    parked.schema.get_field_index("not_before"), "not_before",
-                    pa.array(now + slot[later] * delay, pa.float64()))
-                deferred.append(parked)
-                frontier = frontier.filter(pa.array(~later))
-        return frontier, deferred
+        return politeness_gate_table(frontier, now, self.delay_map,
+                                     self.opts.politeness_delay)
 
     def _handle_retries(self, fetched: pa.Table, now: float):
         fetched, requeues, n_retries = compute_requeues(
@@ -1652,7 +1731,23 @@ class LinkChecker:
             raise ValueError(f"no checkpoint found under {checkpoint_dir}")
         manifest, tables, seen_tables = ckpt.load_round(checkpoint_dir, last)
         self.counters.update(manifest["counters"])
-        self.seen.restore_tables(seen_tables)
+        if manifest["extra"].get("mesh"):
+            # mesh-written checkpoint resumed in a driver mode: the
+            # per-node seen dumps are positional (node i's hash range),
+            # NOT this SeenSet's layout — rebuild membership from the
+            # key journal instead (raw u64 keys re-shard anywhere)
+            if not manifest["extra"].get("journal"):
+                raise ValueError(
+                    "mesh checkpoint carries no key journal; resume it "
+                    "in mesh mode with the same node count")
+            url_keys, edge_keys, _ = self._load_key_journal(
+                checkpoint_dir, last)
+            if len(url_keys):
+                self.seen.contains_or_insert(url_keys)
+            if len(edge_keys):
+                self.edge_seen.contains_or_insert(edge_keys)
+        else:
+            self.seen.restore_tables(seen_tables)
         frontier = tables["frontier"]
         pend = tables["pending_fragments"]
         for url, frag in zip(pend["target_url"].to_pylist(), pend["fragment"].to_pylist()):
@@ -1667,6 +1762,10 @@ class LinkChecker:
         # numbering past already-written files and re-seed the retained
         # BROKEN rows so the duplicate-broken join still sees them
         self._spill_part = int(manifest["extra"].get("spill_part", 0))
+        # parts the dead run spilled AFTER this checkpoint duplicate
+        # rows the replay will re-produce — drop them before resuming
+        prune_stale_spill_parts(self.opts.results_dir, self._spill_part,
+                                manifest["extra"].get("node_spill_parts", []))
         broken_first = tables.get("broken_first")
         if broken_first is not None and broken_first.num_rows:
             self.broken_first_tables = [broken_first]

@@ -31,6 +31,24 @@ import pyarrow.parquet as pq
 
 def _write(table: pa.Table, path: str) -> None:
     pq.write_table(table, path)
+    # durability: the atomic-rename protocol only guarantees "a
+    # partially-written round is never picked up" if the data blocks
+    # reach disk BEFORE the rename is journaled — fsync each file, then
+    # the directories (save_round), or a power loss can leave a renamed
+    # round dir holding truncated files that resume would trust
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+def _fsync_dir(path: str) -> None:
+    fd = os.open(path, os.O_RDONLY)
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
 
 
 def save_round(checkpoint_dir: str, run_id: str, round_no: int,
@@ -59,9 +77,13 @@ def save_round(checkpoint_dir: str, run_id: str, round_no: int,
     }
     with open(os.path.join(tmp_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    _fsync_dir(tmp_dir)
     if os.path.exists(final_dir):
         shutil.rmtree(final_dir)
     os.replace(tmp_dir, final_dir)
+    _fsync_dir(checkpoint_dir)  # persist the rename itself
     return final_dir
 
 
@@ -72,8 +94,12 @@ def latest_round(checkpoint_dir: str) -> int | None:
     for name in os.listdir(checkpoint_dir):
         if name.startswith("round_") and not name.endswith(".tmp"):
             manifest = os.path.join(checkpoint_dir, name, "manifest.json")
-            if os.path.exists(manifest):
-                rounds.append(int(name.split("_")[1]))
+            try:  # a corrupt manifest (pre-fsync crash) is not a round
+                with open(manifest) as f:
+                    json.load(f)
+            except (OSError, ValueError):
+                continue
+            rounds.append(int(name.split("_")[1]))
     return max(rounds) if rounds else None
 
 

@@ -201,12 +201,24 @@ class MeshNode:
                     np.asarray(hashes, dtype=np.uint64)[~seen])
 
     def enqueue(self, table: pa.Table) -> None:
-        """Frontier rows whose fetch this node owns."""
+        """Frontier rows whose fetch this node owns. Rows restored from
+        a checkpoint can carry a future ``not_before`` (retry backoff /
+        politeness deferrals snapshotted mid-wait) — they park in
+        ``deferred`` so the resume honors the original deadline instead
+        of re-fetching a still-failing host immediately."""
         if table.num_rows == 0:
             return
         with self.lock:
             self.received_frontier += table.num_rows
-            self._append_local(table)
+            nb = table["not_before"].to_numpy(zero_copy_only=False)
+            future = nb > time.time()
+            if future.any():
+                self.deferred.append(table.filter(pa.array(future)))
+                table = table.filter(pa.array(~future))
+            if table.num_rows:
+                self._append_local(table)
+            else:
+                self._schedule_pump()
 
     def _append_local(self, table: pa.Table) -> None:
         self.queue.append(table)
@@ -580,23 +592,8 @@ class MeshNode:
         self.results_buf = [keep] if keep.num_rows else []
 
     def _apply_rewrites(self, batch: pa.Table) -> pa.Table:
-        if not self.rewrites:
-            return batch
-        urls = batch["url"].to_pylist()
-        out, changed = [], False
-        for url in urls:
-            new = url
-            for rw in self.rewrites:
-                new = rw.pattern.sub(rw.replacement, new)
-            changed |= new != url
-            out.append(new)
-        if not changed:
-            return batch
-        hashes = urlkit.hash64_array(out)
-        hosts = [urlkit.host_of(u) for u in out]
-        batch = batch.set_column(0, "url", pa.array(out, pa.string()))
-        batch = batch.set_column(1, "url_hash", pa.array(hashes, pa.uint64()))
-        return batch.set_column(2, "host", pa.array(hosts, pa.string()))
+        from linkinator_ray.pipelines.crawl import apply_rewrites_table
+        return apply_rewrites_table(batch, self.rewrites)
 
     def _skip_stage(self, batch: pa.Table) -> pa.Table:
         """Frontier-level skip classification (src/index.ts:320-323):
@@ -635,37 +632,13 @@ class MeshNode:
 
     def _politeness_gate(self, batch: pa.Table, now: float) -> pa.Table:
         """Host Retry-After deadlines + optional per-host stagger —
-        owner-local (this node IS the host's home in sticky mode)."""
-        if self.delay_map and batch.num_rows:
-            hosts = batch["host"].to_pylist()
-            deadlines = np.fromiter(
-                (self.delay_map.get(h, 0.0) for h in hosts), np.float64,
-                len(hosts))
-            gate = deadlines > now
-            if gate.any():
-                parked = batch.filter(pa.array(gate))
-                parked = parked.set_column(
-                    parked.schema.get_field_index("not_before"), "not_before",
-                    pa.array(deadlines[gate], pa.float64()))
-                self.deferred.append(parked)
-                batch = batch.filter(pa.array(~gate))
-        delay = self.opts.politeness_delay
-        if delay > 0 and batch.num_rows:
-            hosts = batch["host"].to_pylist()
-            first_seen: dict[str, int] = {}
-            slot = np.zeros(len(hosts), dtype=np.int64)
-            for i, h in enumerate(hosts):
-                slot[i] = first_seen.get(h, 0)
-                first_seen[h] = slot[i] + 1
-            later = slot > 0
-            if later.any():
-                parked = batch.filter(pa.array(later))
-                parked = parked.set_column(
-                    parked.schema.get_field_index("not_before"), "not_before",
-                    pa.array(now + slot[later] * delay, pa.float64()))
-                self.deferred.append(parked)
-                batch = batch.filter(pa.array(~later))
-        return batch
+        owner-local (this node IS the host's home in sticky mode).
+        Shared kernel with the driver modes (exact-equality contract)."""
+        from linkinator_ray.pipelines.crawl import politeness_gate_table
+        live, deferred = politeness_gate_table(
+            batch, now, self.delay_map, self.opts.politeness_delay)
+        self.deferred.extend(t for t in deferred if t.num_rows)
+        return live
 
     def _route_wants(self, wants: pa.Table) -> None:
         """Route fragment wants to the node that will FETCH the target

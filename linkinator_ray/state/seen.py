@@ -224,10 +224,30 @@ class SeenSet:
         return [s.dump() for s in self._shards]
 
     def restore_tables(self, tables: list[pa.Table]) -> None:
-        for shard_id, tbl in enumerate(tables):
-            blob = seen_table_to_blob(tbl)
-            if self.use_ray:
-                import ray
-                ray.get(self._shards[shard_id].restore.remote(blob))
-            else:
-                self._shards[shard_id].restore(blob)
+        """Restore from checkpoint shard dumps. Blob i maps to shard i
+        ONLY when the layouts match — lookups route by ``hash % K``, so
+        restoring K' blobs into K != K' shards would silently misroute
+        every membership probe. Exact-mode dumps carry raw keys and
+        re-shard into any layout; cuckoo dumps are positional
+        fingerprint tables and cannot."""
+        blobs = [seen_table_to_blob(t) for t in tables]
+        if len(blobs) != self.num_shards:
+            if all(b["mode"] == "exact" for b in blobs):
+                keys = np.concatenate(
+                    [np.asarray(b["keys"], dtype=np.uint64) for b in blobs]) \
+                    if blobs else np.empty(0, dtype=np.uint64)
+                if len(keys):
+                    self.contains_or_insert(keys)
+                return
+            raise ValueError(
+                f"seen checkpoint has {len(blobs)} shard(s) but this run "
+                f"uses {self.num_shards}; cuckoo shard dumps hold "
+                f"positional fingerprints and cannot be re-sharded — "
+                f"resume with seen_shards={len(blobs)}")
+        if self.use_ray:
+            import ray
+            ray.get([self._shards[i].restore.remote(blob)
+                     for i, blob in enumerate(blobs)])
+        else:
+            for i, blob in enumerate(blobs):
+                self._shards[i].restore(blob)

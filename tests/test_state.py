@@ -401,3 +401,158 @@ class TestMeshResultsSpill:
         # BROKEN accounting includes node-spilled rows (they are
         # retained driver-side, never node-spilled)
         assert spilled.stats["broken"] == full.stats["broken"]
+
+
+class TestResumeHardening:
+    """Round-4 review fixes: shard-layout-safe seen restore, stale spill
+    pruning, deferral deadlines surviving a pipelined resume, cross-mode
+    (mesh checkpoint -> driver) resume, and no caller-opts mutation."""
+
+    def test_exact_seen_restore_reshards(self):
+        """Exact-mode shard dumps carry raw keys: restoring a 3-shard
+        checkpoint into a 5-shard set rehashes into the new layout
+        instead of silently misrouting lookups."""
+        seen = SeenSet(num_shards=3)
+        keys = np.random.default_rng(21).integers(
+            0, 2**63, 500, dtype=np.uint64)
+        seen.contains_or_insert(keys)
+        fresh = SeenSet(num_shards=5)
+        fresh.restore_tables(seen.dump_tables())
+        assert fresh.contains_or_insert(keys).all()
+        assert fresh.size() == len(np.unique(keys))
+
+    def test_cuckoo_seen_restore_mismatch_raises(self):
+        """Cuckoo dumps are positional fingerprint tables — a shard-count
+        mismatch must raise loudly, not corrupt membership."""
+        seen = SeenSet(num_shards=3, mode="cuckoo")
+        keys = np.arange(200, dtype=np.uint64) * 7919
+        seen.contains_or_insert(keys)
+        tables = seen.dump_tables()
+        with pytest.raises(ValueError, match="re-shard"):
+            SeenSet(num_shards=4, mode="cuckoo").restore_tables(tables)
+
+    def test_prune_stale_spill_parts(self, tmp_path):
+        """Parts spilled AFTER the checkpoint being resumed (driver
+        part index >= spill_part, node part index >= that node's saved
+        counter) are deleted; pre-checkpoint parts and foreign files
+        stay; orphan .tmp files always go."""
+        import os
+
+        from linkinator_ray.pipelines.crawl import prune_stale_spill_parts
+        d = tmp_path / "res"
+        d.mkdir()
+        names = [
+            "part_00000.parquet", "part_00001.parquet",
+            "part_00002.parquet",            # stale: >= spill_part 2
+            "node00_part_00000.parquet",
+            "node00_part_00001.parquet",     # stale: node 0 saved 1
+            "node01_part_00000.parquet",     # stale: node 1 saved 0
+            "node05_part_00000.parquet",     # stale: beyond saved list
+            "part_00009.parquet.tmp",        # orphan tmp
+            "other.txt",
+        ]
+        for n in names:
+            (d / n).write_bytes(b"x")
+        prune_stale_spill_parts(str(d), 2, [1, 0])
+        assert sorted(os.listdir(d)) == [
+            "node00_part_00000.parquet", "other.txt",
+            "part_00000.parquet", "part_00001.parquet"]
+
+    def test_check_does_not_mutate_caller_options(self):
+        """check() must leave the caller's CheckOptions untouched (the
+        tail flush used to zero results_flush_rows; markdown auto-detect
+        used to stick) so the same object reruns identically."""
+        import dataclasses as dc
+
+        fixture = fx.repeated_broken_link()
+        opts = CheckOptions(paths=fixture.seeds, **fixture.options)
+        before = dc.asdict(
+            dc.replace(opts, links_to_skip=[], fragments_to_skip=[]))
+        r1 = LinkChecker(opts, fixture.documents, fixture.http_map).check()
+        after = dc.asdict(
+            dc.replace(opts, links_to_skip=[], fragments_to_skip=[]))
+        assert after == before
+        r2 = LinkChecker(opts, fixture.documents, fixture.http_map).check()
+
+        def key(res):
+            return {(r["url"], r["state"], r["status"], r["parent"])
+                    for r in res.results.to_pylist()}
+        assert key(r1) == key(r2)
+        assert r1.passed == r2.passed
+
+    def test_pipelined_resume_honors_retry_deadline(self, ray_session,
+                                                    tmp_path):
+        """A checkpoint snapshotted mid-retry-backoff carries the row's
+        not_before deadline; the pipelined resume must park it (advance
+        the clock to the deadline) instead of re-fetching immediately."""
+        from linkinator_ray.state.clock import FakeClock
+
+        fixture = fx.retry_fixture()
+        ck = str(tmp_path / "retryck")
+        partial = LinkChecker(
+            CheckOptions(paths=fixture.seeds, checkpoint_dir=ck,
+                         max_rounds=2, **fixture.options),
+            fixture.documents, fixture.http_map, clock=FakeClock())
+        part_res = partial.check()
+        # the 429s were fetched and requeued with not_before = now + 3
+        assert any(r["url"].startswith("http://slow.invalid/")
+                   for r in part_res.results.to_pylist()) is False
+
+        resumed_checker = LinkChecker(
+            CheckOptions(paths=fixture.seeds, pipelined=True,
+                         fetch_concurrency=1, **fixture.options),
+            fixture.documents, fixture.http_map, clock=FakeClock(),
+            use_ray=True)
+        resumed = resumed_checker.check(resume_from=ck)
+        states = {r["url"]: r["state"] for r in resumed.results.to_pylist()}
+        assert states["http://slow.invalid/1"] == "OK"
+        assert states["http://slow.invalid/3"] == "OK"
+        assert resumed.passed
+        # the deadline was honored: the resumed clock advanced past
+        # checkpoint-time + Retry-After (3 s)
+        assert resumed_checker.clock.now() >= 1_000_000.0 + 3
+
+    def test_driver_resume_of_mesh_checkpoint(self, ray_session, tmp_path):
+        """A mesh-written checkpoint resumed in driver rounds mode: the
+        per-node seen dumps don't map onto the driver's shard layout, so
+        membership rebuilds from the key journal — final sets must match
+        a clean run."""
+        import os
+
+        from linkinator_ray.sources.synth import synth_crawl_corpus
+        docs, seeds, expected_seen, _ = synth_crawl_corpus(
+            num_hosts=2, docs_per_host=400)
+        base = dict(paths=seeds, recurse=True, fetch_concurrency=2)
+        full = LinkChecker(CheckOptions(**base), docs, [],
+                           multi_host=True, use_ray=True).check()
+
+        ck = str(tmp_path / "crossck")
+        partial = LinkChecker(
+            CheckOptions(**base, mesh=True, checkpoint_dir=ck,
+                         checkpoint_interval_s=0.2, batch_size=64),
+            docs, [], multi_host=True, use_ray=True)
+        orig = partial._mesh_checkpoint
+        calls = {"n": 0}
+
+        def bomb(nodes, epoch, num_actors, seed_rows):
+            orig(nodes, epoch, num_actors, seed_rows)
+            calls["n"] += 1
+            if calls["n"] >= 1:
+                raise KeyboardInterrupt
+        partial._mesh_checkpoint = bomb
+        try:
+            partial.check()
+        except KeyboardInterrupt:
+            pass
+        assert os.path.isdir(ck) and os.listdir(ck), "no mesh checkpoint"
+
+        # resume WITHOUT mesh: driver rounds mode over the mesh epoch
+        resumed = LinkChecker(CheckOptions(**base), docs, [],
+                              multi_host=True, use_ray=True).check(
+            resume_from=ck)
+
+        def key(res):
+            return {(r["url"], r["state"], r["status"])
+                    for r in res.results.to_pylist()}
+        assert key(resumed) == key(full)
+        assert resumed.stats["seen_urls"] == expected_seen
