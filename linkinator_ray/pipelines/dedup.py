@@ -298,12 +298,15 @@ class MinHasher:
             out[group] = mins.T.astype(np.uint64)
         return out
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        sigs = self.signatures_batch(list(batch["text"].fillna("")))
-        return pd.DataFrame({
-            "doc_id": batch["doc_id"],
-            "sig": list(sigs),
-        })
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        # zero-copy in, FixedSizeList out: the (D × num_perms) signature
+        # matrix becomes one flat uint64 buffer — no per-row object
+        # arrays, and the banding stage reshapes it back zero-copy
+        texts = batch["text"].combine_chunks().fill_null("").to_pylist()
+        sigs = self.signatures_batch(texts)
+        sig_col = pa.FixedSizeListArray.from_arrays(
+            pa.array(sigs.reshape(-1), pa.uint64()), self.num_perms)
+        return pa.table({"doc_id": batch["doc_id"], "sig": sig_col})
 
 
 def _band_hash_matrix(sigs: np.ndarray, bands: int, rows: int) -> np.ndarray:
@@ -321,16 +324,23 @@ def _band_hash_matrix(sigs: np.ndarray, bands: int, rows: int) -> np.ndarray:
     return acc.astype(np.int64)
 
 
-def _band_rows(batch: pd.DataFrame, bands: int, rows: int) -> pd.DataFrame:
-    """signature → (band_id, band_hash, doc_id) rows — the LSH explode."""
-    doc_ids = np.repeat(batch["doc_id"].to_numpy(), bands)
-    band_ids = np.tile(np.arange(bands), len(batch))
-    sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in batch["sig"]]) \
-        if len(batch) else np.empty((0, bands * rows), dtype=np.uint64)
-    return pd.DataFrame({"band_id": band_ids,
-                         "band_hash": _band_hash_matrix(
-                             sigs, bands, rows).reshape(-1),
-                         "doc_id": doc_ids})
+def _band_rows(batch: pa.Table, bands: int, rows: int) -> pa.Table:
+    """signature → (band_id, band_hash, doc_id) rows — the LSH explode.
+    The FixedSizeList sig column flattens back to the (D × num_perms)
+    matrix zero-copy (one buffer view, no per-row stacking)."""
+    D = batch.num_rows
+    if D:
+        sigs = batch["sig"].combine_chunks().flatten() \
+            .to_numpy(zero_copy_only=False).reshape(D, bands * rows)
+    else:
+        sigs = np.empty((0, bands * rows), dtype=np.uint64)
+    doc_ids = np.repeat(
+        batch["doc_id"].to_numpy(zero_copy_only=False), bands)
+    band_ids = np.tile(np.arange(bands, dtype=np.int64), D)
+    return pa.table({"band_id": band_ids,
+                     "band_hash": _band_hash_matrix(
+                         sigs, bands, rows).reshape(-1),
+                     "doc_id": doc_ids})
 
 
 def _jaccard(a: np.ndarray, b: np.ndarray) -> float:
@@ -344,7 +354,7 @@ def _band_hashes_of_sig(sig: np.ndarray, bands: int, rows: int) -> np.ndarray:
 
 
 def _bcast_get(ref):
-    if isinstance(ref, (dict, pd.DataFrame)):
+    if isinstance(ref, (dict, pd.DataFrame, pa.Table)):
         return ref
     import ray
     return ray.get(ref)
@@ -365,18 +375,19 @@ class _VerifyMembers:
         self.ngram = ngram
         self.threshold = threshold
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         a_out, b_out = [], []
         anchors_of = self.anchors_of
         anchor_sh = self.anchor_sh
-        for doc_id, text in zip(batch["doc_id"], batch["text"].fillna("")):
+        texts = batch["text"].combine_chunks().fill_null("").to_pylist()
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), texts):
             sh = _shingle_hashes(text, self.ngram)
             for a in anchors_of.get(int(doc_id), ()):
                 if _jaccard(anchor_sh[a], sh) >= self.threshold:
                     a_out.append(a)
                     b_out.append(int(doc_id))
-        return pd.DataFrame({"a": np.asarray(a_out, dtype=np.int64),
-                             "b": np.asarray(b_out, dtype=np.int64)})
+        return pa.table({"a": pa.array(a_out, pa.int64()),
+                         "b": pa.array(b_out, pa.int64())})
 
 
 class _CandAgainstHot:
@@ -385,14 +396,18 @@ class _CandAgainstHot:
     broadcast-mode replacement for the partitioned path's hash join."""
 
     def __init__(self, hot_ref):
-        self.hot = _bcast_get(hot_ref)  # (band_id, band_hash, anchor)
+        hot = _bcast_get(hot_ref)  # (band_id, band_hash, anchor)
+        self.hot = pa.Table.from_pandas(hot, preserve_index=False) \
+            if isinstance(hot, pd.DataFrame) else hot
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        m = batch.merge(self.hot, on=["band_id", "band_hash"])
-        m = m[m["doc_id"] != m["anchor"]]
-        return pd.DataFrame({
-            "a": m["anchor"].to_numpy(dtype=np.int64),
-            "b": m["doc_id"].to_numpy(dtype=np.int64)}).drop_duplicates()
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        m = batch.join(self.hot, keys=["band_id", "band_hash"],
+                       join_type="inner", use_threads=False)
+        m = m.filter(pc.not_equal(m["doc_id"], m["anchor"]))
+        pairs = pa.table({"a": pc.cast(m["anchor"], pa.int64()),
+                          "b": pc.cast(m["doc_id"], pa.int64())})
+        return pairs.group_by(["a", "b"], use_threads=False).aggregate([])
 
 
 def _cluster_pairs(pairs, cluster: str):
@@ -503,7 +518,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
     # _fanout: a single-file read is ONE block, and one block feeds ONE
     # actor — the signature stage (the expensive pass) would serialize
     docs = _fanout(read_docs(sf_dir, ["doc_id", "text"]))
-    sigs = docs.map_batches(MinHasher, batch_format="pandas",
+    sigs = docs.map_batches(MinHasher, batch_format="pyarrow",
                             batch_size=2048, concurrency=(1, 8),
                             fn_constructor_kwargs={"num_perms": num_perms,
                                                    "ngram": ngram})
@@ -513,7 +528,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
     # unmaterialized, Ray Data lineage re-executes it per consumer.
     # Cost: bands int64 triples per doc (~`bands`×24 B/doc), spillable.
     banded = sigs.map_batches(
-        lambda b: _band_rows(b, bands, rows), batch_format="pandas",
+        lambda b: _band_rows(b, bands, rows), batch_format="pyarrow",
         batch_size=4096).materialize()
 
     # hot buckets: count+min per bucket — the single aggregate shuffle,
@@ -560,9 +575,11 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
     # already guards; partitioned mode keeps them a Dataset instead)
     from linkinator_ray.pipelines.hashagg import hash_aggregate as _hagg
     pairs = _hagg(
-        banded.map_batches(_CandAgainstHot, batch_format="pandas",
+        banded.map_batches(_CandAgainstHot, batch_format="pyarrow",
                            batch_size=65536, concurrency=(1, 4),
-                           fn_constructor_kwargs={"hot_ref": _put(hot)}),
+                           fn_constructor_kwargs={"hot_ref": _put(
+                               pa.Table.from_pandas(
+                                   hot, preserve_index=False))}),
         ["a", "b"], {"n_bands": ("b", "count")}).select_columns(
         ["a", "b"]).to_pandas()
     if not len(pairs):
@@ -593,7 +610,7 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
     verified = _fanout(rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"],
         filter=_ISIN(member_ids))).map_batches(
-        _VerifyMembers, batch_format="pandas", batch_size=2048,
+        _VerifyMembers, batch_format="pyarrow", batch_size=2048,
         concurrency=(1, 8),
         fn_constructor_kwargs={
             "anchors_of_ref": _put(anchors_of),
@@ -745,21 +762,23 @@ class SimHasher:
         votes = bits.sum(axis=0) * 2 - len(hs)  # +1/-1 vote per token
         return int(self.bit_masks[votes > 0].sum())
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+    def __call__(self, batch: pa.Table) -> pa.Table:
         # per-doc stays: the token-memo + small cache-hot bit matrices
         # beat a whole-batch bit tensor (measured 10x — the (tokens, 64)
         # uint64 broadcast temp is ~1 GB per 2.5M tokens)
-        return pd.DataFrame({
+        texts = batch["text"].combine_chunks().fill_null("").to_pylist()
+        return pa.table({
             "doc_id": batch["doc_id"],
-            "simhash": np.array([self.simhash(t) for t in batch["text"].fillna("")],
-                                dtype=np.uint64),
+            "simhash": pa.array(
+                np.fromiter((self.simhash(t) for t in texts),
+                            dtype=np.uint64, count=len(texts))),
         })
 
 
 def simhash_signatures(sf_dir: str):
     # _fanout: single-file read = one block = one actor otherwise
     return _fanout(read_docs(sf_dir, ["doc_id", "text"])).map_batches(
-        SimHasher, batch_format="pandas", batch_size=1024, concurrency=(1, 8))
+        SimHasher, batch_format="pyarrow", batch_size=1024, concurrency=(1, 8))
 
 
 def dedup_simhash(sf_dir: str, max_hamming: int = 3,
@@ -789,19 +808,20 @@ def dedup_simhash(sf_dir: str, max_hamming: int = 3,
     100 TB should use distributed."""
     sigs = simhash_signatures(sf_dir)
 
-    def bands(batch: pd.DataFrame) -> pd.DataFrame:
-        sh = batch["simhash"].to_numpy().astype(np.uint64)
-        rows = []
-        for b in range(4):
-            rows.append(pd.DataFrame({
-                "band_id": b,
-                "band_hash": ((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)),
-                "doc_id": batch["doc_id"],
-                "simhash": sh,
-            }))
-        return pd.concat(rows, ignore_index=True)
+    def bands(batch: pa.Table) -> pa.Table:
+        sh = batch["simhash"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        doc = batch["doc_id"].to_numpy(zero_copy_only=False)
+        D = len(sh)
+        return pa.table({
+            "band_id": np.repeat(np.arange(4, dtype=np.int64), D),
+            "band_hash": np.concatenate(
+                [(sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+                 for b in range(4)]) if D else np.empty(0, np.uint64),
+            "doc_id": np.tile(doc, 4),
+            "simhash": np.tile(sh, 4),
+        })
 
-    banded = sigs.map_batches(bands, batch_format="pandas", batch_size=8192)
+    banded = sigs.map_batches(bands, batch_format="pyarrow", batch_size=8192)
 
     from functools import partial
 
@@ -959,21 +979,21 @@ def dedup_embedding(sf_dir: str, threshold: float = 0.95, limit: int | None = 20
             self.ids, self.mat = _ray.get(ref) \
                 if not isinstance(ref, tuple) else ref
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            ids = batch["vec_id"].to_numpy()
-            mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-            mat = mat / np.clip(np.linalg.norm(mat, axis=1, keepdims=True),
-                                1e-12, None)
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            from linkinator_ray.pipelines.similarity import (
+                _embedding_matrix, _normalized)
+            ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+            mat = _normalized(_embedding_matrix(batch["embedding"]))
             sims = mat @ self.mat.T  # (batch, n)
             bi, aj = np.nonzero(sims >= threshold)
             a_ids, b_ids = ids[bi], self.ids[aj]
             keep = a_ids < b_ids  # upper triangle only, no self-pairs
-            return pd.DataFrame({
+            return pa.table({
                 "vec_a": a_ids[keep], "vec_b": b_ids[keep],
                 "cosine": np.round(sims[bi, aj][keep], 6)})
 
     pairs = read_embeddings(sf_dir).map_batches(
-        _BlockVsAll, batch_format="pandas", batch_size=1024,
+        _BlockVsAll, batch_format="pyarrow", batch_size=1024,
         concurrency=(1, 8), fn_constructor_kwargs={"ref": blob}).to_pandas()
     if len(pairs) == 0:
         return pa.table({"vec_a": pa.array([], pa.int64()),
