@@ -4,16 +4,20 @@ Image/audio/video payloads are carried as Arrow ``binary`` columns with
 typed metadata columns alongside; decode / feature-extract stages are
 actor-pool ``map_batches`` classes.
 
-Codec status: AUDIO has a REAL decode path — ``decode_wav`` parses
-RIFF/WAVE PCM with the stdlib ``wave`` module and computes genuine
-features (frame count, channels, sample rate, RMS amplitude via
-numpy), and ``MediaDecoder`` uses it for any payload carrying the RIFF
-magic. Image/video decode stays STUBBED (no PIL/ffmpeg in this
-container): ``decode_real`` raises NotImplementedError behind an
-import-try and ``MediaDecoder`` falls back to deterministic fake
-features for non-WAV payloads — the Ray-side plumbing (schemas, batch
-sizing for wide binary rows, actor signature, output layout) is real
-and tested either way.
+Codec status: AUDIO and IMAGE have REAL decode paths — ``decode_wav``
+parses RIFF/WAVE PCM with the stdlib ``wave`` module (frame count,
+channels, sample rate, RMS amplitude via numpy) and ``decode_png``
+parses PNG (chunk walk, zlib inflate, full scanline unfilter incl.
+Paeth) computing genuine width/height/channels/mean-pixel features.
+``MediaDecoder`` uses them for any payload carrying the RIFF/PNG
+magic. Video decode stays STUBBED (no ffmpeg in this container):
+``decode_real`` raises NotImplementedError behind an import-try and
+``MediaDecoder`` falls back to deterministic fake features for
+non-WAV/PNG payloads — the Ray-side plumbing (schemas, batch sizing
+for wide binary rows, actor signature, output layout) is real and
+tested either way. The pure-Python PNG unfilter is the conformance
+path, not the throughput path: at scale the actor pool would load a
+native codec in ``__init__`` with the same signature.
 """
 
 from __future__ import annotations
@@ -93,18 +97,106 @@ def decode_wav(payload: bytes) -> dict:
     }
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def decode_png(payload: bytes) -> dict:
+    """REAL image decode: walk the PNG chunk stream, inflate the IDAT
+    data with stdlib zlib, and undo the per-scanline filters (None /
+    Sub / Up / Average / Paeth) to recover the raw pixel matrix —
+    genuine width / height / channels / mean-pixel features, no codec
+    library. 8-bit non-interlaced only (the common case); anything
+    else raises ``ValueError`` and the caller keeps its stub features.
+    Up is vectorized; Sub/Average/Paeth carry a per-pixel dependency
+    along the row (inherent to the filter definition) — fine for the
+    conformance path, a native codec owns the throughput path."""
+    import struct
+    import zlib
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        ln, typ = struct.unpack(">I4s", payload[pos:pos + 8])
+        pos += 8
+        data = payload[pos:pos + ln]
+        if len(data) != ln:
+            raise ValueError("truncated PNG chunk")
+        pos += ln + 4  # skip CRC
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, ctype, _comp, _filt, interlace = \
+        struct.unpack(">IIBBBBB", ihdr)
+    if depth != 8 or interlace != 0 or ctype not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG shape: depth={depth} ctype={ctype} "
+            f"interlace={interlace}")
+    channels = _PNG_CHANNELS[ctype]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("scanline data size mismatch")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    filters, data = arr[:, 0], arr[:, 1:]
+    out = np.zeros((h, stride), np.uint8)
+    bpp = channels
+    for y in range(h):
+        f = int(filters[y])
+        line = data[y].astype(np.int64)
+        prev = out[y - 1].astype(np.int64) if y else np.zeros(stride, np.int64)
+        if f == 0:
+            res = line
+        elif f == 2:  # Up — vectorized
+            res = (line + prev) & 0xFF
+        elif f == 1:  # Sub
+            res = line
+            for x in range(bpp, stride):
+                res[x] = (res[x] + res[x - bpp]) & 0xFF
+        elif f == 3:  # Average
+            res = line
+            for x in range(stride):
+                left = res[x - bpp] if x >= bpp else 0
+                res[x] = (res[x] + (left + prev[x]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            res = line
+            for x in range(stride):
+                a = res[x - bpp] if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - c
+                p_a, p_b, p_c = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (p_a <= p_b and p_a <= p_c) \
+                    else (b if p_b <= p_c else c)
+                res[x] = (res[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"invalid PNG filter type {f}")
+        out[y] = res.astype(np.uint8)
+    mean = float(out.mean()) if out.size else 0.0
+    return {
+        "width": int(w),
+        "height": int(h),
+        "channels": channels,
+        "n_pixels": int(w) * int(h),
+        "mean_milli": int(round(mean * 1000)),
+    }
+
+
 def decode_real(payload: bytes, kind: str):
-    """The real decode path. Audio: stdlib WAV parse (works here).
-    Image/video: gated on libraries this container lacks."""
+    """The real decode path. Audio: stdlib WAV parse. Image: pure-Python
+    PNG parse. Video: gated on libraries this container lacks."""
     if kind == "audio":
         return decode_wav(payload)
-    try:
-        import PIL.Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image/video decode requires a codec library not present in "
-            "this environment; MediaDecoder uses the deterministic stub"
-        ) from exc
+    if kind == "image":
+        return decode_png(payload)
+    raise NotImplementedError(
+        "video decode requires a codec library not present in this "
+        "environment; MediaDecoder uses the deterministic stub")
 
 
 class MediaDecoder:
@@ -131,10 +223,12 @@ class MediaDecoder:
         n_frames = np.where(np.asarray(kinds) == "video",
                             (n_bytes // 32), 1).astype(np.int64)
         sampled = np.maximum(1, n_frames // self.frame_sample_rate)
-        # REAL decode for genuine WAV payloads — gated on kind=='audio'
-        # AND the RIFF magic: a video/image row whose bytes happen to
-        # carry WAVE must keep its declared-kind semantics (the n_frames
-        # contract differs per kind)
+        # REAL decode for genuine WAV/PNG payloads — gated on the
+        # declared kind AND the magic bytes: a video row whose bytes
+        # happen to carry WAVE/PNG must keep its declared-kind
+        # semantics (the n_frames contract differs per kind).
+        # rms_milli carries the decoded intensity feature: audio RMS
+        # amplitude ×1000, image mean pixel value ×1000
         rms_milli = np.zeros(len(payloads), dtype=np.int64)
         decoded_real = np.zeros(len(payloads), dtype=bool)
         for i, p in enumerate(payloads):
@@ -147,6 +241,15 @@ class MediaDecoder:
                 n_frames[i] = f["n_frames"]
                 sampled[i] = max(1, f["n_frames"] // self.frame_sample_rate)
                 rms_milli[i] = f["rms_milli"]
+                decoded_real[i] = True
+            elif kinds[i] == "image" and p[:8] == _PNG_SIG:
+                try:
+                    f = decode_png(p)
+                except ValueError:
+                    continue
+                n_frames[i] = 1
+                sampled[i] = 1
+                rms_milli[i] = f["mean_milli"]
                 decoded_real[i] = True
         return pa.table({
             "media_id": batch["media_id"],

@@ -321,7 +321,97 @@ def test_media_decoder_plumbing(ray_session):
 def test_media_decode_real_is_gated():
     from linkinator_ray.pipelines.multimodal import decode_real
     with pytest.raises(NotImplementedError):
-        decode_real(b"xx", "image")
+        decode_real(b"xx", "video")  # video stays codec-gated
+    with pytest.raises(ValueError):
+        decode_real(b"xx", "image")  # image decode is real: bad payload
+
+
+def _make_png(w: int = 8, h: int = 6, channels: int = 3,
+              filters=(0, 1, 2, 3, 4, 0)) -> tuple[bytes, np.ndarray]:
+    """Genuine PNG bytes built by hand (header + zlib IDAT + CRCs),
+    exercising every scanline filter type on deterministic pixels.
+    Returns (payload, raw pixel matrix)."""
+    import struct
+    import zlib
+    ctype = {1: 0, 3: 2, 4: 6}[channels]
+    y_idx, x_idx, c_idx = np.meshgrid(
+        np.arange(h), np.arange(w), np.arange(channels), indexing="ij")
+    raw = ((x_idx * 7 + y_idx * 13 + c_idx * 29) % 256).astype(np.uint8)
+    flat = raw.reshape(h, w * channels).astype(np.int64)
+    bpp = channels
+    stride = w * channels
+    lines = bytearray()
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int64)
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            left = np.concatenate((np.zeros(bpp, np.int64), cur[:-bpp]))
+            enc = (cur - left) % 256
+        elif f == 2:
+            enc = (cur - prev) % 256
+        elif f == 3:
+            left = np.concatenate((np.zeros(bpp, np.int64), cur[:-bpp]))
+            enc = (cur - (left + prev) // 2) % 256
+        else:  # Paeth
+            left = np.concatenate((np.zeros(bpp, np.int64), cur[:-bpp]))
+            ul = np.concatenate((np.zeros(bpp, np.int64), prev[:-bpp]))
+            p = left + prev - ul
+            pa_, pb_, pc_ = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa_ <= pb_) & (pa_ <= pc_), left,
+                            np.where(pb_ <= pc_, prev, ul))
+            enc = (cur - pred) % 256
+        lines.append(f)
+        lines.extend(enc.astype(np.uint8).tobytes())
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", len(data)) + typ + data \
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    payload = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+               + chunk(b"IDAT", zlib.compress(bytes(lines)))
+               + chunk(b"IEND", b""))
+    return payload, raw
+
+
+@pytest.mark.parametrize("channels", [1, 3, 4])
+def test_media_decode_png_real(channels):
+    """The REAL image path: a genuine PNG (every filter type exercised)
+    decodes to its true dimensions and mean pixel value."""
+    from linkinator_ray.pipelines.multimodal import decode_png, decode_real
+    payload, raw = _make_png(w=9, h=7, channels=channels)
+    f = decode_png(payload)
+    assert f["width"] == 9 and f["height"] == 7
+    assert f["channels"] == channels
+    assert f["n_pixels"] == 63
+    assert f["mean_milli"] == int(round(float(raw.mean()) * 1000))
+    assert decode_real(payload, "image") == f
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + b"garbage-chunk-stream")
+
+
+def test_media_decoder_real_png_in_batch(ray_session):
+    """MediaDecoder detects a genuine PNG payload inside an image batch
+    and emits REAL features (mean pixel in rms_milli, decoded_real
+    flag) while stub rows keep the deterministic fake path."""
+    from linkinator_ray.pipelines.multimodal import MediaDecoder
+    payload, raw = _make_png(w=8, h=6, channels=3)
+    stub = b"\x00" * 64
+    batch = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "kind": pa.array(["image", "image"], pa.string()),
+        "payload": pa.array([payload, stub], pa.binary()),
+    })
+    out = MediaDecoder(frame_sample_rate=4)(batch).to_pandas()
+    real = out[out["media_id"] == 1].iloc[0]
+    fake = out[out["media_id"] == 2].iloc[0]
+    assert bool(real["decoded_real"]) and not bool(fake["decoded_real"])
+    assert real["n_frames"] == 1 and real["sampled_frames"] == 1
+    assert real["rms_milli"] == int(round(float(raw.mean()) * 1000))
+    assert not fake["decoded_real"] and fake["rms_milli"] == 0
 
 
 def _make_wav(n_frames: int = 800, rate: int = 8000, freq: float = 440.0):
