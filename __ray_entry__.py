@@ -129,6 +129,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, k=10, iters=5),  # rows-only (iterative; differential-tested)
         "knn_lsh": lambda sf: similarity.knn_lsh(sf, k=5, num_queries=4),  # rows-only
         "knn_ivf": lambda sf: similarity.knn_ivf(sf, k=5, num_queries=4),  # rows-only + recall test
+        "bm25_search": lambda sf: text.bm25_search(
+            sf, terms=("hash", "dup", "window"), k=10),  # exact SQL oracle
     }
 
 
@@ -287,6 +289,59 @@ def _minhash_lab_cte(threshold: float = 0.7, num_perms: int = 64,
             SELECT n AS doc_id, min(reach) AS cluster_id
             FROM walk GROUP BY n
         )"""
+
+
+def _bm25_sql(terms: tuple[str, ...] = ("hash", "dup", "window"),
+              k: int = 10) -> str:
+    """Integer BM25 (text.py:bm25_search) in SQL: the SAME Q10/Q16
+    fixed-point pipeline — avgdl/dl at Q10, idf via the shared
+    BM25_LOG2 mantissa table (log2 exponent from length(bin(x))-1, the
+    HLL idiom), tf normalization as the exact rational
+    44·tf·avgdl // (20·tf·avgdl + 6·avgdl + 18·dl) — so scores
+    reproduce bit-for-bit."""
+    from linkinator_ray.pipelines.text import BM25_LOG2
+    term_list = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents
+        ), dl AS (
+            SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+        ), stats AS (
+            SELECT count(*) AS n,
+                   (sum(dl) * 1024) // count(*) AS avgdl_fp
+            FROM dl
+        ), df AS (
+            SELECT tok, count(DISTINCT doc_id) AS df
+            FROM toks WHERE tok IN ({term_list}) GROUP BY tok
+        ), idf AS (
+            SELECT tok,
+                   (length(bin(arg)) - 1) * 65536
+                   + ({BM25_LOG2})[
+                       (((arg << 8) >> (length(bin(arg)) - 1)) & 255) + 1]
+                   - 1048576 AS idf_fp
+            FROM (SELECT tok,
+                         ((2 * s.n - 2 * df + 1) * 65536) // (2 * df + 1)
+                         + 65536 AS arg
+                  FROM df, stats s)
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS tf
+            FROM toks WHERE tok IN ({term_list}) GROUP BY doc_id, tok
+        ), sc AS (
+            SELECT t.doc_id,
+                   sum(i.idf_fp
+                       * ((44 * t.tf * s.avgdl_fp * 1024)
+                          // (20 * t.tf * s.avgdl_fp + 6 * s.avgdl_fp
+                              + 18 * d.dl * 1024))) AS score
+            FROM tf t
+            JOIN idf i USING (tok)
+            JOIN dl d ON t.doc_id = d.doc_id, stats s
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id, CAST(score AS BIGINT) AS score
+        FROM sc ORDER BY score DESC, doc_id LIMIT {k}
+    """
 
 
 def _hll_sql() -> str:
@@ -607,6 +662,9 @@ def oracle_sql() -> dict[str, str]:
         # fixed-point estimator + table-driven linear-counting
         # correction, bit-for-bit (text.py:hll_distinct_tokens)
         "hll_distinct_tokens": _hll_sql(),
+        # integer fixed-point BM25 (text.py:bm25_search) — shared
+        # BM25_LOG2 mantissa table, Q10 length norm, Q16 idf
+        "bm25_search": _bm25_sql(terms=("hash", "dup", "window"), k=10),
         # count-min sketch frequency estimates (text.py:cms_token_counts)
         # — d=4 × w=1024 counters, per-row col = md5("r:tok") mod w,
         # min-of-rows readout; the full sketch (collisions included)

@@ -926,6 +926,153 @@ def keyword_search(sf_dir: str, terms: tuple[str, ...] = ("hash", "join"),
                                 preserve_index=False)
 
 
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — exact integer fixed point
+# ---------------------------------------------------------------------------
+# k1 = 1.2 and b = 0.75 enter the score as the exact rationals 6/5 and
+# 3/4, so the tf normalization is a pure integer expression (below).
+# The idf's log2 runs in Q16 fixed point through a 256-entry mantissa
+# table shared verbatim with the DuckDB oracle (same trade as HLL_LC):
+# log2_fp(x) = (msb exponent)·2^16 + BM25_LOG2[top 8 mantissa bits].
+# Deterministic integer function of x — both sides reproduce it
+# bit-for-bit; resolution ~2^-9 relative, far below ranking granularity.
+import math as _bm_math  # noqa: E402
+
+BM25_LOG2 = [round(_bm_math.log2(1 + i / 256) * 65536) for i in range(256)]
+
+
+def _log2_fp(x: np.ndarray) -> np.ndarray:
+    """Q16 fixed-point log2 of positive int64 values (vectorized).
+    Exponent via bit_length-1; mantissa bucketed to 8 bits through the
+    shared BM25_LOG2 table. Matches the SQL `length(bin(x))-1` idiom."""
+    x = np.asarray(x, dtype=np.int64)
+    # vectorized floor(log2(x)) via 6 binary-search shifts; arguments
+    # here are < 2^52 so the <<8 below cannot overflow int64
+    e = np.zeros(len(x), dtype=np.int64)
+    v = x.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = v >= (np.int64(1) << shift)
+        e[big] += shift
+        v[big] >>= shift
+    mant = ((x << 8) >> e) & 255
+    table = np.asarray(BM25_LOG2, dtype=np.int64)
+    return e * 65536 + table[mant]
+
+
+def bm25_search(sf_dir: str, terms: tuple[str, ...] = ("hash", "dup",
+                                                       "window"),
+                k: int = 10):
+    """BM25 ranked retrieval (OR semantics): top-k docs by summed BM25
+    term scores, k1=1.2, b=0.75, BM25+-style idf
+    ``log2(1 + (N-df+0.5)/(df+0.5))`` (never negative).
+
+    Every arithmetic step is integer fixed point so the DuckDB oracle
+    reproduces scores bit-for-bit: avgdl and dl carry Q10, idf carries
+    Q16 through the shared BM25_LOG2 mantissa table, and the tf
+    normalization ``tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))`` becomes the
+    exact rational ``44·tf·avgdl_fp·1024 // (20·tf·avgdl_fp +
+    6·avgdl_fp + 18·dl_fp)`` (multiply through by 20·avgdl). Magnitudes
+    stay int64-safe independent of corpus size: idf_fp grows
+    logarithmically with N (≈2.3M at N=10^10) and tfnorm_fp ≤ 2253, so
+    a term score is ≤ ~5×10^9 (contrast the pagerank overflow guard —
+    this shape needs none).
+
+    Scale shape (100 TB): BM25 needs global stats before scoring, so
+    two streaming passes — pass 1 reduces each batch to |terms|+1 tiny
+    partial rows (df per term, doc count, token count: a combiner, no
+    shuffle); pass 2 scores each batch completely (a doc never spans
+    batches) with the same flattened-token Arrow group_bys as
+    keyword_search and emits only its LOCAL top-k, so the driver merges
+    ≤ batches×k rows. Nothing corpus-sized moves.
+    """
+    import pyarrow.compute as pc
+
+    uniq_terms = sorted(set(terms))
+    term_arr = pa.array(uniq_terms)
+
+    def _split(batch: pa.Table):
+        trimmed = pc.utf8_trim_whitespace(_text_col(batch))
+        lst = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        return lst
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        lst = _split(batch)
+        dl = pc.list_value_length(lst)
+        pairs = pa.table({"p": pc.list_parent_indices(lst),
+                          "tok": pc.list_flatten(lst)})
+        pairs = pairs.filter(pc.is_in(pairs["tok"], value_set=term_arr))
+        toks, dfs = [], []
+        if pairs.num_rows:
+            per = pairs.group_by("tok", use_threads=False).aggregate(
+                [("p", "count_distinct")])
+            toks = per["tok"].to_pylist()
+            dfs = [int(v) for v in per["p_count_distinct"].to_pylist()]
+        toks.append("\x00stats")
+        dfs.append(0)
+        n = np.zeros(len(toks), dtype=np.int64)
+        dl_sum = np.zeros(len(toks), dtype=np.int64)
+        n[-1] = batch.num_rows
+        dl_sum[-1] = int(pc.sum(dl).as_py() or 0)
+        return pa.table({"tok": pa.array(toks, pa.string()),
+                         "df": pa.array(dfs, pa.int64()),
+                         "n": n, "dl_sum": dl_sum})
+
+    stats = read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        stats_partial, batch_format="pyarrow",
+        batch_size=8192).to_pandas()
+    agg = stats.groupby("tok", as_index=True)[["df", "n", "dl_sum"]].sum()
+    n_docs = int(agg["n"].sum())
+    total_len = int(agg["dl_sum"].sum())
+    if n_docs == 0:
+        return pa.table({"doc_id": pa.array([], pa.int64()),
+                         "score": pa.array([], pa.int64())})
+    avgdl_fp = (total_len * 1024) // n_docs  # Q10
+    df_of = {t: int(agg.loc[t, "df"]) if t in agg.index else 0
+             for t in uniq_terms}
+    # idf_fp (Q16): log2(1 + (N-df+0.5)/(df+0.5)) with the argument
+    # floored into Q16 first — one shared rounding point on both sides
+    arg_q16 = np.array(
+        [((2 * n_docs - 2 * df_of[t] + 1) * 65536) // (2 * df_of[t] + 1)
+         + 65536 for t in uniq_terms], dtype=np.int64)
+    idf_fp = _log2_fp(arg_q16) - 16 * 65536
+
+    def score_partial(batch: pa.Table) -> pa.Table:
+        lst = _split(batch)
+        dl_fp = _int64(pc.list_value_length(lst)) * 1024  # Q10
+        pairs = pa.table({"p": pc.list_parent_indices(lst),
+                          "tok": pc.list_flatten(lst)})
+        pairs = pairs.filter(pc.is_in(pairs["tok"], value_set=term_arr))
+        if pairs.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.int64())})
+        per = pairs.group_by(["p", "tok"], use_threads=False).aggregate(
+            [([], "count_all")])
+        p_idx = _int64(per["p"])
+        tf = _int64(per["count_all"])
+        t_idx = _int64(pc.index_in(per["tok"], value_set=term_arr))
+        dl_term = dl_fp[p_idx]
+        tfnorm_fp = (44 * tf * avgdl_fp * 1024) // (
+            20 * tf * avgdl_fp + 6 * avgdl_fp + 18 * dl_term)  # Q10
+        sc = idf_fp[t_idx] * tfnorm_fp  # Q26
+        agg_t = pa.table({"p": p_idx, "sc": sc}).group_by(
+            "p", use_threads=False).aggregate([("sc", "sum")])
+        out = pa.table({
+            "doc_id": pc.cast(batch["doc_id"].take(agg_t["p"]), pa.int64()),
+            "score": pc.cast(agg_t["sc_sum"], pa.int64())})
+        order = pc.sort_indices(out, sort_keys=[("score", "descending"),
+                                                ("doc_id", "ascending")])
+        return out.take(order[:k])
+
+    tops = read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        score_partial, batch_format="pyarrow", batch_size=8192).to_pandas()
+    tops = tops.sort_values(["score", "doc_id"],
+                            ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(tops.reset_index(drop=True),
+                                preserve_index=False)
+
+
 # HyperLogLog constants shared with the DuckDB oracle: p=8 (256
 # registers), fixed-point estimator with alpha_256 as an exact ppm
 # integer — every arithmetic step is integer, so the SQL oracle

@@ -1099,6 +1099,84 @@ def test_keyword_search_planted(ray_session, tmp_path):
     assert list(df["score"]) == [5, 2, 2]
 
 
+def test_bm25_search_planted(ray_session, tmp_path):
+    """BM25 semantics pinned: OR matching (a one-term doc still ranks),
+    idf (a rare-term doc outranks a common-term doc at equal tf and
+    length), and length normalization (same tf, shorter doc wins)."""
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.text import bm25_search
+    filler = " ".join(f"x{i}" for i in range(20))
+    rows = [
+        # 'rare' appears in 1 doc; 'common' in 4 — idf(rare) >> idf(common)
+        {"doc_id": 1, "text": "rare " + filler},
+        {"doc_id": 2, "text": "common " + filler},
+        {"doc_id": 3, "text": "common common aa bb cc"},   # short, tf=2
+        {"doc_id": 4, "text": "common common " + filler},  # long, tf=2
+        {"doc_id": 5, "text": "common zz"},
+        {"doc_id": 6, "text": "nothing here"},
+    ]
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(out / "documents.parquet"))
+    df = bm25_search(str(out), terms=("rare", "common"), k=10).to_pandas()
+    got = list(df["doc_id"])
+    assert 6 not in got and len(got) == 5          # OR semantics
+    assert got[0] == 1                             # idf dominates
+    assert got.index(3) < got.index(4)             # length normalization
+    assert (df["score"] > 0).all()
+
+
+def test_bm25_search_integer_reference(ray_session):
+    """Bit-exact differential: the distributed two-pass BM25 equals a
+    single-machine pure-Python integer reference (same Q10/Q16 fixed
+    point) on real testdata — and is deterministic across runs."""
+    import re
+
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.text import BM25_LOG2, bm25_search
+    sf = "/root/testdata/sf0.001"
+    terms, k = ("hash", "dup", "window"), 10
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text"]).to_pylist()
+    # re.split(r"\s+", "") == [""] — matches Arrow split_pattern_regex
+    toks = {d["doc_id"]: re.split(r"\s+", (d["text"] or "").strip())
+            for d in docs}
+    n = len(toks)
+    total = sum(len(v) for v in toks.values())
+    avgdl_fp = (total * 1024) // n
+
+    def log2_fp(x: int) -> int:
+        e = x.bit_length() - 1
+        return e * 65536 + BM25_LOG2[((x << 8) >> e) & 255]
+
+    uniq = sorted(set(terms))
+    df_of = {t: sum(t in set(v) for v in toks.values()) for t in uniq}
+    idf = {t: log2_fp(((2 * n - 2 * df_of[t] + 1) * 65536)
+                      // (2 * df_of[t] + 1) + 65536) - 16 * 65536
+           for t in uniq}
+    scores = {}
+    for doc_id, tl in toks.items():
+        dl_fp = len(tl) * 1024
+        s = 0
+        for t in uniq:
+            tf = tl.count(t)
+            if tf:
+                tfnorm = (44 * tf * avgdl_fp * 1024) // (
+                    20 * tf * avgdl_fp + 6 * avgdl_fp + 18 * dl_fp)
+                s += idf[t] * tfnorm
+        if s:
+            scores[doc_id] = s
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+
+    got1 = bm25_search(sf, terms=terms, k=k).to_pandas()
+    got2 = bm25_search(sf, terms=terms, k=k).to_pandas()
+    assert list(map(tuple, got1[["doc_id", "score"]].to_records(
+        index=False))) == want
+    assert got1.equals(got2)
+
+
 def test_hll_distinct_tokens_accuracy(ray_session):
     """The sketch estimate must land within the HLL error envelope
     (~1.04/sqrt(256) = 6.5%; assert 10%) of the exact per-lang
