@@ -167,6 +167,7 @@ def run_queries() -> dict:
         "idle_customers": lambda: tpch.idle_customers(SF_DIR),
         "tfidf_top_terms": lambda: text.tfidf_top_terms(SF_DIR),
         "keyword_search": lambda: text.keyword_search(SF_DIR),
+        "bm25_search": lambda: text.bm25_search(SF_DIR),
         "hll_distinct_tokens": lambda: text.hll_distinct_tokens(SF_DIR),
         "cms_token_counts": lambda: text.cms_token_counts(SF_DIR),
         "kmeans_embeddings": lambda: similarity.kmeans_embeddings(

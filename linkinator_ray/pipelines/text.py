@@ -1019,7 +1019,10 @@ def bm25_search(sf_dir: str, terms: tuple[str, ...] = ("hash", "dup",
                          "df": pa.array(dfs, pa.int64()),
                          "n": n, "dl_sum": dl_sum})
 
-    stats = read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+    # single-file reads give ONE block → both tokenize passes would run
+    # on one task; fan out to ~CPU count first (dedup.py:_fanout)
+    from linkinator_ray.pipelines.dedup import _fanout
+    stats = _fanout(read_docs(sf_dir, ["doc_id", "text"])).map_batches(
         stats_partial, batch_format="pyarrow",
         batch_size=8192).to_pandas()
     agg = stats.groupby("tok", as_index=True)[["df", "n", "dl_sum"]].sum()
@@ -1065,7 +1068,7 @@ def bm25_search(sf_dir: str, terms: tuple[str, ...] = ("hash", "dup",
                                                 ("doc_id", "ascending")])
         return out.take(order[:k])
 
-    tops = read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+    tops = _fanout(read_docs(sf_dir, ["doc_id", "text"])).map_batches(
         score_partial, batch_format="pyarrow", batch_size=8192).to_pandas()
     tops = tops.sort_values(["score", "doc_id"],
                             ascending=[False, True]).head(k)
