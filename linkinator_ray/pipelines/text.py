@@ -133,33 +133,84 @@ class LangId:
     integer parts-per-million confidence, first-wins tie-break in
     profile order (en, de, es, fr, zh)."""
 
+    LANGS = ("en", "de", "es", "fr", "zh")  # profile order = tie order
+
     def __init__(self):
         self.profiles = {lang: frozenset(ws) for lang, ws in STOPWORDS.items()}
+        self.word_sets = {lang: pa.array(sorted(ws))
+                          for lang, ws in STOPWORDS.items() if lang != "zh"}
+        self.zh_chars = sorted(STOPWORDS["zh"])
         self.token_re = re.compile(r"[0-9a-z_]+")
 
+    def score_scalar(self, text: str) -> tuple[str, int]:
+        """Single-doc reference path (the vectorized __call__ is
+        differential-tested against it)."""
+        words = self.token_re.findall(text.lower())[:200]
+        best, best_score = "en", 0
+        for lang, profile in self.profiles.items():
+            if lang == "zh":
+                score = sum(ch in profile for ch in text[:400])
+            else:
+                score = sum(w in profile for w in words)
+            if score > best_score:
+                best, best_score = lang, score
+        return best, (1_000_000 * best_score) // max(1, len(words))
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = []
-        confs = []
-        for text in _text_col(batch).to_pylist():
-            words = self.token_re.findall(text.lower())[:200]
-            # CJK shortcut: profile char hits over the raw head dominate
-            best, best_score = "en", 0
-            for lang, profile in self.profiles.items():
-                if lang == "zh":
-                    score = sum(ch in profile for ch in text[:400])
-                else:
-                    score = sum(w in profile for w in words)
-                if score > best_score:
-                    best, best_score = lang, score
-            preds.append(best)
-            confs.append((1_000_000 * best_score) // max(1, len(words)))
+        """Vectorized: one RE2 split on the lowered text, per-language
+        ``pc.is_in`` probes over the flattened token stream with
+        segmented sums, CJK head hits via 10 ``pc.count_substring``
+        kernels, and a row-wise argmax whose first-max-wins matches the
+        scalar strict-greater loop (profile order, 'en' at score 0)."""
+        import pyarrow.compute as pc
+        text = _text_col(batch)
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        d = len(text)
+        lst = pc.split_pattern_regex(pc.utf8_lower(text), "[^0-9a-z_]+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = pc.list_flatten(lst)
+        parent = _int64(pc.list_parent_indices(lst))
+        # split (unlike findall) yields boundary empties — drop them,
+        # then cap each doc at its first 200 tokens
+        nonempty = _int64(pc.not_equal(pc.utf8_length(flat), 0)
+                          .cast(pa.int8())).astype(bool)
+        pos = np.zeros(len(parent), dtype=np.int64)
+        if len(parent):
+            # rank of each kept token within its doc: cumulative count
+            # of nonempty tokens minus the count before the doc starts
+            cum = np.cumsum(nonempty)
+            lens = _int64(pc.list_value_length(lst))
+            starts = np.repeat(np.concatenate(([0], np.cumsum(lens[:-1]))),
+                               lens)
+            before = np.concatenate(([0], cum))[starts]
+            pos = cum - before - 1  # -1 → 0-based rank among kept tokens
+        keep = nonempty & (pos < 200)
+        nw = np.zeros(d, dtype=np.int64)
+        np.add.at(nw, parent[keep], 1)  # == min(#tokens, 200)
+        scores = np.zeros((d, len(self.LANGS)), dtype=np.int64)
+        for j, lang in enumerate(self.LANGS[:-1]):
+            hit = _int64(pc.is_in(flat, value_set=self.word_sets[lang])
+                         .cast(pa.int8())).astype(bool) & keep
+            np.add.at(scores[:, j], parent[hit], 1)
+        head = pc.utf8_slice_codeunits(text, 0, 400)
+        zh = np.zeros(d, dtype=np.int64)
+        for ch in self.zh_chars:
+            zh += _int64(pc.count_substring(head, ch))
+        scores[:, len(self.LANGS) - 1] = zh
+        best_idx = np.argmax(scores, axis=1)  # first max = tie order
+        best_score = scores[np.arange(d), best_idx]
+        preds = np.asarray(self.LANGS, dtype=object)[best_idx]
+        confs = (1_000_000 * best_score) // np.maximum(1, nw)
         return pa.table({"doc_id": batch.column("doc_id"),
                          "predicted_lang": pa.array(preds, pa.string()),
                          "confidence_ppm": pa.array(confs, pa.int64())})
 
 
 def lang_id(sf_dir: str):
-    return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+    from linkinator_ray.pipelines.dedup import _fanout
+    return _fanout(read_docs(sf_dir, ["doc_id", "text"])).map_batches(
         LangId, batch_format="pyarrow", batch_size=2048, concurrency=(1, 8))
 
 
@@ -820,7 +871,53 @@ def train_split(sf_dir: str, train_ppm: int = 900_000,
         kernel, batch_format="pyarrow", batch_size=8192)
 
 
-def tfidf_top_terms(sf_dir: str, k: int = 3):
+class _TfidfTopK:
+    """Map-side df lookup + per-block top-k: the broadcast (token, df)
+    table is fetched ONCE per actor; each block's docs are complete
+    (tf rows never leave their originating tokenize batch), so the
+    per-doc top-k finishes in-block with zero exchange."""
+
+    def __init__(self, df_ref, k: int):
+        import ray
+        tbl = ray.get(df_ref) if not isinstance(df_ref, pa.Table) else df_ref
+        self.tokens = tbl["token"].combine_chunks()
+        self.df = _int64(tbl["df"])
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        if batch.num_rows == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "token": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64()),
+                             "df": pa.array([], pa.int64()),
+                             "rank": pa.array([], pa.int64())})
+        idx = _int64(pc.index_in(batch["token"], value_set=self.tokens))
+        df = self.df[idx]  # every token exists in the global df table
+        tf = _int64(batch["tf"])
+        scored = pa.table({"doc_id": batch["doc_id"],
+                           "token": batch["token"],
+                           "tf": batch["tf"],
+                           "df": pa.array(df, pa.int64()),
+                           "score": pa.array(tf * 1_000_000 // df,
+                                             pa.int64())})
+        order = pc.sort_indices(scored, sort_keys=[
+            ("doc_id", "ascending"), ("score", "descending"),
+            ("token", "ascending")])
+        s = scored.take(order)
+        doc = _int64(s["doc_id"])
+        starts = np.flatnonzero(np.concatenate(([True], doc[1:] != doc[:-1])))
+        counts = np.diff(np.concatenate((starts, [len(doc)])))
+        rank = np.arange(len(doc), dtype=np.int64) - np.repeat(starts, counts)
+        keep = rank < self.k
+        out = s.filter(pa.array(keep))
+        return pa.table({"doc_id": out["doc_id"], "token": out["token"],
+                         "tf": out["tf"], "df": out["df"],
+                         "rank": pa.array(rank[keep] + 1, pa.int64())})
+
+
+def tfidf_top_terms(sf_dir: str, k: int = 3,
+                    broadcast_df_threshold: int = 2_000_000):
     """Per-doc top-k distinguishing terms by tf/df ratio — the
     inverted-index shape (term statistics need corpus-wide document
     frequencies). Ranking is EXACT integer ((tf*1e6)//df descending,
@@ -830,11 +927,16 @@ def tfidf_top_terms(sf_dir: str, k: int = 3):
     Output: (doc_id, token, tf, df, rank), k rows per doc.
 
     Scale shape: per-doc term frequencies complete inside each batch
-    (a doc never spans batches), so tf needs NO exchange; df is one
-    two-level hash aggregate over tokens; df joins back to the term
-    rows token-co-located (hash_join); the per-doc top-k is one
-    doc_id exchange with a vectorized sort + head per partition.
-    """
+    (a doc never spans batches), so tf needs NO exchange and the term
+    table is MATERIALIZED once (lineage would re-run the tokenize pass
+    per consumer). df is one two-level hash aggregate over tokens —
+    output bounded by VOCABULARY size, not corpus size. At or under
+    ``broadcast_df_threshold`` distinct tokens (2M ≈ 30 MB) the df
+    table broadcasts and scoring + per-doc top-k finish map-side with
+    ZERO further exchange (docs never span blocks); above it, the
+    scale path joins df back token-co-located (hash_join) and takes
+    the per-doc top-k after one doc_id exchange — same hybrid pattern
+    as dedup_minhash's hot-bucket auto-switch."""
     import pyarrow.compute as pc
 
     from linkinator_ray.pipelines.hashagg import (hash_aggregate,
@@ -856,8 +958,21 @@ def tfidf_top_terms(sf_dir: str, k: int = 3):
                          "tf": pc.cast(agg["count_all"], pa.int64())})
 
     tc = _fanout(read_docs(sf_dir, ["doc_id", "text"])).map_batches(
-        tf_kernel, batch_format="pyarrow", batch_size=8192)
-    df = hash_aggregate(tc, "token", {"df": ("doc_id", "count")})
+        tf_kernel, batch_format="pyarrow", batch_size=8192).materialize()
+    # vocab-bounded (never corpus-sized): safe to pin in the object
+    # store so the count + fetch below don't re-run the aggregate
+    df = hash_aggregate(tc, "token", {"df": ("doc_id", "count")}) \
+        .materialize()
+
+    if df.count() <= broadcast_df_threshold:
+        import ray
+        df_tbl = pa.Table.from_pandas(df.to_pandas(),
+                                      preserve_index=False)
+        return tc.map_batches(
+            _TfidfTopK, batch_format="pyarrow", batch_size=None,
+            concurrency=(1, 8),
+            fn_constructor_kwargs={"df_ref": ray.put(df_tbl), "k": k})
+
     joined = hash_join(tc, df, on="token")
 
     def topk(part: pd.DataFrame) -> pd.DataFrame:

@@ -1010,6 +1010,46 @@ def test_tfidf_top_terms_semantics(ray_session, tmp_path):
     assert top2["token"] == "alpha" and top2["df"] == 3
 
 
+def test_tfidf_fallback_path_identical(ray_session, tmp_path):
+    """broadcast_df_threshold=0 forces the hash_join + partitioned
+    top-k scale path; output must equal the broadcast map-side path
+    (the auto-hybrid contract, same pattern as components/minhash)."""
+    from linkinator_ray.pipelines.text import tfidf_top_terms
+
+    def canon(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return df.sort_values(["doc_id", "rank"]).reset_index(drop=True)
+
+    sf = "/root/testdata/sf0.001"
+    fast = canon(tfidf_top_terms(sf, k=3))
+    slow = canon(tfidf_top_terms(sf, k=3, broadcast_df_threshold=0))
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+
+def test_lang_id_vectorized_matches_scalar(ray_session):
+    """The vectorized LangId kernel is bit-identical to the per-doc
+    scalar reference on real testdata plus adversarial edges (token
+    cap, CJK head, empties, nulls)."""
+    from linkinator_ray.pipelines.text import LangId
+
+    import pyarrow.parquet as pq
+    li = LangId()
+    docs = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                         columns=["doc_id", "text"])
+    edge = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "text": pa.array(["", "   ", "的" * 500,
+                          "x " * 300 + "the " * 50,  # past the 200 cap
+                          None, "el la de the and der die"], pa.string())})
+    for tbl in (docs, edge):
+        out = li(tbl)
+        for i, t in enumerate(tbl["text"].to_pylist()):
+            want = li.score_scalar(t or "")
+            got = (out["predicted_lang"][i].as_py(),
+                   out["confidence_ppm"][i].as_py())
+            assert got == want, (i, (t or "")[:50], want, got)
+
+
 def test_stratified_sample_exact_quota(ray_session):
     """Exact per-lang quota: counts are min(N, lang size), the chosen
     docs are exactly the N smallest md5 coins per lang (single-machine
