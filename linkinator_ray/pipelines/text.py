@@ -244,33 +244,58 @@ ROLLING_B = 1000003
 _P64 = np.uint64(ROLLING_P)
 
 
+def _redc_inplace(x: np.ndarray) -> np.ndarray:
+    """In-place reduce uint64 values (< 2^64) mod 2^61-1: fold the high
+    3 bits down (2^61 ≡ 1), one conditional subtract. MUTATES x —
+    callers own the buffer (always a fresh temp in the kernels below).
+    The hot MinHash signature stage runs this over (perms × shingles)
+    matrices; the naive expression form churned ~6 matrix-sized
+    temporaries per call and was page-fault/bandwidth bound."""
+    hi = x >> np.uint64(61)
+    x &= _P64
+    x += hi
+    np.subtract(x, _P64, out=x, where=x >= _P64)
+    return x
+
+
 def _redc_p(x: np.ndarray) -> np.ndarray:
-    """Reduce uint64 values (< 2^64) mod the Mersenne prime 2^61-1:
-    fold the high 3 bits down (2^61 ≡ 1), then one conditional
-    subtract."""
-    r = (x >> np.uint64(61)) + (x & _P64)
-    return np.where(r >= _P64, r - _P64, r)
+    """Reduce uint64 values (< 2^64) mod the Mersenne prime 2^61-1
+    (non-mutating wrapper around the in-place kernel)."""
+    return _redc_inplace(np.array(x, dtype=np.uint64, copy=True))
 
 
 def _addmod_p(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    return _redc_p(a + b)  # a,b < P < 2^61 → sum < 2^62, no overflow
+    return _redc_inplace(np.add(a, b, dtype=np.uint64))
+    # a,b < P < 2^61 → sum < 2^62, no overflow
 
 
 def _mulmod_p(a: np.ndarray, b) -> np.ndarray:
     """(a*b) mod (2^61-1) without 128-bit ints: 32-bit limb split.
     a·b = (a1b1)·2^64 + (a1b0 + a0b1)·2^32 + a0b0 with 2^64 ≡ 2^3 and
     mid·2^32 folded via mid = mh·2^29 + ml ⇒ mid·2^32 ≡ mh + ml·2^32.
-    Every intermediate provably fits uint64 for a,b < 2^61."""
+    Every intermediate provably fits uint64 for a,b < 2^61. All
+    reductions run in place on fresh product buffers — ~3x less
+    allocation traffic than the expression form on matrix inputs."""
     a = np.asarray(a, dtype=np.uint64)
     b = np.asarray(b, dtype=np.uint64)
     mask32 = np.uint64(0xFFFFFFFF)
     a1, a0 = a >> np.uint64(32), a & mask32
     b1, b0 = b >> np.uint64(32), b & mask32
-    hh = _redc_p((a1 * b1) << np.uint64(3))        # a1,b1 < 2^29
-    mid = a1 * b0 + a0 * b1                        # < 2^62
-    mh, ml = mid >> np.uint64(29), mid & np.uint64((1 << 29) - 1)
-    ll = _redc_p(a0 * b0)                          # < 2^64 exact in uint64
-    return _redc_p(_redc_p(hh + mh) + _redc_p(ml << np.uint64(32)) + ll)
+    hh = a1 * b1                                   # fresh full-shape buffer
+    hh <<= np.uint64(3)                            # a1,b1 < 2^29 → exact
+    _redc_inplace(hh)
+    mid = a1 * b0
+    mid += a0 * b1                                 # < 2^62
+    mh = mid >> np.uint64(29)
+    mid &= np.uint64((1 << 29) - 1)                # ml, in place
+    mid <<= np.uint64(32)                          # ml·2^32 < 2^61
+    ll = a0 * b0                                   # < 2^64 exact in uint64
+    _redc_inplace(ll)
+    hh += mh                                       # < 2^61 + 2^33
+    _redc_inplace(hh)
+    hh += mid                                      # each term < P < 2^61
+    hh += ll                                       # sum < 3·2^61 < 2^64
+    return _redc_inplace(hh)
 
 
 def rolling_fingerprint(sf_dir: str, window: int = 8):
