@@ -131,6 +131,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": lambda sf: similarity.knn_ivf(sf, k=5, num_queries=4),  # rows-only + recall test
         "bm25_search": lambda sf: text.bm25_search(
             sf, terms=("hash", "dup", "window"), k=10),  # exact SQL oracle
+        "chunk_documents": lambda sf: text.chunk_documents(
+            sf, chunk_tokens=64, overlap=16),  # exact SQL oracle
     }
 
 
@@ -665,6 +667,28 @@ def oracle_sql() -> dict[str, str]:
         # integer fixed-point BM25 (text.py:bm25_search) — shared
         # BM25_LOG2 mantissa table, Q10 length norm, Q16 idf
         "bm25_search": _bm25_sql(terms=("hash", "dup", "window"), k=10),
+        # RAG chunking (text.py:chunk_documents): chunk=64, overlap=16,
+        # stride=48; num_chunks = max(1, ceil((n-16)/48))
+        "chunk_documents": r"""
+            WITH t AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS toks
+                FROM documents
+            ), n AS (
+                SELECT doc_id, toks, len(toks) AS n FROM t
+            ), c AS (
+                SELECT doc_id, toks, n,
+                       unnest(generate_series(
+                           0, greatest(1, (n - 16 + 47) // 48) - 1)) AS ci
+                FROM n
+            )
+            SELECT doc_id, ci AS chunk_id,
+                   array_to_string(list_slice(
+                       toks, ci*48 + 1, least(ci*48 + 64, n)), ' ')
+                       AS chunk_text,
+                   least(ci*48 + 64, n) - ci*48 AS n_tokens
+            FROM c
+        """,
         # count-min sketch frequency estimates (text.py:cms_token_counts)
         # — d=4 × w=1024 counters, per-row col = md5("r:tok") mod w,
         # min-of-rows readout; the full sketch (collisions included)

@@ -896,6 +896,67 @@ def train_split(sf_dir: str, train_ppm: int = 900_000,
         kernel, batch_format="pyarrow", batch_size=8192)
 
 
+def chunk_documents(sf_dir: str, chunk_tokens: int = 64,
+                    overlap: int = 16):
+    """RAG-style fixed-size token chunking with overlap: each doc's
+    whitespace token stream splits into windows of ``chunk_tokens``
+    advancing by ``chunk_tokens - overlap``; the last window clips to
+    the doc end and a doc always yields at least one chunk
+    (num_chunks = max(1, ceil((n - overlap) / stride))).
+
+    Output: (doc_id, chunk_id, chunk_text, n_tokens) — chunk_text is
+    the space-joined token window (normalized whitespace by
+    construction, same tokenizer as every text operator here).
+
+    Scale shape: pure streaming map — one RE2 split per batch, the
+    overlapping windows materialize as ONE flat gather (np.repeat
+    offset arithmetic → a single ``take`` + ``ListArray`` wrap +
+    ``pc.binary_join``), no Python loop, no shuffle, output ~
+    (1 + overlap/stride)× input text. DuckDB oracle reproduces rows
+    exactly (generate_series + list_slice + array_to_string).
+    """
+    import pyarrow.compute as pc
+
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"need 0 <= overlap < chunk_tokens: "
+                         f"chunk_tokens={chunk_tokens}, overlap={overlap}")
+    stride = chunk_tokens - overlap
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(_text_col(batch))
+        lst = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = pc.list_flatten(lst)
+        lens = _int64(pc.list_value_length(lst))
+        doc_off = np.concatenate(([0], np.cumsum(lens)))
+        num = np.maximum(1, (lens - overlap + stride - 1) // stride)
+        doc_idx = np.repeat(np.arange(len(lens)), num)
+        chunk_id = np.arange(int(num.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(num[:-1]))), num)
+        starts = chunk_id * stride
+        clens = np.minimum(starts + chunk_tokens, lens[doc_idx]) - starts
+        base = doc_off[doc_idx] + starts
+        gidx = np.repeat(base, clens) + (
+            np.arange(int(clens.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(clens[:-1]))), clens))
+        taken = flat.take(pa.array(gidx, pa.int64()))
+        # ListArray offsets are int32 — fine per batch (≤4096 docs ×
+        # chunk windows ≪ 2^31 tokens)
+        chunks = pa.ListArray.from_arrays(
+            pa.array(np.concatenate(([0], np.cumsum(clens))), pa.int32()),
+            taken)
+        return pa.table({
+            "doc_id": pc.cast(batch["doc_id"].take(
+                pa.array(doc_idx, pa.int64())), pa.int64()),
+            "chunk_id": pa.array(chunk_id, pa.int64()),
+            "chunk_text": pc.binary_join(chunks, " "),
+            "n_tokens": pa.array(clens, pa.int64())})
+
+    return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow", batch_size=4096)
+
+
 class _TfidfTopK:
     """Map-side df lookup + per-block top-k: the broadcast (token, df)
     table is fetched ONCE per actor; each block's docs are complete

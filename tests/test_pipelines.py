@@ -1010,6 +1010,40 @@ def test_tfidf_top_terms_semantics(ray_session, tmp_path):
     assert top2["token"] == "alpha" and top2["df"] == 3
 
 
+def test_chunk_documents_boundaries(ray_session, tmp_path):
+    """Chunk windows pinned: overlap carries the window tail forward,
+    the final chunk clips to the doc end, an exact-fit doc emits one
+    chunk (no redundant tail window), and every doc — even empty —
+    yields at least one chunk."""
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.text import chunk_documents
+    rows = [
+        {"doc_id": 1, "text": " ".join(f"t{i}" for i in range(10))},
+        {"doc_id": 2, "text": "a b c d"},   # exact fit: one chunk
+        {"doc_id": 3, "text": "a b"},       # shorter than a chunk
+        {"doc_id": 4, "text": ""},          # empty → one ['']-token chunk
+    ]
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(out / "documents.parquet"))
+    df = chunk_documents(str(out), chunk_tokens=4, overlap=1).to_pandas() \
+        .sort_values(["doc_id", "chunk_id"]).reset_index(drop=True)
+    got = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+           for r in df.itertuples()}
+    assert got[(1, 0)] == ("t0 t1 t2 t3", 4)
+    assert got[(1, 1)] == ("t3 t4 t5 t6", 4)      # overlap=1 carries t3
+    assert got[(1, 2)] == ("t6 t7 t8 t9", 4)
+    assert len([k for k in got if k[0] == 1]) == 3
+    assert got[(2, 0)] == ("a b c d", 4)
+    assert len([k for k in got if k[0] == 2]) == 1  # exact fit, no tail
+    assert got[(3, 0)] == ("a b", 2)
+    assert got[(4, 0)] == ("", 1)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(str(out), chunk_tokens=4, overlap=4)
+
+
 def test_tfidf_fallback_path_identical(ray_session, tmp_path):
     """broadcast_df_threshold=0 forces the hash_join + partitioned
     top-k scale path; output must equal the broadcast map-side path
