@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, terms=("hash", "dup", "window"), k=10),  # exact SQL oracle
         "chunk_documents": lambda sf: text.chunk_documents(
             sf, chunk_tokens=64, overlap=16),  # exact SQL oracle
+        "text_normalize": text.text_normalize,  # exact SQL oracle
     }
 
 
@@ -688,6 +689,16 @@ def oracle_sql() -> dict[str, str]:
                        AS chunk_text,
                    least(ci*48 + 64, n) - ci*48 AS n_tokens
             FROM c
+        """,
+        # NFC + utf8proc lowercase + \s+ collapse (text.py:text_normalize)
+        "text_normalize": r"""
+            SELECT doc_id,
+                   trim(regexp_replace(lower(nfc_normalize(text)),
+                        '\s+', ' ', 'g')) AS text_norm,
+                   CAST(length(trim(regexp_replace(
+                        lower(nfc_normalize(text)), '\s+', ' ', 'g')))
+                        AS BIGINT) AS n_chars_norm
+            FROM documents
         """,
         # count-min sketch frequency estimates (text.py:cms_token_counts)
         # — d=4 × w=1024 counters, per-row col = md5("r:tok") mod w,

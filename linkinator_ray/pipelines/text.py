@@ -896,6 +896,41 @@ def train_split(sf_dir: str, train_ppm: int = 900_000,
         kernel, batch_format="pyarrow", batch_size=8192)
 
 
+def text_normalize(sf_dir: str):
+    """Pre-dedup text canonicalization: Unicode NFC → Unicode lowercase
+    → whitespace collapse (\\s+ → one space) → trim. The standard
+    normalization pass before exact/near dedup so trivially-variant
+    copies (combining chars vs precomposed, case, whitespace runs)
+    hash identically downstream.
+
+    Output: (doc_id, text_norm, n_chars_norm).
+
+    Parity note: lowercase runs through Arrow's utf8proc kernel — the
+    SAME library DuckDB's lower() uses — and NFC through Python's
+    unicodedata (UAX#15, stable since Unicode 4.1), so the oracle
+    reproduces every row exactly (verified on İ/ß/ligature/combining
+    edges). NFC is the one per-string C call (no Arrow kernel exists);
+    everything else is vectorized. Pure streaming map, no shuffle.
+    """
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        text = _text_col(batch)
+        nfc = pa.array([unicodedata.normalize("NFC", t)
+                        for t in text.to_pylist()], pa.string())
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(nfc), r"\s+", " "))
+        return pa.table({"doc_id": batch.column("doc_id"),
+                         "text_norm": norm,
+                         "n_chars_norm": pc.cast(pc.utf8_length(norm),
+                                                 pa.int64())})
+
+    return read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        kernel, batch_format="pyarrow", batch_size=8192)
+
+
 def chunk_documents(sf_dir: str, chunk_tokens: int = 64,
                     overlap: int = 16):
     """RAG-style fixed-size token chunking with overlap: each doc's

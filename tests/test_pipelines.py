@@ -1010,6 +1010,30 @@ def test_tfidf_top_terms_semantics(ray_session, tmp_path):
     assert top2["token"] == "alpha" and top2["df"] == 3
 
 
+def test_text_normalize_unicode_edges(ray_session, tmp_path):
+    """NFC folds combining sequences into precomposed forms, lowercase
+    is Unicode-aware (utf8proc), and whitespace runs collapse — so
+    trivially-variant copies normalize to the SAME string (the
+    pre-dedup contract)."""
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.text import text_normalize
+    rows = [
+        {"doc_id": 1, "text": "Cafe\u0301  Society"},  # e + combining acute
+        {"doc_id": 2, "text": "caf\u00e9 society"},     # precomposed e-acute
+        {"doc_id": 3, "text": " \tA\u030aB \n"},       # A + combining ring
+        {"doc_id": 4, "text": ""},
+    ]
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(out / "documents.parquet"))
+    df = text_normalize(str(out)).to_pandas().set_index("doc_id")
+    assert df.loc[1, "text_norm"] == df.loc[2, "text_norm"] == "caf\u00e9 society"
+    assert df.loc[3, "text_norm"] == "\u00e5b"
+    assert df.loc[4, "text_norm"] == "" and df.loc[4, "n_chars_norm"] == 0
+    assert df.loc[1, "n_chars_norm"] == len("caf\u00e9 society")
+
+
 def test_chunk_documents_boundaries(ray_session, tmp_path):
     """Chunk windows pinned: overlap carries the window tail forward,
     the final chunk clips to the doc end, an exact-fit doc emits one
