@@ -134,6 +134,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": lambda sf: text.chunk_documents(
             sf, chunk_tokens=64, overlap=16),  # exact SQL oracle
         "text_normalize": text.text_normalize,  # exact SQL oracle
+        "unigram_logppl": text.unigram_logppl,  # exact SQL oracle
     }
 
 
@@ -344,6 +345,43 @@ def _bm25_sql(terms: tuple[str, ...] = ("hash", "dup", "window"),
         )
         SELECT doc_id, CAST(score AS BIGINT) AS score
         FROM sc ORDER BY score DESC, doc_id LIMIT {k}
+    """
+
+
+def _logppl_sql() -> str:
+    """Integer unigram log-perplexity (text.py:unigram_logppl) in SQL:
+    the SAME Q16 log2 (exponent via length(bin(x))-1, mantissa through
+    the shared BM25_LOG2 table), add-one smoothing, floor-divided
+    per-doc average — bit-for-bit."""
+    from linkinator_ray.pipelines.text import BM25_LOG2
+    T = str(BM25_LOG2)
+
+    def logfp(x: str) -> str:
+        return (f"(length(bin({x})) - 1) * 65536 + ({T})["
+                f"((({x} << 8) >> (length(bin({x})) - 1)) & 255) + 1]")
+
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS tok
+            FROM documents
+        ), cnt AS (
+            SELECT tok, count(*) AS c FROM toks GROUP BY tok
+        ), tv AS (
+            SELECT CAST(sum(c) AS BIGINT) + count(*) AS tv FROM cnt
+        ), dn AS (
+            SELECT {logfp('tv')} AS denom_fp FROM tv
+        ), lg AS (
+            SELECT tok, {logfp('(c + 1)')} AS lf FROM cnt
+        ), per AS (
+            SELECT t.doc_id, count(*) AS n,
+                   sum(d.denom_fp - l.lf) AS s
+            FROM toks t JOIN lg l ON t.tok = l.tok, dn d
+            GROUP BY t.doc_id
+        )
+        SELECT doc_id, CAST(s // n AS BIGINT) AS avg_nll_q16,
+               CAST(n AS BIGINT) AS n_tokens
+        FROM per
     """
 
 
@@ -690,6 +728,8 @@ def oracle_sql() -> dict[str, str]:
                    least(ci*48 + 64, n) - ci*48 AS n_tokens
             FROM c
         """,
+        # self-trained unigram LM perplexity score (text.py:unigram_logppl)
+        "unigram_logppl": _logppl_sql(),
         # NFC + utf8proc lowercase + \s+ collapse (text.py:text_normalize)
         "text_normalize": r"""
             SELECT doc_id,

@@ -896,6 +896,123 @@ def train_split(sf_dir: str, train_ppm: int = 900_000,
         kernel, batch_format="pyarrow", batch_size=8192)
 
 
+class _LogPplScorer:
+    """Broadcast-LM scorer: the (token, count) table ships once per
+    actor; each batch scores its docs completely (docs never span
+    batches) via one is_in-free ``pc.index_in`` probe + log-table
+    lookups — zero shuffle."""
+
+    def __init__(self, cnt_ref, denom_fp: int):
+        import ray
+        tbl = ray.get(cnt_ref) if not isinstance(cnt_ref, pa.Table) \
+            else cnt_ref
+        self.tokens = tbl["token"].combine_chunks()
+        self.log_c1 = _log2_fp(_int64(tbl["c"]) + 1)
+        self.denom_fp = denom_fp
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        trimmed = pc.utf8_trim_whitespace(_text_col(batch))
+        lst = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = pc.list_flatten(lst)
+        parent = _int64(pc.list_parent_indices(lst))
+        # every token exists in the LM (trained on this corpus)
+        idx = _int64(pc.index_in(flat, value_set=self.tokens))
+        nll = self.denom_fp - self.log_c1[idx]  # -log2 p(t) in Q16
+        d = batch.num_rows
+        s = np.zeros(d, dtype=np.int64)
+        np.add.at(s, parent, nll)
+        n = _int64(pc.list_value_length(lst))
+        return pa.table({"doc_id": pc.cast(batch["doc_id"], pa.int64()),
+                         "avg_nll_q16": pa.array(s // n, pa.int64()),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+
+def unigram_logppl(sf_dir: str, broadcast_vocab_threshold: int = 2_000_000):
+    """CCNet-style perplexity quality score, self-trained: a unigram LM
+    with add-one smoothing over the corpus's own token stream —
+    p(t) = (c(t)+1) / (T+V) — and each doc scored by its average
+    negative log2 probability. Low avg_nll ≈ ordinary text; high ≈
+    rare-token noise (the standard model-based quality signal next to
+    the heuristic quality_filter).
+
+    Output: (doc_id, avg_nll_q16, n_tokens) — Q16 fixed point:
+    avg_nll = Σ(log2_fp(T+V) − log2_fp(c(t)+1)) // n. All integer
+    through the shared BM25_LOG2 mantissa table, so the DuckDB oracle
+    reproduces scores bit-for-bit.
+
+    Scale shape: pass 1 is ONE two-level hash aggregate over tokens
+    (output vocabulary-bounded, never corpus-sized); at or under
+    ``broadcast_vocab_threshold`` distinct tokens the count table
+    broadcasts and pass 2 scores each batch completely map-side (zero
+    shuffle); above it, the scale path explodes (doc_id, token), joins
+    counts token-co-located and re-aggregates per doc — 2 extra
+    exchanges, nothing vocabulary-shaped on the driver."""
+    import pyarrow.compute as pc
+
+    from linkinator_ray.pipelines.dedup import _fanout
+    from linkinator_ray.pipelines.hashagg import (hash_aggregate,
+                                                  hash_join)
+
+    def tok_kernel(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(_text_col(batch))
+        lst = pc.split_pattern_regex(trimmed, r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        p = pc.list_parent_indices(lst)
+        return pa.table({"doc_id": pc.cast(batch["doc_id"].take(p),
+                                           pa.int64()),
+                         "token": pc.list_flatten(lst)})
+
+    docs = _fanout(read_docs(sf_dir, ["doc_id", "text"]))
+    toks = docs.map_batches(tok_kernel, batch_format="pyarrow",
+                            batch_size=8192)
+    cnt = hash_aggregate(toks, "token", {"c": ("doc_id", "count")}) \
+        .materialize()  # vocab-bounded
+    v = cnt.count()
+    t_total = int(cnt.sum("c"))
+    denom_fp = int(_log2_fp(np.array([t_total + v], dtype=np.int64))[0])
+
+    if v <= broadcast_vocab_threshold:
+        import ray
+        cnt_tbl = pa.Table.from_pandas(cnt.to_pandas(),
+                                       preserve_index=False)
+        return docs.map_batches(
+            _LogPplScorer, batch_format="pyarrow", batch_size=4096,
+            concurrency=(1, 8),
+            fn_constructor_kwargs={"cnt_ref": ray.put(cnt_tbl),
+                                   "denom_fp": denom_fp})
+
+    # scale path: token-co-located join, then one doc_id exchange
+    joined = hash_join(toks, cnt, on="token")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        log_c1 = _log2_fp(_int64(batch["c"]) + 1)
+        tbl = pa.table({"doc_id": batch["doc_id"],
+                        "nll": pa.array(denom_fp - log_c1, pa.int64())})
+        agg = tbl.group_by("doc_id", use_threads=False).aggregate(
+            [("nll", "sum"), ([], "count_all")])
+        return pa.table({"doc_id": agg["doc_id"],
+                         "s": agg["nll_sum"],
+                         "n": pc.cast(agg["count_all"], pa.int64())})
+
+    per = hash_aggregate(
+        joined.map_batches(partial, batch_format="pyarrow",
+                           batch_size=65536),
+        "doc_id", {"s": ("s", "sum"), "n": ("n", "sum")})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        s = _int64(batch["s"])
+        n = _int64(batch["n"])
+        return pa.table({"doc_id": batch["doc_id"],
+                         "avg_nll_q16": pa.array(s // n, pa.int64()),
+                         "n_tokens": pa.array(n, pa.int64())})
+
+    return per.map_batches(finish, batch_format="pyarrow")
+
+
 def text_normalize(sf_dir: str):
     """Pre-dedup text canonicalization: Unicode NFC → Unicode lowercase
     → whitespace collapse (\\s+ → one space) → trim. The standard

@@ -1010,6 +1010,32 @@ def test_tfidf_top_terms_semantics(ray_session, tmp_path):
     assert top2["token"] == "alpha" and top2["df"] == 3
 
 
+def test_unigram_logppl_semantics_and_fallback(ray_session, tmp_path):
+    """A doc of corpus-common tokens must score a LOWER average NLL
+    than a doc of singleton tokens (the quality-filter contract), and
+    the threshold=0 hash-join scale path must equal the broadcast
+    path bit-for-bit."""
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.text import unigram_logppl
+    common = "the quick brown fox " * 10
+    rows = [{"doc_id": i, "text": common.strip()} for i in range(8)]
+    rows.append({"doc_id": 8, "text": "zxqj vvkw pplm qqrs ttuv"})
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(out / "documents.parquet"))
+
+    def canon(res):
+        df = res.to_pandas() if hasattr(res, "to_pandas") else res
+        return df.sort_values("doc_id").reset_index(drop=True)
+
+    fast = canon(unigram_logppl(str(out)))
+    assert fast.loc[0, "avg_nll_q16"] < fast.loc[8, "avg_nll_q16"]
+    assert fast.loc[8, "n_tokens"] == 5
+    slow = canon(unigram_logppl(str(out), broadcast_vocab_threshold=0))
+    pd.testing.assert_frame_equal(fast, slow, check_dtype=False)
+
+
 def test_text_normalize_unicode_edges(ray_session, tmp_path):
     """NFC folds combining sequences into precomposed forms, lowercase
     is Unicode-aware (utf8proc), and whitespace runs collapse — so
