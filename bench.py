@@ -168,6 +168,9 @@ def run_queries() -> dict:
         "tfidf_top_terms": lambda: text.tfidf_top_terms(SF_DIR),
         "keyword_search": lambda: text.keyword_search(SF_DIR),
         "bm25_search": lambda: text.bm25_search(SF_DIR),
+        "chunk_documents": lambda: text.chunk_documents(SF_DIR),
+        "text_normalize": lambda: text.text_normalize(SF_DIR),
+        "unigram_logppl": lambda: text.unigram_logppl(SF_DIR),
         "hll_distinct_tokens": lambda: text.hll_distinct_tokens(SF_DIR),
         "cms_token_counts": lambda: text.cms_token_counts(SF_DIR),
         "kmeans_embeddings": lambda: similarity.kmeans_embeddings(
