@@ -46,15 +46,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # Registry ORDER is deliberate: the driver sweeps queries in dict
     # order with a ~50-query budget (r3 checked exactly the first 50 of
-    # 56). All 52 SQL-oracled queries come first — the six the r3 sweep
-    # never reached (top_customers, shipping_priority,
-    # orders_with_returns, idle_customers, media_features,
-    # media_summary) are promoted right behind the crawl headliners —
-    # and the four rows-only queries (no oracle by declared design:
-    # LSH/IVF/kmeans float paths, recall- and differential-tested in
-    # pytest instead) sit last, with ngram_jaccard + dedup_embedding
-    # (both hash-green in CORRECTNESS_r03) just ahead of them as the
-    # overflow margin.
+    # 56). The top 50 holds every query that still needs a driver-green
+    # row this round: the six the r3 sweep never reached (promoted right
+    # behind the crawl headliners), everything reworked in r4
+    # (sessionize, simhash, minhash, tfidf, lang_id, corpus_dedup_keep)
+    # and the four NEW r4 oracled queries (bm25_search, chunk_documents,
+    # text_normalize, unigram_logppl). The overflow tail (positions
+    # 51-60) holds only queries with redundant evidence: four
+    # triple-green (r1+r2+r3), semantically untouched queries
+    # (doc_stats, token_count_by_lang, fingerprint_md5, top_tokens),
+    # ngram_jaccard + dedup_embedding (also green r1-r3), and the four
+    # rows-only queries (no oracle by declared design: LSH/IVF/kmeans
+    # float paths, recall- and differential-tested in pytest instead).
     return {
         # crawl engine over the deterministic link graph
         "crawl_reachability": graph.crawl_reachability,
@@ -73,10 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": media_features_sql_cols,
         "media_summary": multimodal.media_summary,
         # text analysis
-        "doc_stats": text.doc_stats,
-        "token_count_by_lang": text.token_count_by_lang,
         "token_count_bpe": text.token_count_bpe,
-        "fingerprint_md5": text.fingerprint_md5,
         "lang_id": text.lang_id,                      # exact SQL oracle
         "rolling_fingerprint": text.rolling_fingerprint,  # exact SQL oracle
         "repetition_stats": text.repetition_stats,
@@ -105,7 +105,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_tokens": text.hll_distinct_tokens,  # exact SQL oracle
         "cms_token_counts": lambda sf: text.cms_token_counts(sf),
         "quality_filter": lambda sf: text.quality_filter(sf),
-        "top_tokens": lambda sf: text.top_tokens(sf, k=20),
         # streaming-shaped
         "tumbling_window": lambda sf: events.tumbling_window(sf, 3600),
         "sliding_window": lambda sf: events.sliding_window(sf, 7200, 3600),
@@ -117,7 +116,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_order": joins.events_asof_order,
         # similarity search (oracled)
         "knn_bruteforce": knn,
-        # --- overflow margin: hash-green in r3, re-checkable anytime ---
+        # retrieval / chunking / normalization / LM scoring (new in r4)
+        "bm25_search": lambda sf: text.bm25_search(
+            sf, terms=("hash", "dup", "window"), k=10),  # exact SQL oracle
+        "chunk_documents": lambda sf: text.chunk_documents(
+            sf, chunk_tokens=64, overlap=16),  # exact SQL oracle
+        "text_normalize": text.text_normalize,  # exact SQL oracle
+        "unigram_logppl": text.unigram_logppl,  # exact SQL oracle
+        # --- overflow margin: hash-green r1+r2+r3, semantically
+        #     untouched in r4, re-checkable anytime ---
+        "doc_stats": text.doc_stats,
+        "token_count_by_lang": text.token_count_by_lang,
+        "fingerprint_md5": text.fingerprint_md5,
+        "top_tokens": lambda sf: text.top_tokens(sf, k=20),
         "ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
             sf, limit=100, ngram=1, threshold=0.5),
         "dedup_embedding": embedding_pairs,
@@ -129,12 +140,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, k=10, iters=5),  # rows-only (iterative; differential-tested)
         "knn_lsh": lambda sf: similarity.knn_lsh(sf, k=5, num_queries=4),  # rows-only
         "knn_ivf": lambda sf: similarity.knn_ivf(sf, k=5, num_queries=4),  # rows-only + recall test
-        "bm25_search": lambda sf: text.bm25_search(
-            sf, terms=("hash", "dup", "window"), k=10),  # exact SQL oracle
-        "chunk_documents": lambda sf: text.chunk_documents(
-            sf, chunk_tokens=64, overlap=16),  # exact SQL oracle
-        "text_normalize": text.text_normalize,  # exact SQL oracle
-        "unigram_logppl": text.unigram_logppl,  # exact SQL oracle
     }
 
 
