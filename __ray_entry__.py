@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_dedup_keep": lambda sf: dedup.corpus_dedup_keep(sf),  # exact SQL oracle
         "dedup_simhash": lambda sf: dedup.dedup_simhash(sf, max_hamming=3),  # exact SQL oracle
         "dedup_chunk": lambda sf: dedup.dedup_chunk(sf, chunk_tokens=16),
+        "dedup_substring": lambda sf: dedup.dedup_substring(sf, window=16),  # exact SQL oracle
         "dedup_components": components.dedup_components,
         "contamination_check": lambda sf: dedup.contamination_check(sf),
         # sampling / split / packing / export
@@ -104,7 +105,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, terms=("hash", "join"), k=10),
         "hll_distinct_tokens": text.hll_distinct_tokens,  # exact SQL oracle
         "cms_token_counts": lambda sf: text.cms_token_counts(sf),
-        "quality_filter": lambda sf: text.quality_filter(sf),
         # streaming-shaped
         "tumbling_window": lambda sf: events.tumbling_window(sf, 3600),
         "sliding_window": lambda sf: events.sliding_window(sf, 7200, 3600),
@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logppl": text.unigram_logppl,  # exact SQL oracle
         # --- overflow margin: hash-green r1+r2+r3, semantically
         #     untouched in r4, re-checkable anytime ---
+        "quality_filter": lambda sf: text.quality_filter(sf),
         "doc_stats": text.doc_stats,
         "token_count_by_lang": text.token_count_by_lang,
         "fingerprint_md5": text.fingerprint_md5,
@@ -298,6 +299,63 @@ def _minhash_lab_cte(threshold: float = 0.7, num_perms: int = 64,
             SELECT n AS doc_id, min(reach) AS cluster_id
             FROM walk GROUP BY n
         )"""
+
+
+def _substring_sql(w: int = 16) -> str:
+    """Exact substring dedup (dedup.py:dedup_substring) in SQL: the SAME
+    Rabin-Karp window hashes (md5 token hashes mod 2^61-1, rolling
+    polynomial in base 1000003 — the rolling_fingerprint constants),
+    first occurrence per window hash by (doc_id, pos) wins, every other
+    occurrence covers its w positions, docs rebuilt from uncovered
+    tokens — bit-for-bit."""
+    from linkinator_ray.pipelines.text import ROLLING_B, ROLLING_P
+    p = ROLLING_P
+    coefs = [pow(ROLLING_B, w - 1 - j, p) for j in range(w)]
+    return f"""
+        WITH lists AS (
+            SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
+            FROM documents
+        ), toks AS (
+            SELECT doc_id, unnest(l) AS tok,
+                   generate_subscripts(l, 1) AS pos
+            FROM lists
+        ), th AS (
+            SELECT doc_id, pos, tok,
+                   ('0x' || substr(md5(tok), 1, 16))::UBIGINT % {p} AS h
+            FROM toks
+        ), cnt AS (SELECT doc_id, max(pos) AS n FROM th GROUP BY doc_id),
+        wins AS (
+            SELECT a.doc_id, a.pos,
+                   CAST(sum((CAST(b.h AS HUGEINT)
+                        * ({coefs}[b.pos - a.pos + 1])) % {p}) % {p}
+                        AS BIGINT) AS wh
+            FROM th a JOIN th b ON b.doc_id = a.doc_id
+                 AND b.pos BETWEEN a.pos AND a.pos + {w - 1}
+            JOIN cnt c ON c.doc_id = a.doc_id
+            WHERE a.pos + {w - 1} <= c.n
+            GROUP BY a.doc_id, a.pos
+        ), rk AS (
+            SELECT doc_id, pos, row_number() OVER (
+                PARTITION BY wh ORDER BY doc_id, pos) AS rn
+            FROM wins
+        ), dup AS (SELECT doc_id, pos FROM rk WHERE rn > 1),
+        cov AS (
+            SELECT DISTINCT t.doc_id, t.pos
+            FROM th t JOIN dup d ON d.doc_id = t.doc_id
+                 AND t.pos BETWEEN d.pos AND d.pos + {w - 1}
+        ), kept AS (
+            SELECT t.doc_id, t.pos, t.tok,
+                   CASE WHEN c.pos IS NULL THEN 1 ELSE 0 END AS k
+            FROM th t LEFT JOIN cov c
+                 ON c.doc_id = t.doc_id AND c.pos = t.pos
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(*) - sum(k) AS BIGINT) AS n_removed,
+               coalesce(string_agg(CASE WHEN k = 1 THEN tok END,
+                                   ' ' ORDER BY pos), '') AS clean_text
+        FROM kept GROUP BY doc_id
+    """
 
 
 def _bm25_sql(terms: tuple[str, ...] = ("hash", "dup", "window"),
@@ -627,6 +685,11 @@ def oracle_sql() -> dict[str, str]:
                                        ' ' ORDER BY idx), '') AS clean_text
             FROM w GROUP BY doc_id
         """,
+        # unaligned sliding-window exact substring dedup (Lee et al.
+        # 2022 adapted to rolling-hash windows): first occurrence per
+        # window hash wins, later occurrences cover their w positions
+        # (dedup.py:dedup_substring)
+        "dedup_substring": _substring_sql(16),
         # transitive duplicate clusters: connected components over the
         # chunk-sharing graph — the recursive CTE reaches every node,
         # the engine reaches the same fixpoint with large-star/small-star

@@ -151,6 +151,7 @@ def run_queries() -> dict:
         "events_join_customer": lambda: joins.events_join_customer(SF_DIR),
         "events_asof_order": lambda: joins.events_asof_order(SF_DIR),
         "dedup_chunk": lambda: dedup.dedup_chunk(SF_DIR),
+        "dedup_substring": lambda: dedup.dedup_substring(SF_DIR),
         "dedup_components": lambda: components.dedup_components(SF_DIR),
         "contamination_check": lambda: dedup.contamination_check(SF_DIR),
         "sample_by_source": lambda: text.sample_by_source(SF_DIR),

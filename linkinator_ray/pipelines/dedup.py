@@ -1317,6 +1317,203 @@ def dedup_chunk(sf_dir: str, chunk_tokens: int = 16):
 
 
 # ---------------------------------------------------------------------------
+# exact substring dedup (unaligned sliding windows — Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better", adapted
+# from suffix arrays to distributed rolling-hash windows)
+# ---------------------------------------------------------------------------
+
+def _explode_windows(batch: pa.Table, w: int) -> pa.Table:
+    """Vectorized sliding-window explode: one row per window position
+    (doc_id, pos, wh) with wh = the Rabin-Karp polynomial hash of the
+    w-token window in base ROLLING_B over the 2^61-1 field (the same
+    constants as text.rolling_fingerprint, so the DuckDB oracle
+    reproduces every hash exactly). Positions are 0-based within the
+    doc; docs shorter than w emit nothing."""
+    import pyarrow.compute as pc
+
+    from linkinator_ray.pipelines.text import (ROLLING_B, ROLLING_P,
+                                               _addmod_p, _mulmod_p)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "pos": pa.array([], pa.int64()),
+                      "wh": pa.array([], pa.int64())})
+    if batch.num_rows == 0:
+        return empty
+    text = batch.column("text")
+    if text.null_count:
+        text = text.fill_null("")
+    lst = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+    if isinstance(lst, pa.ChunkedArray):
+        lst = lst.combine_chunks()
+    flat = pc.list_flatten(lst)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    nt = np.asarray(pc.list_value_length(lst).to_numpy(
+        zero_copy_only=False), dtype=np.int64)
+    total = int(nt.sum())
+    if total < w:
+        return empty
+    # md5 once per DISTINCT token (the stream repeats its vocabulary)
+    d = flat.dictionary_encode()
+    uniq = d.dictionary.to_pylist()
+    uh = np.array([int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
+                                  "big") % ROLLING_P for t in uniq],
+                  dtype=np.uint64)
+    h = uh[np.asarray(d.indices.to_numpy(zero_copy_only=False),
+                      dtype=np.int64)]
+    p = np.asarray(pc.list_parent_indices(lst).to_numpy(
+        zero_copy_only=False), dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(nt)[:-1]))
+    # window hash at flat position i: Σ_j h[i+j]·B^(w-1-j) mod P —
+    # w field multiply-adds over the whole batch, no per-doc dispatch
+    m = total - w + 1
+    acc = np.zeros(m, np.uint64)
+    for j in range(w):
+        acc = _addmod_p(acc, _mulmod_p(
+            h[j:j + m], np.uint64(pow(ROLLING_B, w - 1 - j, ROLLING_P))))
+    valid = p[:m] == p[w - 1:w - 1 + m]  # window inside one doc
+    doc_np = np.asarray(batch.column("doc_id").to_numpy(
+        zero_copy_only=False), dtype=np.int64)
+    pv = p[:m][valid]
+    pos = (np.arange(total, dtype=np.int64) - starts[p])[:m][valid]
+    return pa.table({"doc_id": pa.array(doc_np[pv]),
+                     "pos": pa.array(pos),
+                     "wh": pa.array(acc[valid].astype(np.int64))})
+
+
+def dedup_substring(sf_dir: str, window: int = 16):
+    """Exact substring dedup over UNALIGNED sliding token windows: every
+    w-token window whose content already occurred earlier in the corpus
+    (ordered by (doc_id, pos) — first occurrence wins, within-doc
+    repeats included) marks its w positions for removal; each doc is
+    rebuilt from its uncovered tokens. Strictly stronger than
+    ``dedup_chunk``: a verbatim copy shifted by one token still hits
+    (chunk alignment can miss it), which is why Lee et al. 2022 built
+    suffix arrays — rolling-hash windows are the shuffle-friendly
+    equivalent at fixed match length.
+
+    Output: (doc_id, n_tokens, n_removed, clean_text), one row per doc.
+
+    Scale shape — two exchanges, text crosses once:
+    1. window explode → hash-partition on wh (~one row per TOKEN,
+       24 B/row; this all-to-all IS the operator — suffix-array dedup
+       pays the same sort). Winner per hash = min (doc_id, pos),
+       found by one vectorized lexsort per partition; only NON-winner
+       occurrences (doc_id, pos — the spans to remove, typically a
+       small fraction) leave the partition.
+    2. dup spans + raw docs co-partition on doc_id; each rebuild
+       partition re-tokenizes locally and removes covered positions
+       with one diff-array cumsum (+1 at span start, -1 at span end —
+       spans never cross doc boundaries, so one flat cumsum serves the
+       whole partition). Nothing materializes on the driver.
+
+    Window hashes live in the 2^61-1 field (md5 token hashes, the
+    rolling_fingerprint constants) so the DuckDB oracle reproduces the
+    pipeline bit-for-bit; at w=16 a false hash collision needs ~2^30.5
+    distinct windows (birthday bound) per the documented budget — the
+    oracle computes the SAME hashes, so the comparison is exact either
+    way."""
+    w = int(window)
+    if w <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+
+    from linkinator_ray.pipelines.hashagg import hash_partition_apply
+
+    windows = _fanout(read_docs(sf_dir, ["doc_id", "text"])).map_batches(
+        lambda b: _explode_windows(b, w),
+        batch_format="pyarrow", batch_size=8192)
+
+    def mark_dups(part: pd.DataFrame) -> pd.DataFrame:
+        # all occurrences of a window hash are co-located: one lexsort,
+        # first-of-group is the global winner, everything else drops
+        if not len(part):
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "pos": pd.Series([], dtype="int64")})
+        part = part.sort_values(["wh", "doc_id", "pos"], kind="stable")
+        first = part["wh"].ne(part["wh"].shift())
+        return part.loc[~first, ["doc_id", "pos"]]
+
+    spans = hash_partition_apply(windows, "wh", mark_dups)
+
+    def tag_spans(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "pos": batch.column("pos"),
+            "text": pa.nulls(n, pa.string()),
+            "__side": pa.array(np.zeros(n, dtype=np.int8)),
+        })
+
+    def tag_docs(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "pos": pa.nulls(n, pa.int64()),
+            "text": batch.column("text"),
+            "__side": pa.array(np.ones(n, dtype=np.int8)),
+        })
+
+    both = spans.map_batches(tag_spans, batch_format="pyarrow").union(
+        read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+            tag_docs, batch_format="pyarrow"))
+
+    def rebuild(part: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.compute as pc
+        docs = part.loc[part["__side"] == 1, ["doc_id", "text"]] \
+            .sort_values("doc_id", kind="stable")
+        if not len(docs):
+            return pd.DataFrame({
+                "doc_id": pd.Series([], dtype="int64"),
+                "n_tokens": pd.Series([], dtype="int64"),
+                "n_removed": pd.Series([], dtype="int64"),
+                "clean_text": pd.Series([], dtype="object")})
+        sp = part.loc[part["__side"] == 0, ["doc_id", "pos"]] \
+            .astype({"doc_id": "int64", "pos": "int64"})
+        doc_ids = docs["doc_id"].to_numpy(np.int64)
+        text = pa.array(docs["text"].fillna("").astype(object), pa.string())
+        lst = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        flat = pc.list_flatten(lst)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        nt = np.asarray(pc.list_value_length(lst).to_numpy(
+            zero_copy_only=False), dtype=np.int64)
+        total = int(nt.sum())
+        starts = np.concatenate(([0], np.cumsum(nt)[:-1]))
+        # coverage via one flat diff-array: +1 at each span's global
+        # start, -1 at start+w (≤ the doc's end by construction, so the
+        # cumsum never bleeds across doc boundaries)
+        diff = np.zeros(total + 1, np.int64)
+        if len(sp):
+            row_of = {int(d): i for i, d in enumerate(doc_ids)}
+            srow = sp["doc_id"].map(row_of).to_numpy(np.int64)
+            gpos = starts[srow] + sp["pos"].to_numpy(np.int64)
+            np.add.at(diff, gpos, 1)
+            np.add.at(diff, gpos + w, -1)
+        removed = np.cumsum(diff[:-1]) > 0
+        kept = ~removed
+        # per-doc kept counts → offsets → one Arrow join for the texts
+        doc_of = np.repeat(np.arange(len(nt), dtype=np.int64), nt)
+        n_kept = np.zeros(len(nt), np.int64)
+        np.add.at(n_kept, doc_of[kept], 1)
+        offsets = np.concatenate(([0], np.cumsum(n_kept))).astype(np.int64)
+        joined = pc.binary_join(
+            pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()),
+                flat.filter(pa.array(kept))), " ")
+        if joined.type != pa.string():
+            joined = joined.cast(pa.string())
+        return pd.DataFrame({
+            "doc_id": doc_ids,
+            "n_tokens": nt,
+            "n_removed": nt - n_kept,
+            "clean_text": joined.to_pylist(),
+        })
+
+    return hash_partition_apply(both, "doc_id", rebuild)
+
+
+# ---------------------------------------------------------------------------
 # benchmark-contamination check (n-gram overlap vs a held-out eval set)
 # ---------------------------------------------------------------------------
 

@@ -802,6 +802,84 @@ def test_dedup_chunk_planted(ray_session, tmp_path):
     assert (df["n_chunks"] == 2).all()
 
 
+def _substring_reference(rows, w):
+    """Pure-Python (bigint) reference for dedup_substring: rolling
+    window hashes, global first-occurrence winners, position coverage."""
+    import hashlib
+    import re
+    P, B = (1 << 61) - 1, 1000003
+    toks = {r["doc_id"]: re.split(r"\s+", r["text"].strip()) for r in rows}
+    th = {d: [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") % P
+              for t in ts] for d, ts in toks.items()}
+    occ = {}  # wh -> sorted list of (doc_id, pos)
+    for d in sorted(th):
+        h = th[d]
+        for i in range(len(h) - w + 1):
+            wh = 0
+            for j in range(w):
+                wh = (wh + h[i + j] * pow(B, w - 1 - j, P)) % P
+            occ.setdefault(wh, []).append((d, i))
+    out = {}
+    cov = {d: set() for d in toks}
+    for wh, lst in occ.items():
+        for d, i in sorted(lst)[1:]:
+            cov[d].update(range(i, i + w))
+    for d, ts in toks.items():
+        kept = [t for i, t in enumerate(ts) if i not in cov[d]]
+        out[d] = {"n_tokens": len(ts), "n_removed": len(cov[d]),
+                  "clean_text": " ".join(kept)}
+    return out
+
+
+def test_dedup_substring_planted(ray_session, tmp_path):
+    """Unaligned sliding-window substring dedup: a copied 20-token span
+    at a DIFFERENT offset (which chunk-aligned dedup misses) is fully
+    removed from the later doc; within-doc repeats and exact-duplicate
+    docs dedup too; short and empty docs pass through. The whole corpus
+    is also checked against a pure-Python bigint reference."""
+    import pyarrow.parquet as pq
+    from linkinator_ray.pipelines.dedup import dedup_substring
+    x = " ".join(f"x{i}" for i in range(20))
+    y = " ".join(f"y{i}" for i in range(16))
+    dup20 = " ".join(f"d{i}" for i in range(20))
+    rows = [
+        {"doc_id": 0, "text": " ".join(f"a{i}" for i in range(30))},
+        # first occurrence of the x-span (offset 5) — kept intact
+        {"doc_id": 1, "text": " ".join(f"b{i}" for i in range(5)) + " " + x
+                              + " " + " ".join(f"b{i}" for i in range(5, 10))},
+        # same 20-token span at offset 3: chunk alignment differs, the
+        # sliding windows still hit — all 20 x-tokens removed
+        {"doc_id": 2, "text": "c0 c1 c2 " + x + " "
+                              + " ".join(f"c{i}" for i in range(3, 8))},
+        # within-doc repeat: second y-window is covered
+        {"doc_id": 3, "text": y + " z " + y},
+        {"doc_id": 4, "text": "short doc of five tokens"},
+        {"doc_id": 5, "text": ""},
+        {"doc_id": 6, "text": dup20},
+        {"doc_id": 7, "text": dup20},  # exact duplicate → fully removed
+    ]
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(out / "documents.parquet"))
+    df = dedup_substring(str(out), window=16).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert df.loc[1, "n_removed"] == 0
+    assert df.loc[2, "n_removed"] == 20
+    assert df.loc[2, "clean_text"] == "c0 c1 c2 c3 c4 c5 c6 c7"
+    assert df.loc[3, "n_removed"] == 16
+    assert df.loc[3, "clean_text"] == y + " z"
+    assert df.loc[4, "n_removed"] == 0
+    assert df.loc[5, "n_tokens"] == 1 and df.loc[5, "clean_text"] == ""
+    assert df.loc[6, "n_removed"] == 0
+    assert df.loc[7, "n_removed"] == 20 and df.loc[7, "clean_text"] == ""
+    ref = _substring_reference(rows, 16)
+    for d, exp in ref.items():
+        for k, v in exp.items():
+            assert df.loc[d, k] == v, (d, k, df.loc[d, k], v)
+    with pytest.raises(ValueError):
+        dedup_substring(str(out), window=0)
+
+
 def test_contamination_check_planted(ray_session, tmp_path):
     """A doc embedding a benchmark doc's text verbatim scores ~100%
     contamination; a doc of novel tokens scores 0."""
