@@ -100,13 +100,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quantiles": lambda sf: text.length_quantiles(sf),
         "export_roundtrip": lambda sf: export.export_roundtrip(sf),
         "export_tar_roundtrip": lambda sf: export.export_tar_roundtrip(sf),
+        "jsonl_roundtrip": lambda sf: export.jsonl_roundtrip(sf),  # exact SQL oracle
         "tfidf_top_terms": lambda sf: text.tfidf_top_terms(sf, k=3),
         "keyword_search": lambda sf: text.keyword_search(
             sf, terms=("hash", "join"), k=10),
         "hll_distinct_tokens": text.hll_distinct_tokens,  # exact SQL oracle
         "cms_token_counts": lambda sf: text.cms_token_counts(sf),
         # streaming-shaped
-        "tumbling_window": lambda sf: events.tumbling_window(sf, 3600),
         "sliding_window": lambda sf: events.sliding_window(sf, 7200, 3600),
         "sessionize": lambda sf: events.sessionize(sf, 1800),
         "funnel": lambda sf: events.funnel(sf),
@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logppl": text.unigram_logppl,  # exact SQL oracle
         # --- overflow margin: hash-green r1+r2+r3, semantically
         #     untouched in r4, re-checkable anytime ---
+        "tumbling_window": lambda sf: events.tumbling_window(sf, 3600),
         "quality_filter": lambda sf: text.quality_filter(sf),
         "doc_stats": text.doc_stats,
         "token_count_by_lang": text.token_count_by_lang,
@@ -910,6 +911,16 @@ def oracle_sql() -> dict[str, str]:
         # (export.py:export_roundtrip) — the hash itself checks the
         # write/read cycle preserved every row
         "export_roundtrip": r"""
+            SELECT doc_id,
+                   CAST(CAST(concat('0x',
+                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 8 AS BIGINT) AS shard,
+                   CAST(length(text) AS BIGINT) AS n_chars
+            FROM documents
+        """,
+        # sharded NDJSON source/sink, checked by reading every line
+        # back through the JSON source (export.py:jsonl_roundtrip)
+        "jsonl_roundtrip": r"""
             SELECT doc_id,
                    CAST(CAST(concat('0x',
                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))

@@ -159,6 +159,9 @@ def run_queries() -> dict:
         "export_tar_roundtrip": lambda: __import__(
             "linkinator_ray.pipelines.export",
             fromlist=["x"]).export_tar_roundtrip(SF_DIR),
+        "jsonl_roundtrip": lambda: __import__(
+            "linkinator_ray.pipelines.export",
+            fromlist=["x"]).jsonl_roundtrip(SF_DIR),
         "pack_sequences": lambda: text.pack_sequences(SF_DIR),
         "shuffle_export": lambda: text.shuffle_export(SF_DIR),
         "train_split": lambda: text.train_split(SF_DIR),

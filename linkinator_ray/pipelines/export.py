@@ -246,3 +246,121 @@ def export_tar_roundtrip(sf_dir: str, num_shards: int = 8):
         "shard": pa.array(shards, pa.int64()),
         "n_bytes": pa.array(sizes, pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# JSONL (NDJSON) sharded export + source — the interchange format most
+# training-data pipelines actually move text through
+# ---------------------------------------------------------------------------
+
+def export_jsonl(sf_dir: str, out_dir: str, num_shards: int = 8) -> dict:
+    """Export documents to sharded newline-delimited JSON —
+    ``out_dir/shard-K.jsonl`` with one JSON object per doc (doc_id,
+    shard, text, lang, source) — the format corpus-interchange tooling
+    (CC pipelines, HF loaders) consumes.
+
+    Same resumability contract as ``export_tar``: a shard is trusted
+    only with its ``shard-K._SUCCESS`` marker; a rerun deletes
+    untrusted files and row-filters the input to ONLY the missing
+    shards. Shard assignment is the deterministic md5 coin, lines are
+    sorted by doc_id, and serialization is canonical
+    (``sort_keys=True``, compact separators, raw UTF-8) — a shard's
+    bytes are a pure function of its docs, so reruns are
+    bit-reproducible. Each shard file is written INSIDE the worker
+    that owns the shard's hash partition; empty-shard detection comes
+    from the returned manifest, never a driver filesystem probe."""
+    import json
+
+    import pandas as pd
+
+    from linkinator_ray.pipelines.hashagg import hash_map_groups
+
+    S = int(num_shards)
+    if S <= 0:
+        raise ValueError(f"num_shards must be positive, got {num_shards}")
+    os.makedirs(out_dir, exist_ok=True)
+    done = {k for k in range(S)
+            if os.path.exists(os.path.join(out_dir, f"shard-{k}._SUCCESS"))}
+    todo = sorted(set(range(S)) - done)
+    if not todo:
+        return {"num_shards": S, "written": [], "skipped": sorted(done)}
+    for k in todo:
+        path = os.path.join(out_dir, f"shard-{k}.jsonl")
+        if os.path.exists(path):
+            os.remove(path)
+    todo_arr = pa.array(np.asarray(todo, dtype=np.int64))
+
+    def keep_todo(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        sharded = _shard_kernel(batch, S)
+        return sharded.filter(pc.is_in(sharded.column("shard"),
+                                       value_set=todo_arr))
+
+    rows = read_docs(sf_dir, ["doc_id", "text", "lang", "source"]) \
+        .map_batches(keep_todo, batch_format="pyarrow", batch_size=8192)
+
+    def write_shard(g: pd.DataFrame) -> pd.DataFrame:
+        k = int(g["shard"].iloc[0])
+        g = g.sort_values("doc_id")
+        path = os.path.join(out_dir, f"shard-{k}.jsonl")
+        n_bytes = 0
+        with open(path, "w", encoding="utf-8") as f:
+            for rec in g.itertuples(index=False):
+                line = json.dumps(
+                    {"doc_id": int(rec.doc_id), "shard": k,
+                     "text": rec.text or "", "lang": rec.lang,
+                     "source": rec.source},
+                    ensure_ascii=False, sort_keys=True,
+                    separators=(",", ":"))
+                f.write(line + "\n")
+                n_bytes += len(line) + 1
+        return pd.DataFrame({"shard": [k], "n_docs": [len(g)],
+                             "n_bytes": [n_bytes]})
+
+    empty = pd.DataFrame({"shard": pd.array([], dtype="int64"),
+                          "n_docs": pd.array([], dtype="int64"),
+                          "n_bytes": pd.array([], dtype="int64")})
+    manifest = hash_map_groups(rows, "shard", write_shard,
+                               num_parts=min(S, 16), empty=empty) \
+        .to_pandas().sort_values("shard")
+    written_shards = set(int(s) for s in manifest["shard"])
+    for k in todo:
+        if k not in written_shards:
+            open(os.path.join(out_dir, f"shard-{k}.jsonl"), "w").close()
+        with open(os.path.join(out_dir, f"shard-{k}._SUCCESS"), "w"):
+            pass
+    return {"num_shards": S, "written": todo, "skipped": sorted(done),
+            "manifest": manifest.to_dict("records")}
+
+
+def read_jsonl(out_dir: str):
+    """Read a JSONL export back as a Dataset (pyarrow's NDJSON reader
+    under ray.data.read_json; shard ids live inside each record, so no
+    partition inference is needed)."""
+    import ray.data as rd
+    return rd.read_json(out_dir, file_extensions=["jsonl"])
+
+
+def jsonl_roundtrip(sf_dir: str, num_shards: int = 8):
+    """Driver-checkable face of the JSONL source/sink: write shard
+    files, read them back through the NDJSON source, return
+    (doc_id, shard, n_chars) — proving the write/read cycle preserves
+    the corpus. Oracle: the md5 shard coin + length(text) over
+    documents (same contract as export_roundtrip)."""
+    import pyarrow.compute as pc
+    out_dir = os.path.join("/tmp", "linkinator_ray_export_jsonl",
+                           sf_dir.strip("/").replace("/", "_"),
+                           f"s{num_shards}")
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    export_jsonl(sf_dir, out_dir, num_shards=num_shards)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pc.cast(batch.column("doc_id"), pa.int64()),
+            "shard": pc.cast(batch.column("shard"), pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(batch.column("text")),
+                               pa.int64()),
+        })
+
+    return read_jsonl(out_dir).map_batches(project, batch_format="pyarrow")

@@ -109,3 +109,61 @@ def test_export_tar_roundtrip_and_resume(ray_session, tmp_path):
     # fully-finished export is a no-op
     m3 = export_tar(sf, out, num_shards=4)
     assert m3["written"] == []
+
+
+def test_export_jsonl_roundtrip_and_resume(ray_session, tmp_path):
+    """JSONL shards carry every doc exactly once and read back through
+    the NDJSON source; a crashed run (marker missing, garbage partial
+    file) rewrites ONLY the untrusted shard bit-identically (canonical
+    serialization)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.export import export_jsonl, read_jsonl
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "jsonl")
+    m1 = export_jsonl(sf, out, num_shards=4)
+    assert m1["written"] == [0, 1, 2, 3]
+
+    docs = pq.read_table(f"{sf}/documents.parquet",
+                         columns=["doc_id", "text", "lang", "source"]) \
+        .to_pandas()
+    # every line is valid JSON with the full record and its shard id
+    seen = {}
+    for k in range(4):
+        with open(os.path.join(out, f"shard-{k}.jsonl"),
+                  encoding="utf-8") as f:
+            for line in f:
+                rec = json.loads(line)
+                assert rec["shard"] == k
+                seen[rec["doc_id"]] = rec["text"]
+    assert set(seen) == set(docs["doc_id"])
+    src_text = dict(zip(docs["doc_id"], docs["text"]))
+    assert seen == src_text
+
+    # the Ray NDJSON source reads the corpus back exactly
+    back = read_jsonl(out).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    assert len(back) == len(docs)
+    assert list(back["text"]) == [src_text[d] for d in back["doc_id"]]
+
+    # crash resume: shard 2 loses its marker and holds garbage
+    keep_bytes = {k: open(os.path.join(out, f"shard-{k}.jsonl"),
+                          "rb").read() for k in (0, 1, 3)}
+    broken = open(os.path.join(out, "shard-2.jsonl"), "rb").read()
+    os.remove(os.path.join(out, "shard-2._SUCCESS"))
+    with open(os.path.join(out, "shard-2.jsonl"), "wb") as f:
+        f.write(b"garbage\n")
+
+    m2 = export_jsonl(sf, out, num_shards=4)
+    assert m2["written"] == [2] and m2["skipped"] == [0, 1, 3]
+    for k in (0, 1, 3):
+        assert open(os.path.join(out, f"shard-{k}.jsonl"), "rb").read() \
+            == keep_bytes[k], f"finished shard {k} was touched"
+    assert open(os.path.join(out, "shard-2.jsonl"), "rb").read() == broken
+
+    m3 = export_jsonl(sf, out, num_shards=4)
+    assert m3["written"] == []
