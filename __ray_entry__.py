@@ -26,8 +26,8 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from linkinator_ray.pipelines import (components, dedup, events, export,
-                                          graph, joins, linkgraph, multimodal,
-                                          similarity, text, tpch)
+                                          graph, index, joins, linkgraph,
+                                          multimodal, similarity, text, tpch)
 
     def knn(sf_dir):
         ds = similarity.knn_bruteforce(sf_dir, k=5, num_queries=4)
@@ -50,11 +50,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # row this round: the six the r3 sweep never reached (promoted right
     # behind the crawl headliners), everything reworked in r4
     # (sessionize, simhash, minhash, tfidf, lang_id, corpus_dedup_keep)
-    # and the four NEW r4 oracled queries (bm25_search, chunk_documents,
-    # text_normalize, unigram_logppl). The overflow tail (positions
-    # 51-60) holds only queries with redundant evidence: four
+    # and the five NEW r4 oracled queries (bm25_search, chunk_documents,
+    # text_normalize, unigram_logppl, inverted_index). The overflow tail
+    # (positions 51+) holds only queries with redundant evidence:
     # triple-green (r1+r2+r3), semantically untouched queries
-    # (doc_stats, token_count_by_lang, fingerprint_md5, top_tokens),
+    # (pricing_summary — tpch.py's r4 edits touch only the semi/anti
+    # joins — doc_stats, token_count_by_lang, fingerprint_md5, top_tokens),
     # ngram_jaccard + dedup_embedding (also green r1-r3), and the four
     # rows-only queries (no oracle by declared design: LSH/IVF/kmeans
     # float paths, recall- and differential-tested in pytest instead).
@@ -67,7 +68,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_stats": linkgraph.degree_stats,
         "pagerank": linkgraph.pagerank,  # exact-integer, unrolled SQL oracle
         # columnar classics over the star schema
-        "pricing_summary": lambda sf: tpch.pricing_summary(sf),
         "top_customers": lambda sf: tpch.top_customers(sf, k=10),
         "shipping_priority": lambda sf: tpch.shipping_priority(sf),
         "orders_with_returns": tpch.orders_with_returns,  # semi-join
@@ -123,8 +123,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, chunk_tokens=64, overlap=16),  # exact SQL oracle
         "text_normalize": text.text_normalize,  # exact SQL oracle
         "unigram_logppl": text.unigram_logppl,  # exact SQL oracle
+        "inverted_index": lambda sf: index.inverted_index(
+            sf, k=20, num_parts=8),  # exact SQL oracle (postings fingerprint)
         # --- overflow margin: hash-green r1+r2+r3, semantically
         #     untouched in r4, re-checkable anytime ---
+        "pricing_summary": lambda sf: tpch.pricing_summary(sf),
         "tumbling_window": lambda sf: events.tumbling_window(sf, 3600),
         "quality_filter": lambda sf: text.quality_filter(sf),
         "doc_stats": text.doc_stats,
@@ -1180,6 +1183,23 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens, alpha_ppm FROM s
             WHERE n_tokens BETWEEN 20 AND 1000 AND alpha_ppm >= 500000
+        """,
+        # inverted index (index.py): the fingerprint face — every cell
+        # is an exact integer over each top-df term's postings set, so a
+        # green hash certifies the build+parquet+re-read roundtrip
+        "inverted_index": r"""
+            WITH tok AS (
+                SELECT doc_id, unnest(list_distinct(
+                    string_split_regex(trim(text), '\s+'))) AS token
+                FROM documents
+            )
+            SELECT token, CAST(count(*) AS BIGINT) AS doc_freq,
+                   CAST(sum(doc_id) AS BIGINT) AS postings_sum,
+                   CAST(min(doc_id) AS BIGINT) AS postings_min,
+                   CAST(max(doc_id) AS BIGINT) AS postings_max,
+                   CAST(bit_xor(doc_id) AS BIGINT) AS postings_xor
+            FROM tok GROUP BY token
+            ORDER BY doc_freq DESC, token ASC LIMIT 20
         """,
         "top_tokens": r"""
             WITH tok AS (
