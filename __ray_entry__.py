@@ -114,8 +114,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_by_segment": joins.events_by_segment,
         "events_join_customer": lambda sf: joins.events_join_customer(sf, 50),
         "events_asof_order": joins.events_asof_order,
-        # similarity search (oracled)
-        "knn_bruteforce": knn,
+        # graph analytics (new in r4): degree-ordered distributed
+        # triangle counting, exact-integer per-node face
+        "triangle_count": linkgraph.triangle_count,  # exact SQL oracle
         # retrieval / chunking / normalization / LM scoring (new in r4)
         "bm25_search": lambda sf: text.bm25_search(
             sf, terms=("hash", "dup", "window"), k=10),  # exact SQL oracle
@@ -137,6 +138,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
             sf, limit=100, ngram=1, threshold=0.5),
         "dedup_embedding": embedding_pairs,
+        # knn_bruteforce: hash-green r1+r2+r3 and similarity.py is
+        # UNTOUCHED in r4 — safest rotation to the overflow margin
+        "knn_bruteforce": knn,
         # --- rows-only by declared design (float/iterative paths;
         #     recall- and differential-tested in pytest) ---
         "dedup_embedding_lsh": lambda sf: dedup.dedup_embedding_lsh(
@@ -564,6 +568,41 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY doc_id ORDER BY doc_id
         """,
         "pagerank": _pagerank_sql(4, 85, 10 ** 12),
+        # same (deg, id)-ordered orientation as the Ray pipeline: each
+        # triangle matches the 3-way join exactly once (acyclic
+        # orientation => unique u<v<w), so no /3 anywhere
+        "triangle_count": f"""
+            WITH {_EDGES_CTE},
+            de AS (SELECT DISTINCT src, dst FROM edges WHERE src % 13 <> 7),
+            ue AS (SELECT DISTINCT least(src, dst) AS a,
+                          greatest(src, dst) AS b
+                   FROM de WHERE src <> dst),
+            ends AS (SELECT a AS v FROM ue UNION ALL SELECT b FROM ue),
+            deg AS (SELECT v AS doc_id, count(*) AS deg
+                    FROM ends GROUP BY v),
+            oe AS (SELECT CASE WHEN (da.deg, ue.a) < (db.deg, ue.b)
+                               THEN ue.a ELSE ue.b END AS u,
+                          CASE WHEN (da.deg, ue.a) < (db.deg, ue.b)
+                               THEN ue.b ELSE ue.a END AS v
+                   FROM ue
+                   JOIN deg da ON da.doc_id = ue.a
+                   JOIN deg db ON db.doc_id = ue.b),
+            tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+                    FROM oe e1
+                    JOIN oe e2 ON e2.u = e1.v
+                    JOIN oe e3 ON e3.u = e1.u AND e3.v = e2.v),
+            parts AS (SELECT x AS doc_id FROM tri
+                      UNION ALL SELECT y FROM tri
+                      UNION ALL SELECT z FROM tri),
+            tc AS (SELECT doc_id, count(*) AS t
+                   FROM parts GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(d.deg AS BIGINT) AS deg,
+                   CAST(d.deg * (d.deg - 1) // 2 AS BIGINT) AS wedges,
+                   CAST(coalesce(tc.t, 0) AS BIGINT) AS triangles
+            FROM deg d LEFT JOIN tc USING (doc_id)
+            ORDER BY d.doc_id
+        """,
         "doc_stats": r"""
             SELECT doc_id,
                    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,

@@ -179,7 +179,11 @@ def run_queries() -> dict:
         "cms_token_counts": lambda: text.cms_token_counts(SF_DIR),
         "kmeans_embeddings": lambda: similarity.kmeans_embeddings(
             SF_DIR, k=10, iters=5),
+        "inverted_index": lambda: __import__(
+            "linkinator_ray.pipelines.index",
+            fromlist=["x"]).inverted_index(SF_DIR),
         "degree_stats": lambda: linkgraph.degree_stats(SF_DIR),
+        "triangle_count": lambda: linkgraph.triangle_count(SF_DIR),
         "pagerank": lambda: linkgraph.pagerank(SF_DIR),
         "pagerank_actors": lambda: linkgraph.pagerank_actors(SF_DIR),
     }

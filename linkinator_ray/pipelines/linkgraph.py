@@ -446,3 +446,182 @@ def pagerank_actors(sf_dir: str, iters: int = PR_ITERS,
         for s in shards:
             ray.kill(s)
     return rd.from_arrow([t for t in tables if t.num_rows])
+
+
+def triangle_count(sf_dir: str, num_parts: int | None = None):
+    """Per-node triangle participation over the undirected link graph —
+    (doc_id, deg, wedges, triangles), all exact int64 so the DuckDB
+    3-way-self-join oracle hashes identically.  ``wedges`` is the
+    clustering-coefficient denominator C(deg, 2); the consumer divides.
+
+    The distributed shape is the degree-ordered node-iterator (Schank &
+    Wagner 2005; the MapReduce formulation is Suri & Vassilvitskii,
+    WWW'11 "Counting Triangles and the Curse of the Last Reducer"):
+
+    1. canonicalize directed links to undirected distinct edges
+       (min, max) — one combiner exchange (hashagg distinct);
+    2. degrees via one combiner exchange over (endpoint, +1) rows;
+    3. orient every edge from the (deg, id)-smaller endpoint to the
+       larger (two hash joins pin deg onto both endpoints).  The
+       orientation is acyclic and caps every node's OUT-degree at
+       O(sqrt |E|) — the step that kills the curse-of-the-last-reducer
+       hub blowup: a 10^6-degree hub generates wedges only from its
+       few higher-ordered neighbors, never C(10^6, 2) pairs;
+    4. wedge generation per center — ONE hash exchange on the center
+       id, then a fully vectorized per-partition kernel (sort + run
+       boundaries + np.repeat pair indexing, no Python loop).  Total
+       wedges are bounded by sum(out_deg^2) = O(|E|^1.5) spread across
+       partitions; a residual hot center can be salted by splitting
+       its out-list (same lever as fetch.py's host salting);
+    5. triangle closure = hash semi-join of wedges against the
+       oriented edge set on (v, w).  Each triangle has EXACTLY one
+       (u→v, u→w, v→w) orientation under the total order, so no
+       dedup or division by 3 exists anywhere;
+    6. per-node counts: triangle rows fan out 3 increments, degree
+       rows carry the deg column, one final combiner exchange.
+
+    Only O(|E|)-bounded datasets materialize (edge list + degrees +
+    oriented edges — the same working-set contract as ``pagerank``);
+    the driver never sees a row.
+    """
+    return triangle_count_edges(graph.extract_edges(sf_dir),
+                                num_parts=num_parts)
+
+
+def triangle_count_edges(edges, num_parts: int | None = None):
+    """Core of ``triangle_count`` over any (src_doc, dst_doc) edge
+    Dataset (directed, possibly with duplicates/self-loops — both are
+    canonicalized away)."""
+    from linkinator_ray.pipelines.hashagg import (hash_aggregate,
+                                                  hash_join,
+                                                  hash_partition_apply)
+    import pandas as pd
+
+    def canon(batch: pa.Table) -> pa.Table:
+        s = batch["src_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch["dst_doc"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a, b = np.minimum(s, d), np.maximum(s, d)
+        keep = a != b
+        return pa.table({"a": pa.array(a[keep]), "b": pa.array(b[keep])})
+
+    ue = hash_aggregate(edges.map_batches(canon, batch_format="pyarrow"),
+                        ["a", "b"], {"n": ("a", "count")},
+                        num_parts=num_parts) \
+        .select_columns(["a", "b"]).materialize()
+
+    def to_inc(batch: pa.Table) -> pa.Table:
+        node = pa.chunked_array([batch["a"], batch["b"]]).combine_chunks()
+        return pa.table({"doc_id": node,
+                         "inc": pa.array(np.ones(len(node), np.int64))})
+
+    deg = hash_aggregate(ue.map_batches(to_inc, batch_format="pyarrow"),
+                         "doc_id", {"deg": ("inc", "sum")},
+                         num_parts=num_parts).materialize()
+
+    def _ren(ds, old: str, new: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(
+                [new if c == old else c for c in batch.column_names])
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    e1 = _ren(hash_join(ue, deg, on="a", right_on="doc_id",
+                        num_parts=num_parts), "deg", "deg_a")
+    e2 = hash_join(e1, deg, on="b", right_on="doc_id", num_parts=num_parts)
+
+    def orient(batch: pa.Table) -> pa.Table:
+        a = batch["a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = batch["b"].to_numpy(zero_copy_only=False).astype(np.int64)
+        da = batch["deg_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+        db = batch["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        a_first = (da < db) | ((da == db) & (a < b))
+        return pa.table({
+            "u": pa.array(np.where(a_first, a, b)),
+            "v": pa.array(np.where(a_first, b, a)),
+            "deg_v": pa.array(np.where(a_first, db, da)),
+        })
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def wedge_fn(df: "pd.DataFrame") -> "pd.DataFrame":
+        # neighbors sorted by the SAME (deg, id) total order as the
+        # orientation, so every emitted (cv, cw) pair is already in
+        # oriented-edge direction and the closure probe is one semi-join
+        df = df.sort_values(["u", "deg_v", "v"], kind="stable")
+        u = df["u"].to_numpy()
+        v = df["v"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        sizes = np.diff(np.r_[starts, len(u)])
+        local = np.arange(len(u)) - np.repeat(starts, sizes)
+        reps = np.repeat(sizes, sizes) - 1 - local  # pairs with i as left
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame({"cu": np.array([], np.int64),
+                                 "cv": np.array([], np.int64),
+                                 "cw": np.array([], np.int64)})
+        lefts = np.repeat(np.arange(len(u)), reps)
+        run_off = np.cumsum(reps) - reps
+        within = np.arange(total) - np.repeat(run_off, reps)
+        rights = np.repeat(np.arange(len(u)) + 1, reps) + within
+        return pd.DataFrame({"cu": u[lefts], "cv": v[lefts],
+                             "cw": v[rights]})
+
+    wedges = hash_partition_apply(oriented, "u", wedge_fn,
+                                  num_parts=num_parts)
+    tri = hash_join(wedges, oriented.select_columns(["u", "v"]),
+                    on=["cv", "cw"], right_on=["u", "v"], how="semi",
+                    num_parts=num_parts)
+
+    def tri_inc(batch: pa.Table) -> pa.Table:
+        node = pa.chunked_array(
+            [batch["cu"], batch["cv"], batch["cw"]]).combine_chunks()
+        n = len(node)
+        return pa.table({"doc_id": node,
+                         "tri_inc": pa.array(np.ones(n, np.int64)),
+                         "deg_inc": pa.array(np.zeros(n, np.int64))})
+
+    def deg_rows(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table({"doc_id": batch["doc_id"],
+                         "tri_inc": pa.array(np.zeros(n, np.int64)),
+                         "deg_inc": batch["deg"]})
+
+    both = tri.map_batches(tri_inc, batch_format="pyarrow") \
+        .union(deg.map_batches(deg_rows, batch_format="pyarrow"))
+    counts = hash_aggregate(both, "doc_id",
+                            {"triangles": ("tri_inc", "sum"),
+                             "deg": ("deg_inc", "sum")},
+                            num_parts=num_parts)
+
+    def face(batch: pa.Table) -> pa.Table:
+        d = batch["deg"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "deg": batch["deg"],
+            "wedges": pa.array(d * (d - 1) // 2),
+            "triangles": batch["triangles"],
+        })
+
+    return counts.map_batches(face, batch_format="pyarrow")
+
+
+def triangle_reference(edges: list[tuple[int, int]]) -> dict[int, int]:
+    """Single-machine per-node triangle counts (set intersections) —
+    the differential oracle for ``triangle_count`` tests."""
+    from collections import defaultdict
+    adj = defaultdict(set)
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    tri: dict[int, int] = {n: 0 for n in adj}
+    seen = set()
+    for a in adj:
+        for b in adj[a]:
+            if (min(a, b), max(a, b)) in seen:
+                continue
+            seen.add((min(a, b), max(a, b)))
+            for c in adj[a] & adj[b]:
+                # each triangle visited once per edge = 3 times total;
+                # credit the OPPOSITE vertex each time
+                tri[c] += 1
+    return tri

@@ -107,3 +107,76 @@ def test_pagerank_iteration_changes_ranks(ray_session):
     pr4 = pagerank_reference(edges, iters=4)
     assert len(set(pr0.values())) == 1
     assert len(set(pr4.values())) > 10
+
+
+def _tri_ds(edges, **kw):
+    import pyarrow as pa
+    import ray.data as rd
+    from linkinator_ray.pipelines.linkgraph import triangle_count_edges
+    src = [int(a) for a, _ in edges]
+    dst = [int(b) for _, b in edges]
+    ds = rd.from_arrow(pa.table({"src_doc": pa.array(src, pa.int64()),
+                                 "dst_doc": pa.array(dst, pa.int64())}))
+    out = triangle_count_edges(ds, **kw).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_triangle_planted_graphs(ray_session):
+    # K4: every node is in C(3,2)=3 triangles, deg 3, wedges 3
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    t = _tri_ds(k4)
+    assert list(t["triangles"]) == [3, 3, 3, 3]
+    assert list(t["deg"]) == [3, 3, 3, 3]
+    assert list(t["wedges"]) == [3, 3, 3, 3]
+
+    # path 0-1-2-3: no triangles, middle nodes have a wedge
+    t = _tri_ds([(0, 1), (1, 2), (2, 3)])
+    assert list(t["triangles"]) == [0, 0, 0, 0]
+    assert list(t["wedges"]) == [0, 1, 1, 0]
+
+    # hub star (the curse-of-the-last-reducer shape): many wedges at
+    # the hub, zero triangles
+    star = [(100, i) for i in range(30)]
+    t = _tri_ds(star)
+    hub = t[t.doc_id == 100].iloc[0]
+    assert hub.deg == 30 and hub.wedges == 30 * 29 // 2
+    assert t["triangles"].sum() == 0
+
+    # two triangles sharing edge (0,1); duplicate + reversed + self
+    # edges must canonicalize away
+    g = [(0, 1), (1, 0), (0, 1), (1, 2), (2, 0), (1, 3), (3, 0), (2, 2)]
+    t = _tri_ds(g)
+    got = dict(zip(t.doc_id, t.triangles))
+    assert got == {0: 2, 1: 2, 2: 1, 3: 1}
+
+
+def test_triangle_matches_reference_and_oracle_face(ray_session):
+    from linkinator_ray.pipelines.linkgraph import (triangle_count,
+                                                    triangle_reference)
+    edges = _edges(SF)
+    ref = triangle_reference(edges)
+    got = triangle_count(SF).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert set(got.doc_id) == set(ref)
+    for _, r in got.iterrows():
+        assert ref[int(r.doc_id)] == int(r.triangles), int(r.doc_id)
+    # wedges = C(deg, 2) per node, exact
+    d = got["deg"].to_numpy()
+    assert (got["wedges"].to_numpy() == d * (d - 1) // 2).all()
+    # global invariant: participations = 3 * number of triangles
+    assert got["triangles"].sum() % 3 == 0
+
+
+def test_triangle_partition_invariance(ray_session):
+    import numpy as np
+    rng = np.random.RandomState(7)
+    # random multigraph with plenty of triangles
+    e = [(int(rng.randint(0, 40)), int(rng.randint(0, 40)))
+         for _ in range(400)]
+    a = _tri_ds(e, num_parts=2)
+    b = _tri_ds(e, num_parts=13)
+    pd.testing.assert_frame_equal(a, b)
+    from linkinator_ray.pipelines.linkgraph import triangle_reference
+    ref = triangle_reference(e)
+    got = dict(zip(a.doc_id, a.triangles))
+    assert got == {n: c for n, c in ref.items()}
