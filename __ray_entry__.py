@@ -25,6 +25,7 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from linkinator_ray.pipelines import incremental
     from linkinator_ray.pipelines import (components, dedup, events, export,
                                           graph, index, joins, linkgraph,
                                           multimodal, similarity, text, tpch)
@@ -107,7 +108,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_tokens": text.hll_distinct_tokens,  # exact SQL oracle
         "cms_token_counts": lambda sf: text.cms_token_counts(sf),
         # streaming-shaped
-        "sliding_window": lambda sf: events.sliding_window(sf, 7200, 3600),
+        # incremental ingest (new in r4): delta probed against the
+        # materialized base fingerprint store — co-located single-part
+        # lookups, the historical corpus never moves
+        "incremental_dedup": lambda sf: incremental.incremental_dedup(
+            sf, prefix_tokens=8, split_mod=5,
+            num_parts=8),  # exact SQL oracle
         "sessionize": lambda sf: events.sessionize(sf, 1800),
         "funnel": lambda sf: events.funnel(sf),
         # joins (broadcast small-side + hash-partitioned Dataset join)
@@ -138,9 +144,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
             sf, limit=100, ngram=1, threshold=0.5),
         "dedup_embedding": embedding_pairs,
-        # knn_bruteforce: hash-green r1+r2+r3 and similarity.py is
-        # UNTOUCHED in r4 — safest rotation to the overflow margin
+        # knn_bruteforce / sliding_window: hash-green r1+r2+r3 and
+        # their code is UNTOUCHED in r4 — safest rotations to the
+        # overflow margin
         "knn_bruteforce": knn,
+        "sliding_window": lambda sf: events.sliding_window(sf, 7200, 3600),
         # --- rows-only by declared design (float/iterative paths;
         #     recall- and differential-tested in pytest) ---
         "dedup_embedding_lsh": lambda sf: dedup.dedup_embedding_lsh(
@@ -1249,6 +1257,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
             FROM tok GROUP BY token
             ORDER BY doc_freq DESC, token ASC LIMIT 20
+        """,
+        # identical prefix-fingerprint expression (8-token head, same
+        # \\s+ tokenizer as every text oracle); precedence mirrors the
+        # probe: base hit > earlier delta doc > kept
+        "incremental_dedup": r"""
+            WITH fps AS (
+                SELECT doc_id,
+                       md5(array_to_string(list_slice(
+                           string_split_regex(trim(text), '\s+'),
+                           1, 8), ' ')) AS fp
+                FROM documents
+            ),
+            base AS (SELECT fp, min(doc_id) AS owner
+                     FROM fps WHERE doc_id % 5 <> 0 GROUP BY fp),
+            delta AS (SELECT doc_id, fp FROM fps WHERE doc_id % 5 = 0),
+            firsts AS (SELECT fp, min(doc_id) AS first_id
+                       FROM delta GROUP BY fp)
+            SELECT d.doc_id,
+                   CASE WHEN b.owner IS NOT NULL THEN 'dup_base'
+                        WHEN d.doc_id <> f.first_id THEN 'dup_delta'
+                        ELSE 'kept' END AS status,
+                   CAST(CASE WHEN b.owner IS NOT NULL THEN b.owner
+                             WHEN d.doc_id <> f.first_id THEN f.first_id
+                             ELSE d.doc_id END AS BIGINT) AS owner_doc_id
+            FROM delta d
+            LEFT JOIN base b USING (fp)
+            JOIN firsts f USING (fp)
+            ORDER BY d.doc_id
         """,
         "sliding_window": """
             WITH hits AS (

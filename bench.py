@@ -182,6 +182,9 @@ def run_queries() -> dict:
         "inverted_index": lambda: __import__(
             "linkinator_ray.pipelines.index",
             fromlist=["x"]).inverted_index(SF_DIR),
+        "incremental_dedup": lambda: __import__(
+            "linkinator_ray.pipelines.incremental",
+            fromlist=["x"]).incremental_dedup(SF_DIR),
         "degree_stats": lambda: linkgraph.degree_stats(SF_DIR),
         "triangle_count": lambda: linkgraph.triangle_count(SF_DIR),
         "pagerank": lambda: linkgraph.pagerank(SF_DIR),

@@ -95,9 +95,9 @@ def build_inverted_index(sf_dir: str, out_dir: str,
     partition that received no pairs is stamped with an empty file —
     emptiness is decided from the returned manifest, never a driver
     filesystem probe of worker-written files."""
-    P = int(num_parts) if num_parts else default_parts()
-    if P <= 0:
+    if num_parts is not None and int(num_parts) <= 0:
         raise ValueError(f"num_parts must be positive, got {num_parts}")
+    P = int(num_parts) if num_parts is not None else default_parts()
     os.makedirs(out_dir, exist_ok=True)
     done = {k for k in range(P)
             if os.path.exists(os.path.join(out_dir, f"part-{k}._SUCCESS"))}
