@@ -161,10 +161,14 @@ def build_fingerprint_store(sf_dir: str, out_dir: str,
 
 def probe_delta(sf_dir: str, store_dir: str,
                 prefix_tokens: int | None = 8,
-                split_mod: int = 5):
+                split_mod: int = 5,
+                include_fp: bool = False):
     """Dedup the delta slice against an existing store. Returns a
     Dataset (doc_id, status, owner_doc_id) — status ∈ dup_base /
-    dup_delta / kept."""
+    dup_delta / kept. ``include_fp=True`` adds the fp and __part
+    columns (rows stay co-located with their store partition) so a
+    downstream ``update_store`` can fold kept rows in without a
+    second fingerprint pass or any driver materialization."""
     import pyarrow.parquet as pq
 
     meta = pq.read_table(os.path.join(store_dir, "_store_meta.parquet"))
@@ -206,9 +210,13 @@ def probe_delta(sf_dir: str, store_dir: str,
         owner = np.where(in_base.notna(), in_base.fillna(-1),
                          np.where(df["doc_id"] != first,
                                   first, df["doc_id"]))
-        return pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
-                             "status": status,
-                             "owner_doc_id": owner.astype(np.int64)})
+        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+                            "status": status,
+                            "owner_doc_id": owner.astype(np.int64)})
+        if include_fp:
+            out["fp"] = df["fp"].to_numpy()
+            out["__part"] = np.full(len(out), pid, dtype=np.int64)
+        return out
 
     return stream.groupby("__part").map_groups(
         probe_part, batch_format="pandas")
@@ -234,3 +242,64 @@ def incremental_dedup(sf_dir: str, prefix_tokens: int | None = 8,
         return pa.Table.from_pandas(got, preserve_index=False)
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def update_store(sf_dir: str, store_dir: str,
+                 prefix_tokens: int | None = 8,
+                 split_mod: int = 5) -> dict:
+    """Fold a probed delta's KEPT fingerprints into the store — the
+    end-of-ingest commit that makes tomorrow's delta dedup against
+    today's.  Runs the probe with ``include_fp=True`` (precedence is
+    therefore identical to ``probe_delta``, and each kept row already
+    carries its partition) and rewrites ONLY the touched part files —
+    merge is a sorted-distinct union per partition, written to a temp
+    file and atomically renamed, so a reader never observes a torn
+    part and a crashed update leaves every old part intact (markers
+    are only refreshed after the rename).
+
+    A kept fp is by definition absent from the store, so the merge is
+    a pure insert; re-ingesting the same delta is therefore idempotent
+    (second probe returns all dup_base — pinned by test).
+
+    Returns {"touched": [part ids rewritten], "inserted": n}.
+    """
+    import pyarrow.parquet as pq
+
+    # the probe already co-located every row with its store partition;
+    # keep fp/__part so the merge needs no second fingerprint pass and
+    # NOTHING lands on the driver except the part-count manifest
+    verdicts = probe_delta(sf_dir, store_dir,
+                           prefix_tokens=prefix_tokens,
+                           split_mod=split_mod, include_fp=True)
+
+    def kept_only(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch.column("status"), "kept"))
+        return kept.select(["doc_id", "fp", "__part"])
+
+    stream = verdicts.map_batches(kept_only, batch_format="pyarrow")
+
+    def merge_part(part: pd.DataFrame) -> pd.DataFrame:
+        pid = int(part["__part"].iloc[0])
+        path = os.path.join(store_dir, f"part-{pid}.parquet")
+        store = pq.read_table(path).to_pandas()
+        add = part.rename(columns={"doc_id": "owner_doc_id"})[
+            ["fp", "owner_doc_id"]]
+        merged = pd.concat([store, add], ignore_index=True) \
+            .groupby("fp", sort=True)["owner_doc_id"].min().reset_index()
+        tmp = path + ".tmp"
+        pq.write_table(pa.table({
+            "fp": pa.array(merged["fp"], type=pa.string()),
+            "owner_doc_id": pa.array(merged["owner_doc_id"],
+                                     type=pa.int64())}), tmp)
+        os.replace(tmp, path)
+        return pd.DataFrame({"part": [pid], "inserted": [len(add)]})
+
+    manifest = stream.groupby("__part").map_groups(
+        merge_part, batch_format="pandas").to_pandas()
+    touched = sorted(int(p) for p in manifest.get("part", []))
+    for k in touched:  # refresh trust markers after the atomic renames
+        with open(os.path.join(store_dir, f"part-{k}._SUCCESS"), "w"):
+            pass
+    return {"touched": touched,
+            "inserted": int(manifest.get("inserted",
+                                         pd.Series(dtype=int)).sum())}

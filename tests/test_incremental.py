@@ -132,3 +132,49 @@ def test_coupling_guards(ray_session, tmp_path):
         probe_delta(SF, out, prefix_tokens=8)
     with pytest.raises(ValueError, match="num_parts"):
         build_fingerprint_store(SF, str(tmp_path / "s2"), num_parts=0)
+
+
+def test_update_store_second_ingest_is_all_dup_base(ray_session, tmp_path):
+    from linkinator_ray.pipelines.incremental import (
+        build_fingerprint_store, probe_delta, update_store)
+    out = str(tmp_path / "store")
+    build_fingerprint_store(SF, out, num_parts=4)
+    first = probe_delta(SF, out).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    kept = first[first.status == "kept"]
+    res = update_store(SF, out)
+    assert res["inserted"] == len(kept)
+    assert res["touched"]  # at least one partition rewritten
+    # idempotent re-ingest: every delta doc now hits the store; kept
+    # docs' owners are themselves, dup_delta losers' owners are their
+    # delta keeper (who is now IN the store)
+    second = probe_delta(SF, out).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert (second["status"] == "dup_base").all()
+    merged_owner = dict(zip(first.doc_id, first.owner_doc_id))
+    for _, r in second.iterrows():
+        assert int(r.owner_doc_id) == int(merged_owner[int(r.doc_id)])
+    # a second update inserts nothing and touches nothing
+    res2 = update_store(SF, out)
+    assert res2 == {"touched": [], "inserted": 0}
+
+
+def test_update_store_preserves_untouched_parts(ray_session, tmp_path):
+    from linkinator_ray.pipelines.incremental import (
+        build_fingerprint_store, update_store)
+    import pyarrow.parquet as pq
+    out = str(tmp_path / "store")
+    build_fingerprint_store(SF, out, num_parts=4)
+    sizes = {k: pq.read_table(os.path.join(out, f"part-{k}.parquet"))
+             .num_rows for k in range(4)}
+    res = update_store(SF, out)
+    for k in range(4):
+        n = pq.read_table(os.path.join(out, f"part-{k}.parquet")).num_rows
+        if k in res["touched"]:
+            assert n > sizes[k]
+        else:
+            assert n == sizes[k]
+        # store invariant: fp-distinct (insert-only merge kept it)
+        t = pq.read_table(os.path.join(out, f"part-{k}.parquet"))
+        fps = t.column("fp").to_pylist()
+        assert len(fps) == len(set(fps))
