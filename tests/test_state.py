@@ -236,10 +236,14 @@ class TestMeshCheckpoint:
                            multi_host=True, use_ray=True).check()
 
         ck = str(tmp_path / "meshck")
+        # small wire latency so the crawl cannot drain before the first
+        # 0.2 s epoch fires (the bomb below needs >=1 checkpoint; results
+        # are latency-independent)
         partial = LinkChecker(
             CheckOptions(**base, checkpoint_dir=ck,
                          checkpoint_interval_s=0.2, batch_size=64),
-            docs, [], multi_host=True, use_ray=True)
+            docs, [], multi_host=True, use_ray=True,
+            transport_latency_s=0.005)
         orig = crawl_mod.LinkChecker._mesh_checkpoint
         calls = {"n": 0}
 
@@ -291,10 +295,13 @@ class TestMeshCheckpoint:
                            docs, [], multi_host=True, use_ray=True).check()
 
         ck = str(tmp_path / "meshck")
+        # latency floor: guarantees the partial run outlives the first
+        # epoch so the bomb always has a checkpoint to land on
         partial = LinkChecker(
             CheckOptions(**base, fetch_concurrency=2, checkpoint_dir=ck,
                          checkpoint_interval_s=0.2, batch_size=64),
-            docs, [], multi_host=True, use_ray=True)
+            docs, [], multi_host=True, use_ray=True,
+            transport_latency_s=0.005)
         orig = crawl_mod.LinkChecker._mesh_checkpoint
         calls = {"n": 0}
 
@@ -342,8 +349,10 @@ class TestMeshCheckpoint:
         LinkChecker(CheckOptions(**base, fetch_concurrency=2,
                                  checkpoint_dir=ck,
                                  checkpoint_interval_s=0.3, batch_size=32),
-                    docs, [], multi_host=True, use_ray=True).check()
-        rounds = [d for d in os.listdir(ck) if d.startswith("round_")]
+                    docs, [], multi_host=True, use_ray=True,
+                    transport_latency_s=0.005).check()
+        rounds = [d for d in os.listdir(ck) if d.startswith("round_")] \
+            if os.path.isdir(ck) else []
         if not rounds:
             pytest.skip("crawl finished before the first epoch fired")
         for d in rounds:  # strip the journal flag → legacy checkpoint
