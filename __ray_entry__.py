@@ -92,8 +92,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": components.dedup_components,
         "contamination_check": lambda sf: dedup.contamination_check(sf),
         # sampling / split / packing / export
-        "sample_by_source": text.sample_by_source,
-        "stratified_sample": lambda sf: text.stratified_sample(sf, 50),
         "pack_sequences": lambda sf: text.pack_sequences(
             sf, context_tokens=512),
         "shuffle_export": lambda sf: text.shuffle_export(sf, num_shards=8),
@@ -116,6 +114,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             num_parts=8),  # exact SQL oracle
         "sessionize": lambda sf: events.sessionize(sf, 1800),
         "funnel": lambda sf: events.funnel(sf),
+        # interval (band) join + per-key window functions (new in r4):
+        # the two stream-shaped operator families the Dataset API lacks
+        "interval_join": lambda sf: events.interval_join(
+            sf, "click", "purchase", 1800),  # exact SQL oracle
+        "user_running_stats": lambda sf: events.user_running_stats(
+            sf, "purchase"),  # exact SQL oracle
         # joins (broadcast small-side + hash-partitioned Dataset join)
         "events_by_segment": joins.events_by_segment,
         "events_join_customer": lambda sf: joins.events_join_customer(sf, 50),
@@ -143,6 +147,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": lambda sf: text.top_tokens(sf, k=20),
         "ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
             sf, limit=100, ngram=1, threshold=0.5),
+        # sample_by_source / stratified_sample: hash-green r3 and their
+        # code is untouched in r4; four siblings of the sampling/export
+        # family stay in the sweep window
+        "sample_by_source": text.sample_by_source,
+        "stratified_sample": lambda sf: text.stratified_sample(sf, 50),
         "dedup_embedding": embedding_pairs,
         # knn_bruteforce / sliding_window: hash-green r1+r2+r3 and
         # their code is UNTOUCHED in r4 — safest rotations to the
@@ -1304,6 +1313,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
                        AS sum_cents
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        # interval (band) join: all same-user (click, purchase) pairs
+        # within the window, strict lower / inclusive upper bound —
+        # mirrors events.py:interval_join's searchsorted bounds
+        "interval_join": """
+            SELECT a.event_id AS l_event_id, b.event_id AS r_event_id,
+                   CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'click' AND b.event_type = 'purchase'
+             AND a.ts < b.ts
+             AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800 * 1000000
+            ORDER BY 1, 2
+        """,
+        # per-key window functions with the same (ts, event_id)
+        # tiebreak as events.py:user_running_stats's lexsort
+        "user_running_stats": """
+            SELECT event_id,
+                   CAST(row_number() OVER w AS BIGINT) AS row_num,
+                   CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w,
+                                 -1) AS BIGINT) AS gap_us,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                                 THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                       AS cum_marks
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
         """,
         # greedy ordered funnel: t_k = earliest stage-k event strictly
         # after t_{k-1} (events.py:funnel)

@@ -147,6 +147,8 @@ def run_queries() -> dict:
         "sliding_window": lambda: events.sliding_window(SF_DIR),
         "sessionize": lambda: events.sessionize(SF_DIR),
         "funnel": lambda: events.funnel(SF_DIR),
+        "interval_join": lambda: events.interval_join(SF_DIR),
+        "user_running_stats": lambda: events.user_running_stats(SF_DIR),
         "events_by_segment": lambda: joins.events_by_segment(SF_DIR),
         "events_join_customer": lambda: joins.events_join_customer(SF_DIR),
         "events_asof_order": lambda: joins.events_asof_order(SF_DIR),

@@ -1430,3 +1430,133 @@ def test_cms_token_counts_one_sided(ray_session):
         # CM bound: overshoot <= e/w * total with high probability
         assert est - true_n <= 3 * total / 1024, (tok, est, true_n)
     assert int(got.loc["zzz_absent"]) <= 3 * total / 1024
+
+
+def test_interval_join_planted_semantics(ray_session, tmp_path):
+    """Window bounds: strictly-after lower bound (equal ts excluded),
+    inclusive upper bound (gap == window matches, window+1us doesn't),
+    all pairs (two clicks before one purchase -> two rows), user
+    co-location (cross-user pairs never match), other event types
+    invisible."""
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.events import interval_join
+
+    def ev(eid, ts_s, uid, typ):
+        return {"event_id": eid, "ts": np.datetime64(ts_s, "us"),
+                "user_id": uid, "event_type": typ, "value": 1.0,
+                "props": ""}
+
+    rows = [
+        # u1: purchase exactly window (1800s) after the click: IN;
+        # purchase at the same ts as the click: OUT (strict >);
+        # purchase before the click: OUT
+        ev(1, "2024-01-01T00:00:00", 1, "click"),
+        ev(2, "2024-01-01T00:30:00", 1, "purchase"),          # gap = 1800s
+        ev(3, "2024-01-01T00:00:00", 1, "purchase"),          # equal ts
+        ev(4, "2023-12-31T23:59:00", 1, "purchase"),          # before
+        # u2: two clicks inside the window of one purchase -> 2 pairs;
+        # a view between them is invisible
+        ev(5, "2024-01-01T00:00:00", 2, "click"),
+        ev(6, "2024-01-01T00:10:00", 2, "click"),
+        ev(7, "2024-01-01T00:05:00", 2, "view"),
+        ev(8, "2024-01-01T00:20:00", 2, "purchase"),
+        # u3: purchase 1800s + 1us after u3's click: OUT (upper bound)
+        ev(9, "2024-01-01T00:00:00", 3, "click"),
+        {"event_id": 10,
+         "ts": np.datetime64("2024-01-01T00:30:00", "us")
+         + np.timedelta64(1, "us"),
+         "user_id": 3, "event_type": "purchase", "value": 1.0, "props": ""},
+        # u4: purchase with no click of its own (u1's click must not
+        # leak across users)
+        ev(11, "2024-01-01T00:01:00", 4, "purchase"),
+    ]
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(out / "events.parquet"))
+    df = interval_join(str(out), "click", "purchase", 1800).to_pandas() \
+        .sort_values(["l_event_id", "r_event_id"]).reset_index(drop=True)
+    assert df[["l_event_id", "r_event_id"]].values.tolist() == \
+        [[1, 2], [5, 8], [6, 8]]
+    assert df["gap_us"].tolist() == [1800 * 10**6, 1200 * 10**6,
+                                     600 * 10**6]
+
+
+def test_interval_join_sql_and_partition_invariant(ray_session):
+    """Kernel == the SQL band-join definition on the real corpus, at 1
+    and 7 hash partitions (per-user co-location is the only
+    requirement the kernel relies on)."""
+    import duckdb
+
+    from linkinator_ray.pipelines.events import interval_join
+    want = duckdb.sql(f"""
+        SELECT a.event_id AS l_event_id, b.event_id AS r_event_id,
+               (epoch_us(b.ts) - epoch_us(a.ts))::BIGINT AS gap_us
+        FROM '{SF}/events.parquet' a JOIN '{SF}/events.parquet' b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'click' AND b.event_type = 'purchase'
+         AND a.ts < b.ts
+         AND epoch_us(b.ts) - epoch_us(a.ts) <= 1800 * 1000000
+        ORDER BY 1, 2""").df()
+    for parts in (1, 7):
+        got = interval_join(SF, "click", "purchase", 1800,
+                            num_parts=parts).to_pandas() \
+            .sort_values(["l_event_id", "r_event_id"]) \
+            .reset_index(drop=True)[want.columns.tolist()]
+        assert got.astype("int64").values.tolist() == \
+            want.astype("int64").values.tolist(), parts
+
+
+def test_user_running_stats_planted(ray_session, tmp_path):
+    """row_number/lag/running-sum semantics: (ts, event_id) tiebreak,
+    gap -1 on each user's first event, cum_marks inclusive of the
+    current row."""
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.events import user_running_stats
+
+    def ev(eid, ts_s, uid, typ):
+        return {"event_id": eid, "ts": np.datetime64(ts_s, "us"),
+                "user_id": uid, "event_type": typ, "value": 1.0,
+                "props": ""}
+
+    rows = [
+        # u1: purchase first (cum 1 at row 1), tie at 00:01 broken by
+        # event_id (3 before 5), gap 0 between the tied rows
+        ev(2, "2024-01-01T00:00:00", 1, "purchase"),
+        ev(5, "2024-01-01T00:01:00", 1, "view"),
+        ev(3, "2024-01-01T00:01:00", 1, "purchase"),
+        # u2: single event, not a purchase
+        ev(4, "2024-01-01T00:00:00", 2, "click"),
+    ]
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(out / "events.parquet"))
+    df = user_running_stats(str(out), "purchase").to_pandas() \
+        .set_index("event_id").sort_index()
+    assert df.loc[2].tolist() == [1, -1, 1]          # row 1, first, cum 1
+    assert df.loc[3].tolist() == [2, 60 * 10**6, 2]  # tie: eid 3 < 5
+    assert df.loc[5].tolist() == [3, 0, 2]           # gap 0 to the tie
+    assert df.loc[4].tolist() == [1, -1, 0]          # u2: no marks
+
+
+def test_user_running_stats_sql_and_partition_invariant(ray_session):
+    import duckdb
+
+    from linkinator_ray.pipelines.events import user_running_stats
+    want = duckdb.sql(f"""
+        SELECT event_id, row_number() OVER w ::BIGINT AS row_num,
+               coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w,
+                        -1)::BIGINT AS gap_us,
+               sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_marks
+        FROM '{SF}/events.parquet'
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY event_id""").df()
+    for parts in (1, 7):
+        got = user_running_stats(SF, "purchase", num_parts=parts) \
+            .to_pandas().sort_values("event_id") \
+            .reset_index(drop=True)[want.columns.tolist()]
+        assert got.astype("int64").values.tolist() == \
+            want.astype("int64").values.tolist(), parts
