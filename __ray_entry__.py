@@ -95,8 +95,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": lambda sf: text.pack_sequences(
             sf, context_tokens=512),
         "shuffle_export": lambda sf: text.shuffle_export(sf, num_shards=8),
-        "train_split": lambda sf: text.train_split(sf),
         "length_quantiles": lambda sf: text.length_quantiles(sf),
+        # schema-generic single-pass table profiling (new in r4)
+        "profile_table": lambda sf: __import__(
+            "linkinator_ray.pipelines.profile",
+            fromlist=["x"]).profile_table(sf, "lineitem"),  # exact SQL oracle
         "export_roundtrip": lambda sf: export.export_roundtrip(sf),
         "export_tar_roundtrip": lambda sf: export.export_tar_roundtrip(sf),
         "jsonl_roundtrip": lambda sf: export.jsonl_roundtrip(sf),  # exact SQL oracle
@@ -152,6 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # family stay in the sweep window
         "sample_by_source": text.sample_by_source,
         "stratified_sample": lambda sf: text.stratified_sample(sf, 50),
+        "train_split": lambda sf: text.train_split(sf),
         "dedup_embedding": embedding_pairs,
         # knn_bruteforce / sliding_window: hash-green r1+r2+r3 and
         # their code is UNTOUCHED in r4 — safest rotations to the
@@ -545,7 +549,17 @@ def _pagerank_sql(iters: int, damping_pct: int, scale: int) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # profile_table's per-column UNION ALL is GENERATED from the same
+    # Arrow schema the Ray side profiles, so the two can never drift;
+    # the lineitem schema is identical at every scale factor
+    import pyarrow.parquet as _pq
+
+    from linkinator_ray.pipelines.profile import profile_oracle_sql
+    _profile_sql = profile_oracle_sql(
+        "lineitem",
+        _pq.read_schema("/root/testdata/sf0.001/lineitem.parquet"))
     return {
+        "profile_table": _profile_sql,
         "crawl_reachability": f"""
             WITH RECURSIVE {_REACH_CTE}
             SELECT doc AS doc_id,

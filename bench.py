@@ -149,6 +149,9 @@ def run_queries() -> dict:
         "funnel": lambda: events.funnel(SF_DIR),
         "interval_join": lambda: events.interval_join(SF_DIR),
         "user_running_stats": lambda: events.user_running_stats(SF_DIR),
+        "profile_table": lambda: __import__(
+            "linkinator_ray.pipelines.profile",
+            fromlist=["x"]).profile_table(SF_DIR, "lineitem"),
         "events_by_segment": lambda: joins.events_by_segment(SF_DIR),
         "events_join_customer": lambda: joins.events_join_customer(SF_DIR),
         "events_asof_order": lambda: joins.events_asof_order(SF_DIR),

@@ -1560,3 +1560,52 @@ def test_user_running_stats_sql_and_partition_invariant(ray_session):
             .reset_index(drop=True)[want.columns.tolist()]
         assert got.astype("int64").values.tolist() == \
             want.astype("int64").values.tolist(), parts
+
+
+def test_profile_table_planted_edges(ray_session, tmp_path):
+    """Typed encodings: NaN doubles profile as NULL, string lo/hi are
+    BYTE lengths (unicode > codepoints), doubles range in floored
+    cents (negative values floor DOWN), all-NULL columns profile as
+    n=0 / lo=hi=0, distinct counts the canonical encoding."""
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.profile import profile_table
+    t = pa.table({
+        "i": pa.array([3, None, -5, 3], pa.int64()),
+        "d": pa.array([1.005, float("nan"), -0.011, None], pa.float64()),
+        "s": pa.array(["héllo", "", None, "ab"], pa.string()),
+        "z": pa.array([None] * 4, pa.int64()),
+        "ts": pa.array([1, 2, 2, None], pa.timestamp("us")),
+    })
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(t, str(out / "t.parquet"))
+    df = profile_table(str(out), "t").set_index("col")
+    assert df.loc["i"].tolist() == [3, 1, 2, -5, 3]
+    # d: NaN -> NULL (n=2, nulls=2); cents floor(1.005*100)=100,
+    # floor(-0.011*100)=-2 (floor goes DOWN); distinct cents = 2
+    assert df.loc["d"].tolist() == [2, 2, 2, -2, 100]
+    # s: byte lengths — "héllo" is 6 BYTES; distinct raw strings = 3
+    assert df.loc["s"].tolist() == [3, 1, 3, 0, 6]
+    assert df.loc["z"].tolist() == [0, 4, 0, 0, 0]
+    assert df.loc["ts"].tolist() == [3, 1, 2, 1, 2]
+
+
+def test_profile_table_sql_and_partition_invariant(ray_session):
+    """Ray profile == the generated DuckDB oracle on lineitem (all four
+    type families), at 1 and 7 hash partitions."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.profile import (profile_oracle_sql,
+                                                  profile_table)
+    schema = pq.read_schema(f"{SF}/lineitem.parquet")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * "
+                f"FROM '{SF}/lineitem.parquet'")
+    want = con.execute(profile_oracle_sql("lineitem", schema)).df() \
+        .sort_values("col").reset_index(drop=True)
+    for parts in (1, 7):
+        got = profile_table(SF, "lineitem", num_parts=parts) \
+            .reset_index(drop=True)
+        assert got[want.columns.tolist()].equals(want), parts
