@@ -94,8 +94,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling / split / packing / export
         "pack_sequences": lambda sf: text.pack_sequences(
             sf, context_tokens=512),
-        "shuffle_export": lambda sf: text.shuffle_export(sf, num_shards=8),
         "length_quantiles": lambda sf: text.length_quantiles(sf),
+        # composed preprocessing flagship (new in r4): normalize ->
+        # quality-gate -> exact-dedup -> per-lang summary, one stream
+        "prepare_corpus": lambda sf: text.prepare_corpus(sf),  # exact SQL oracle
         # schema-generic single-pass table profiling (new in r4)
         "profile_table": lambda sf: __import__(
             "linkinator_ray.pipelines.profile",
@@ -156,6 +158,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_by_source": text.sample_by_source,
         "stratified_sample": lambda sf: text.stratified_sample(sf, 50),
         "train_split": lambda sf: text.train_split(sf),
+        "shuffle_export": lambda sf: text.shuffle_export(sf, num_shards=8),
         "dedup_embedding": embedding_pairs,
         # knn_bruteforce / sliding_window: hash-green r1+r2+r3 and
         # their code is UNTOUCHED in r4 — safest rotations to the
@@ -873,6 +876,37 @@ def oracle_sql() -> dict[str, str]:
         # self-trained unigram LM perplexity score (text.py:unigram_logppl)
         "unigram_logppl": _logppl_sql(),
         # NFC + utf8proc lowercase + \s+ collapse (text.py:text_normalize)
+        # composed flagship: the text_normalize / quality_filter /
+        # dedup_exact oracles as one CTE chain (quality stats computed
+        # ON the normalized text; keeper = min doc_id, keeper's lang
+        # attributes the group) — mirrors text.py:prepare_corpus
+        "prepare_corpus": r"""
+            WITH norm AS (
+              SELECT doc_id, lang,
+                     trim(regexp_replace(lower(nfc_normalize(text)),
+                          '\s+', ' ', 'g')) AS t
+              FROM documents
+            ), q AS (
+              SELECT doc_id, lang, t,
+                     CAST(len(string_split_regex(t, '\s+')) AS BIGINT)
+                         AS n_tokens,
+                     CAST(1000000 * length(regexp_replace(
+                              t, '[^A-Za-z]', '', 'g'))
+                          // greatest(length(t), 1) AS BIGINT) AS alpha_ppm
+              FROM norm
+            ), pass AS (
+              SELECT * FROM q
+              WHERE n_tokens BETWEEN 20 AND 1000 AND alpha_ppm >= 500000
+            ), grp AS (
+              SELECT arg_min(lang, doc_id) AS lang,
+                     min(n_tokens) AS n_tokens, count(*) AS grp_n
+              FROM pass GROUP BY md5(t)
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+                   CAST(sum(grp_n - 1) AS BIGINT) AS n_dup_dropped
+            FROM grp GROUP BY lang ORDER BY lang
+        """,
         "text_normalize": r"""
             SELECT doc_id,
                    trim(regexp_replace(lower(nfc_normalize(text)),

@@ -152,6 +152,7 @@ def run_queries() -> dict:
         "profile_table": lambda: __import__(
             "linkinator_ray.pipelines.profile",
             fromlist=["x"]).profile_table(SF_DIR, "lineitem"),
+        "prepare_corpus": lambda: text.prepare_corpus(SF_DIR),
         "events_by_segment": lambda: joins.events_by_segment(SF_DIR),
         "events_join_customer": lambda: joins.events_join_customer(SF_DIR),
         "events_asof_order": lambda: joins.events_asof_order(SF_DIR),

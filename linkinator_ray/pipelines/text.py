@@ -1604,3 +1604,90 @@ def cms_token_counts(sf_dir: str,
         ests.append(est)
     return pa.table({"token": pa.array(toks, pa.string()),
                      "est_count": pa.array(ests, pa.int64())})
+
+
+def prepare_corpus(sf_dir: str, min_tokens: int = 20,
+                   max_tokens: int = 1000, min_alpha_ppm: int = 500_000,
+                   num_parts: int | None = None):
+    """The composed training-data preprocessing flagship — normalize →
+    quality-gate → exact-dedup → per-language summary as ONE streaming
+    pipeline (no intermediate materialization, document text never
+    survives the scan stage).
+
+    Per batch: NFC + utf8proc lowercase + whitespace collapse (the
+    text_normalize kernel), token/alpha quality stats computed ON THE
+    NORMALIZED text, failing rows dropped, and each kept doc reduced to
+    a 4-column row (md5(text_norm) hex, doc_id, lang, n_tokens) —
+    ~60 B/doc regardless of document size. ONE hash exchange on the
+    content hash co-locates duplicates; the per-partition keeper kernel
+    (min doc_id wins, keeper's lang attributes the group) emits one row
+    per DISTINCT text; a final tiny per-language aggregate reads off
+    (lang, n_kept, kept_tokens, n_dup_dropped).
+
+    Same conventions as the component operators (text_normalize /
+    quality_filter / dedup_exact), so the DuckDB oracle is their CTE
+    chain — exact, hash-portable, no floats anywhere."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    from linkinator_ray.pipelines.hashagg import (hash_aggregate,
+                                                  hash_partition_apply)
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        text = _text_col(batch)
+        nfc = pa.array([unicodedata.normalize("NFC", t)
+                        for t in text.to_pylist()], pa.string())
+        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
+            pc.utf8_lower(nfc), r"\s+", " "))
+        # trim is a no-op on norm, so the token rule matches
+        # _stats_kernel / the quality_filter oracle applied to t
+        n_tokens = _int64(pc.count_substring_regex(norm, r"\s+")) + 1
+        n_chars = _int64(pc.utf8_length(norm))
+        alpha = _int64(pc.count_substring_regex(norm, "[A-Za-z]"))
+        alpha_ppm = alpha * 1_000_000 // np.maximum(n_chars, 1)
+        keep = pa.array((n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+                        & (alpha_ppm >= min_alpha_ppm))
+        kept_norm = norm.filter(keep)
+        h = pa.array([hashlib.md5(t.encode()).hexdigest()
+                      for t in kept_norm.to_pylist()], pa.string())
+        return pa.table({
+            "h": h,
+            "doc_id": batch.column("doc_id").filter(keep),
+            "lang": batch.column("lang").filter(keep),
+            "n_tokens": pa.array(n_tokens[keep.to_numpy(
+                zero_copy_only=False)])})
+
+    kept = _fanout(read_docs(sf_dir, ["doc_id", "text", "lang"])) \
+        .map_batches(kernel, batch_format="pyarrow", batch_size=4096)
+
+    def per_part(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({
+                "lang": pd.Series(dtype="object"),
+                "n_tokens": pd.Series(dtype="int64"),
+                "grp_n": pd.Series(dtype="int64")})
+        df = df.sort_values("doc_id")
+        g = df.groupby("h", sort=False)
+        first = g[["lang", "n_tokens"]].first()  # keeper = min doc_id
+        return pd.DataFrame({
+            "lang": first["lang"].to_numpy(),
+            "n_tokens": first["n_tokens"].to_numpy(np.int64),
+            "grp_n": g.size().to_numpy(np.int64)})
+
+    groups = hash_partition_apply(kept, "h", per_part, num_parts=num_parts)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("lang", use_threads=False).aggregate(
+            [([], "count_all"), ("n_tokens", "sum"), ("grp_n", "sum")])
+        return pa.table({
+            "lang": agg["lang"],
+            "nk": agg["count_all"],
+            "tok": agg["n_tokens_sum"],
+            "dups": pc.subtract(agg["grp_n_sum"], agg["count_all"])})
+
+    return hash_aggregate(
+        groups.map_batches(partial, batch_format="pyarrow"),
+        "lang", {"n_kept": ("nk", "sum"), "kept_tokens": ("tok", "sum"),
+                 "n_dup_dropped": ("dups", "sum")},
+        num_parts=num_parts)  # unordered; comparators sort

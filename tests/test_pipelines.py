@@ -1609,3 +1609,70 @@ def test_profile_table_sql_and_partition_invariant(ray_session):
         got = profile_table(SF, "lineitem", num_parts=parts) \
             .reset_index(drop=True)
         assert got[want.columns.tolist()].equals(want), parts
+
+
+def test_prepare_corpus_planted_semantics(ray_session, tmp_path):
+    """Composition semantics: normalization-VARIANT copies (case /
+    whitespace / combining-vs-precomposed) collapse to one kept doc
+    attributed to the min-doc_id keeper's language; quality gating
+    runs on the NORMALIZED text; dup counting is per distinct text."""
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.text import prepare_corpus
+    base = "the quick brown fox jumps over the lazy dog " * 3  # 27 tokens
+    rows = [
+        # three variants of one doc: keeper is doc 1 (lang en)
+        {"doc_id": 1, "lang": "en", "text": base},
+        {"doc_id": 2, "lang": "de", "text": base.upper()},
+        {"doc_id": 3, "lang": "en", "text": "  " + base.replace(" ", "  ")},
+        # distinct doc, lang de
+        {"doc_id": 4, "lang": "de", "text": "ein " + base},
+        # fails quality: too short after normalization
+        {"doc_id": 5, "lang": "en", "text": "tiny doc"},
+        # fails quality: too little alpha
+        {"doc_id": 6, "lang": "en", "text": "1 2 3 4 5 " * 6},
+    ]
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(out / "documents.parquet"))
+    df = prepare_corpus(str(out)).to_pandas().set_index("lang").sort_index()
+    # en: the collapsed trio -> 1 kept (27 tokens), 2 dups dropped
+    assert df.loc["en"].tolist() == [1, 27, 2]
+    # de: doc 4 only (28 tokens), no dups
+    assert df.loc["de"].tolist() == [1, 28, 0]
+    assert set(df.index) == {"en", "de"}  # quality-failed docs gone
+
+
+def test_prepare_corpus_sql_and_partition_invariant(ray_session):
+    import duckdb
+
+    from linkinator_ray.pipelines.text import prepare_corpus
+    want = duckdb.sql(rf"""
+        WITH norm AS (
+          SELECT doc_id, lang,
+                 trim(regexp_replace(lower(nfc_normalize(text)),
+                      '\s+', ' ', 'g')) AS t
+          FROM '{SF}/documents.parquet'
+        ), q AS (
+          SELECT doc_id, lang, t,
+                 len(string_split_regex(t, '\s+'))::BIGINT AS n_tokens,
+                 (1000000 * length(regexp_replace(t, '[^A-Za-z]', '', 'g'))
+                  // greatest(length(t), 1))::BIGINT AS alpha_ppm
+          FROM norm
+        ), pass AS (
+          SELECT * FROM q
+          WHERE n_tokens BETWEEN 20 AND 1000 AND alpha_ppm >= 500000
+        ), grp AS (
+          SELECT arg_min(lang, doc_id) AS lang, min(n_tokens) AS n_tokens,
+                 count(*) AS grp_n
+          FROM pass GROUP BY md5(t)
+        )
+        SELECT lang, count(*)::BIGINT AS n_kept,
+               sum(n_tokens)::BIGINT AS kept_tokens,
+               sum(grp_n - 1)::BIGINT AS n_dup_dropped
+        FROM grp GROUP BY lang ORDER BY lang""").df()
+    for parts in (1, 7):
+        got = prepare_corpus(SF, num_parts=parts).to_pandas() \
+            .sort_values("lang").reset_index(drop=True)[
+                want.columns.tolist()]
+        assert got.astype(object).equals(want.astype(object)), parts
