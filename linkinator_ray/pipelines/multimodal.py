@@ -187,16 +187,90 @@ def decode_png(payload: bytes) -> dict:
     }
 
 
+def encode_avi(frames: list[bytes], width: int, height: int,
+               us_per_frame: int = 40_000) -> bytes:
+    """Build a minimal VALID uncompressed AVI (RIFF 'AVI ': hdrl LIST
+    with avih + strl/strh/strf DIB headers, movi LIST with one '00db'
+    raw-frame chunk per frame). The test-side counterpart of
+    ``decode_avi`` — both pure stdlib struct packing."""
+    import struct
+
+    def chunk(fourcc: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    def lst(fourcc: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", fourcc + data)
+
+    n = len(frames)
+    avih = struct.pack("<14I", us_per_frame, 0, 0, 0, n, 0, 1, 0,
+                       width, height, 0, 0, 0, 0)
+    strh = (b"vids" + b"DIB " + struct.pack("<10I", 0, 0, 0,
+            us_per_frame, 1_000_000, 0, n, 0, 0, 0)
+            + struct.pack("<4H", 0, 0, width, height))
+    strf = struct.pack("<I2i2H6I", 40, width, height, 1, 8, 0,
+                       width * height, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih)
+               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    return chunk(b"RIFF", b"AVI " + hdrl + movi)
+
+
+def decode_avi(payload: bytes) -> dict:
+    """REAL video decode for uncompressed AVI: pure-Python RIFF chunk
+    walk — main header (frame cadence, dimensions) from 'avih', raw
+    '00db'/'00dc' frame chunks from the 'movi' LIST, mean pixel over
+    the actual frame bytes. Compressed codecs raise ValueError (they
+    need libraries this container lacks)."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    avih = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        nonlocal avih
+        while pos + 8 <= end:
+            fourcc = buf[pos:pos + 4]
+            size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
+            body_end = min(pos + 8 + size, end)
+            if fourcc == b"LIST":
+                walk(buf, pos + 12, body_end)  # skip the list type tag
+            elif fourcc == b"avih":
+                avih = struct.unpack("<14I", buf[pos + 8:pos + 8 + 56])
+            elif fourcc[2:4] in (b"db", b"dc"):
+                frames.append(buf[pos + 8:body_end])
+            pos = body_end + (size % 2)  # chunks pad to even
+
+    walk(payload, 12, len(payload))
+    if avih is None:
+        raise ValueError("AVI missing avih main header")
+    us_per_frame, width, height = avih[0], avih[8], avih[9]
+    if us_per_frame <= 0:
+        raise ValueError("AVI avih has zero frame cadence")
+    total = sum(len(f) for f in frames)
+    mean = (sum(sum(f) for f in frames) * 1000 + total // 2) // total \
+        if total else 0
+    return {
+        "n_frames": len(frames),
+        "width": int(width),
+        "height": int(height),
+        "fps_milli": (10**9 + us_per_frame // 2) // us_per_frame,
+        "mean_milli": int(mean),
+    }
+
+
 def decode_real(payload: bytes, kind: str):
     """The real decode path. Audio: stdlib WAV parse. Image: pure-Python
-    PNG parse. Video: gated on libraries this container lacks."""
+    PNG parse. Video: pure-Python uncompressed-AVI parse (compressed
+    codecs need libraries this container lacks and raise ValueError)."""
     if kind == "audio":
         return decode_wav(payload)
     if kind == "image":
         return decode_png(payload)
-    raise NotImplementedError(
-        "video decode requires a codec library not present in this "
-        "environment; MediaDecoder uses the deterministic stub")
+    return decode_avi(payload)
 
 
 class MediaDecoder:
@@ -249,6 +323,16 @@ class MediaDecoder:
                     continue
                 n_frames[i] = 1
                 sampled[i] = 1
+                rms_milli[i] = f["mean_milli"]
+                decoded_real[i] = True
+            elif kinds[i] == "video" and p[:4] == b"RIFF" \
+                    and p[8:12] == b"AVI ":
+                try:
+                    f = decode_avi(p)
+                except ValueError:
+                    continue
+                n_frames[i] = f["n_frames"]
+                sampled[i] = max(1, f["n_frames"] // self.frame_sample_rate)
                 rms_milli[i] = f["mean_milli"]
                 decoded_real[i] = True
         return pa.table({

@@ -320,8 +320,8 @@ def test_media_decoder_plumbing(ray_session):
 
 def test_media_decode_real_is_gated():
     from linkinator_ray.pipelines.multimodal import decode_real
-    with pytest.raises(NotImplementedError):
-        decode_real(b"xx", "video")  # video stays codec-gated
+    with pytest.raises(ValueError):
+        decode_real(b"xx", "video")  # video decode is real: bad payload
     with pytest.raises(ValueError):
         decode_real(b"xx", "image")  # image decode is real: bad payload
 
@@ -1676,3 +1676,49 @@ def test_prepare_corpus_sql_and_partition_invariant(ray_session):
             .sort_values("lang").reset_index(drop=True)[
                 want.columns.tolist()]
         assert got.astype(object).equals(want.astype(object)), parts
+
+
+def test_media_decode_avi_real():
+    """The REAL video path: a hand-built uncompressed AVI decodes to
+    its true frame count / dimensions / cadence / mean pixel."""
+    from linkinator_ray.pipelines.multimodal import (decode_avi,
+                                                     decode_real,
+                                                     encode_avi)
+    w, h = 4, 3
+    frames = [bytes((i * 10 + j) % 256 for j in range(w * h))
+              for i in range(6)]
+    payload = encode_avi(frames, w, h, us_per_frame=40_000)  # 25 fps
+    f = decode_avi(payload)
+    assert f["n_frames"] == 6
+    assert (f["width"], f["height"]) == (w, h)
+    assert f["fps_milli"] == 25_000
+    raw = b"".join(frames)
+    assert f["mean_milli"] == (sum(raw) * 1000 + len(raw) // 2) // len(raw)
+    assert decode_real(payload, "video") == f
+    with pytest.raises(ValueError):
+        decode_avi(b"RIFFxxxxAVI garbage-no-headers")
+    with pytest.raises(ValueError):
+        decode_avi(b"\x00" * 24)
+
+
+def test_media_decoder_real_avi_in_batch(ray_session):
+    """MediaDecoder detects a genuine AVI payload inside a batch and
+    emits REAL frame features; stub video rows keep the deterministic
+    n_bytes//32 fake."""
+    from linkinator_ray.pipelines.multimodal import MediaDecoder, encode_avi
+    frames = [bytes([i] * 12) for i in range(8)]
+    payload = encode_avi(frames, 4, 3)
+    stub = b"\x00" * 64
+    batch = pa.table({
+        "media_id": pa.array([1, 2], pa.int64()),
+        "kind": pa.array(["video", "video"], pa.string()),
+        "payload": pa.array([payload, stub], pa.binary()),
+    })
+    out = MediaDecoder(frame_sample_rate=4)(batch).to_pandas()
+    real = out[out["media_id"] == 1].iloc[0]
+    fake = out[out["media_id"] == 2].iloc[0]
+    assert bool(real["decoded_real"]) and not bool(fake["decoded_real"])
+    assert real["n_frames"] == 8
+    assert real["sampled_frames"] == 2
+    assert real["rms_milli"] == 3500  # mean of 0..7 over equal frames
+    assert fake["n_frames"] == 64 // 32  # stub path unchanged
