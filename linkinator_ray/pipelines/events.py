@@ -153,6 +153,63 @@ def sliding_window(sf_dir: str, window_s: int = 7200, step_s: int = 3600):
                           {"n_events": ("n", "sum")})
 
 
+def _interval_join_kernel(df: pd.DataFrame, left_type: str,
+                          right_type: str, win_us: int) -> pd.DataFrame:
+    """The per-partition band-join kernel (module-level so property
+    tests can drive it directly on random frames): all (left, right)
+    pairs of the same user with 0 < right.ts - left.ts <= win_us."""
+
+    def empty_out() -> pd.DataFrame:
+        return pd.DataFrame({
+            "l_event_id": pd.Series(dtype="int64"),
+            "r_event_id": pd.Series(dtype="int64"),
+            "gap_us": pd.Series(dtype="int64")})
+
+    if len(df):
+        # self-contained: the crawl-scale caller prunes at the scan,
+        # but the kernel must not treat a stray third type as a right
+        # row (hypothesis-caught contract gap)
+        df = df[df["event_type"].isin((left_type, right_type))]
+    if not len(df):
+        return empty_out()
+    uid = df["user_id"].to_numpy(dtype=np.int64)
+    ts = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    eid = df["event_id"].to_numpy(dtype=np.int64)
+    is_l = (df["event_type"] == left_type).to_numpy()
+    if not is_l.any() or is_l.all():
+        return empty_out()
+    uniq, code = np.unique(uid, return_inverse=True)
+    mn = int(ts.min())
+    span = int(ts.max()) - mn + 2
+    if len(uniq) > (2**63 - 1) // span:
+        raise RuntimeError(
+            f"interval_join composite key overflow: {len(uniq)} users x "
+            f"{span}us span in one partition - raise num_parts")
+    lmask = is_l
+    lkey = code[lmask] * span + (ts[lmask] - mn)
+    lts, lid = ts[lmask], eid[lmask]
+    order = np.argsort(lkey, kind="stable")
+    lkey, lts, lid = lkey[order], lts[order], lid[order]
+    rmask = ~is_l
+    rcode, rts, rid = code[rmask], ts[rmask], eid[rmask]
+    # left ts in [rts - win, rts): inclusive lower ('left' at the
+    # clamped offset), strict upper ('left' at rts excludes equality)
+    lo = np.searchsorted(
+        lkey, rcode * span + np.maximum(rts - win_us - mn, 0), "left")
+    hi = np.searchsorted(lkey, rcode * span + (rts - mn), "left")
+    cnt = hi - lo
+    total = int(cnt.sum())
+    if total == 0:
+        return empty_out()
+    ridx = np.repeat(np.arange(len(rts)), cnt)
+    base = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+    lidx = np.repeat(lo, cnt) + (np.arange(total) - np.repeat(base, cnt))
+    return pd.DataFrame({
+        "l_event_id": lid[lidx],
+        "r_event_id": rid[ridx],
+        "gap_us": rts[ridx] - lts[lidx]})
+
+
 def interval_join(sf_dir: str, left_type: str = "click",
                   right_type: str = "purchase", window_s: int = 1800,
                   num_parts: int | None = None):
@@ -191,51 +248,8 @@ def interval_join(sf_dir: str, left_type: str = "click",
         sf_dir, ["event_id", "ts", "user_id", "event_type"])).map_batches(
         prune, batch_format="pyarrow", batch_size=65536)
 
-    def empty_out() -> pd.DataFrame:
-        return pd.DataFrame({
-            "l_event_id": pd.Series(dtype="int64"),
-            "r_event_id": pd.Series(dtype="int64"),
-            "gap_us": pd.Series(dtype="int64")})
-
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
-        if not len(df):
-            return empty_out()
-        uid = df["user_id"].to_numpy(dtype=np.int64)
-        ts = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        eid = df["event_id"].to_numpy(dtype=np.int64)
-        is_l = (df["event_type"] == left_type).to_numpy()
-        if not is_l.any() or is_l.all():
-            return empty_out()
-        uniq, code = np.unique(uid, return_inverse=True)
-        mn = int(ts.min())
-        span = int(ts.max()) - mn + 2
-        if len(uniq) > (2**63 - 1) // span:
-            raise RuntimeError(
-                f"interval_join composite key overflow: {len(uniq)} users x "
-                f"{span}us span in one partition - raise num_parts")
-        lmask = is_l
-        lkey = code[lmask] * span + (ts[lmask] - mn)
-        lts, lid = ts[lmask], eid[lmask]
-        order = np.argsort(lkey, kind="stable")
-        lkey, lts, lid = lkey[order], lts[order], lid[order]
-        rmask = ~is_l
-        rcode, rts, rid = code[rmask], ts[rmask], eid[rmask]
-        # left ts in [rts - win, rts): inclusive lower ('left' at the
-        # clamped offset), strict upper ('left' at rts excludes equality)
-        lo = np.searchsorted(
-            lkey, rcode * span + np.maximum(rts - win_us - mn, 0), "left")
-        hi = np.searchsorted(lkey, rcode * span + (rts - mn), "left")
-        cnt = hi - lo
-        total = int(cnt.sum())
-        if total == 0:
-            return empty_out()
-        ridx = np.repeat(np.arange(len(rts)), cnt)
-        base = np.concatenate(([0], np.cumsum(cnt)[:-1]))
-        lidx = np.repeat(lo, cnt) + (np.arange(total) - np.repeat(base, cnt))
-        return pd.DataFrame({
-            "l_event_id": lid[lidx],
-            "r_event_id": rid[ridx],
-            "gap_us": rts[ridx] - lts[lidx]})
+        return _interval_join_kernel(df, left_type, right_type, win_us)
 
     from linkinator_ray.pipelines.hashagg import hash_partition_apply
     return hash_partition_apply(pruned, "user_id", per_part,
@@ -258,39 +272,45 @@ def user_running_stats(sf_dir: str, mark_type: str = "purchase",
     makes every column deterministic under any block order."""
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
-        n = len(df)
-        if n == 0:
-            return pd.DataFrame({
-                "event_id": pd.Series(dtype="int64"),
-                "row_num": pd.Series(dtype="int64"),
-                "gap_us": pd.Series(dtype="int64"),
-                "cum_marks": pd.Series(dtype="int64")})
-        uid = df["user_id"].to_numpy(dtype=np.int64)
-        ts = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
-        eid = df["event_id"].to_numpy(dtype=np.int64)
-        flag = (df["event_type"] == mark_type).to_numpy().astype(np.int64)
-        order = np.lexsort((eid, ts, uid))
-        u, e, i, m = uid[order], ts[order], eid[order], flag[order]
-        start = np.empty(n, dtype=bool)
-        start[0] = True
-        start[1:] = u[1:] != u[:-1]
-        seg_first = np.flatnonzero(start)          # first row per user
-        seg_id = np.cumsum(start) - 1              # 0..U-1 per row
-        row_num = np.arange(n, dtype=np.int64) - seg_first[seg_id] + 1
-        gap = np.empty(n, dtype=np.int64)
-        gap[0] = -1
-        gap[1:] = e[1:] - e[:-1]
-        gap[start] = -1
-        c = np.cumsum(m)
-        cum = c - (c[seg_first] - m[seg_first])[seg_id]
-        return pd.DataFrame({"event_id": i, "row_num": row_num,
-                             "gap_us": gap, "cum_marks": cum})
+        return _running_stats_kernel(df, mark_type)
 
     from linkinator_ray.pipelines.hashagg import hash_partition_apply
     return hash_partition_apply(
         _fanout(read_events(sf_dir,
                             ["event_id", "ts", "user_id", "event_type"])),
         "user_id", per_part, num_parts=num_parts)  # unordered
+
+
+def _running_stats_kernel(df: pd.DataFrame, mark_type: str) -> pd.DataFrame:
+    """The per-partition window-function kernel (module-level so
+    property tests can drive it directly on random frames)."""
+    n = len(df)
+    if n == 0:
+        return pd.DataFrame({
+            "event_id": pd.Series(dtype="int64"),
+            "row_num": pd.Series(dtype="int64"),
+            "gap_us": pd.Series(dtype="int64"),
+            "cum_marks": pd.Series(dtype="int64")})
+    uid = df["user_id"].to_numpy(dtype=np.int64)
+    ts = df["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+    eid = df["event_id"].to_numpy(dtype=np.int64)
+    flag = (df["event_type"] == mark_type).to_numpy().astype(np.int64)
+    order = np.lexsort((eid, ts, uid))
+    u, e, i, m = uid[order], ts[order], eid[order], flag[order]
+    start = np.empty(n, dtype=bool)
+    start[0] = True
+    start[1:] = u[1:] != u[:-1]
+    seg_first = np.flatnonzero(start)          # first row per user
+    seg_id = np.cumsum(start) - 1              # 0..U-1 per row
+    row_num = np.arange(n, dtype=np.int64) - seg_first[seg_id] + 1
+    gap = np.empty(n, dtype=np.int64)
+    gap[0] = -1
+    gap[1:] = e[1:] - e[:-1]
+    gap[start] = -1
+    c = np.cumsum(m)
+    cum = c - (c[seg_first] - m[seg_first])[seg_id]
+    return pd.DataFrame({"event_id": i, "row_num": row_num,
+                         "gap_us": gap, "cum_marks": cum})
 
 
 def funnel(sf_dir: str,

@@ -1722,3 +1722,76 @@ def test_media_decoder_real_avi_in_batch(ray_session):
     assert real["sampled_frames"] == 2
     assert real["rms_milli"] == 3500  # mean of 0..7 over equal frames
     assert fake["n_frames"] == 64 // 32  # stub path unchanged
+
+
+def test_interval_join_kernel_hypothesis():
+    """Property test: the searchsorted band-join kernel equals the
+    O(n^2) brute-force pair set on random event frames (random users,
+    clustered timestamps, duplicate ts, single-type users)."""
+    from hypothesis import given, settings, strategies as st
+
+    from linkinator_ray.pipelines.events import _interval_join_kernel
+    WIN = 50  # us
+
+    ev = st.tuples(st.integers(0, 5),          # user
+                   st.integers(0, 200),        # ts offset (us)
+                   st.sampled_from(["L", "R", "X"]))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(ev, min_size=0, max_size=40))
+    def run(rows):
+        df = pd.DataFrame({
+            "event_id": np.arange(len(rows), dtype=np.int64),
+            "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "ts": np.array([r[1] for r in rows], dtype="datetime64[us]"),
+            "event_type": [r[2] for r in rows]})
+        got = _interval_join_kernel(df, "L", "R", WIN)
+        got_set = set(map(tuple, got[["l_event_id", "r_event_id",
+                                      "gap_us"]].values.tolist()))
+        want = set()
+        for i, (au, at, ak) in enumerate(rows):
+            if ak != "L":
+                continue
+            for j, (bu, bt, bk) in enumerate(rows):
+                if bk == "R" and au == bu and at < bt <= at + WIN:
+                    want.add((i, j, bt - at))
+        assert got_set == want
+
+    run()
+
+
+def test_running_stats_kernel_hypothesis():
+    """Property test: the segmented window-function kernel equals the
+    pandas groupby reference (cumcount / diff / cumsum) on random
+    frames with timestamp ties."""
+    from hypothesis import given, settings, strategies as st
+
+    from linkinator_ray.pipelines.events import _running_stats_kernel
+
+    ev = st.tuples(st.integers(0, 4), st.integers(0, 50),
+                   st.sampled_from(["a", "m"]))
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(ev, min_size=1, max_size=40))
+    def run(rows):
+        df = pd.DataFrame({
+            "event_id": np.arange(len(rows), dtype=np.int64),
+            "user_id": np.array([r[0] for r in rows], dtype=np.int64),
+            "ts": np.array([r[1] for r in rows], dtype="datetime64[us]"),
+            "event_type": [r[2] for r in rows]})
+        got = _running_stats_kernel(df, "m").sort_values("event_id") \
+            .reset_index(drop=True)
+        ref = df.copy()
+        ref["e"] = ref["ts"].astype("datetime64[us]").astype(np.int64)
+        ref = ref.sort_values(["user_id", "e", "event_id"],
+                              kind="stable").reset_index(drop=True)
+        g = ref.groupby("user_id", sort=False)
+        ref["row_num"] = g.cumcount() + 1
+        ref["gap_us"] = g["e"].diff().fillna(-1).astype(np.int64)
+        ref["cum_marks"] = (ref["event_type"] == "m").astype(np.int64) \
+            .groupby(ref["user_id"]).cumsum()
+        ref = ref.sort_values("event_id").reset_index(drop=True)
+        for c in ("row_num", "gap_us", "cum_marks"):
+            assert got[c].tolist() == ref[c].tolist(), c
+
+    run()
