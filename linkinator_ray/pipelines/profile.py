@@ -25,6 +25,14 @@ exact-distinct exchange for unbounded-cardinality columns is the knob
 to swap: text.hll_distinct_tokens shows the mergeable-HLL register
 variant (±6.5%, zero value shuffle); this module keeps the exact path
 because profiling is usually run per-partition / per-shard anyway.
+
+Deliberate two-scan design: stats and distinct are separate pipelines,
+so the source is read twice. The one-scan alternative (a union-schema
+combined partial, materialized, split downstream) trades the second
+sequential read for holding every distinct (col, canon) pair in the
+object store BEFORE the exchange needs it — ~table-sized residency for
+key-like columns, a spill storm at 100 TB. Two cheap scans beat one
+scan plus a table-sized materialization.
 """
 
 from __future__ import annotations
