@@ -51,13 +51,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # row this round: the six the r3 sweep never reached (promoted right
     # behind the crawl headliners), everything reworked in r4
     # (sessionize, simhash, minhash, tfidf, lang_id, corpus_dedup_keep)
-    # and the five NEW r4 oracled queries (bm25_search, chunk_documents,
-    # text_normalize, unigram_logppl, inverted_index). The overflow tail
-    # (positions 51+) holds only queries with redundant evidence:
-    # triple-green (r1+r2+r3), semantically untouched queries
-    # (pricing_summary — tpch.py's r4 edits touch only the semi/anti
-    # joins — doc_stats, token_count_by_lang, fingerprint_md5, top_tokens),
-    # ngram_jaccard + dedup_embedding (also green r1-r3), and the four
+    # and every NEW r4 oracled query (bm25_search, chunk_documents,
+    # text_normalize, unigram_logppl, inverted_index, triangle_count,
+    # incremental_dedup, dedup_substring, jsonl_roundtrip,
+    # interval_join, user_running_stats, profile_table,
+    # prepare_corpus). The overflow tail (positions 51+) holds only
+    # queries with redundant evidence: triple- or double-green with
+    # code semantically untouched in r4 (pricing_summary, doc_stats,
+    # token_count_by_lang, fingerprint_md5, top_tokens, ngram_jaccard,
+    # dedup_embedding, knn_bruteforce, sliding_window, sample_by_source,
+    # stratified_sample, train_split, shuffle_export — tests/test_registry.py
+    # pins that every first-50 entry carries an oracle), and the four
     # rows-only queries (no oracle by declared design: LSH/IVF/kmeans
     # float paths, recall- and differential-tested in pytest instead).
     return {
