@@ -239,7 +239,10 @@ def decode_avi(payload: bytes) -> dict:
             if fourcc == b"LIST":
                 walk(buf, pos + 12, body_end)  # skip the list type tag
             elif fourcc == b"avih":
-                avih = struct.unpack("<14I", buf[pos + 8:pos + 8 + 56])
+                hdr = buf[pos + 8:pos + 8 + 56]
+                if len(hdr) < 56:  # truncated header must be ValueError,
+                    raise ValueError("AVI avih header truncated")
+                avih = struct.unpack("<14I", hdr)  # not struct.error
             elif fourcc[2:4] in (b"db", b"dc"):
                 frames.append(buf[pos + 8:body_end])
             pos = body_end + (size % 2)  # chunks pad to even

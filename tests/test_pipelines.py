@@ -1795,3 +1795,15 @@ def test_running_stats_kernel_hypothesis():
             assert got[c].tolist() == ref[c].tolist(), c
 
     run()
+
+
+def test_media_decode_avi_truncated_header_is_valueerror():
+    """A truncated avih must surface as ValueError (the decoder-batch
+    fallback contract), never struct.error."""
+    import struct
+
+    from linkinator_ray.pipelines.multimodal import decode_avi
+    payload = (b"RIFF" + struct.pack("<I", 20) + b"AVI "
+               + b"avih" + struct.pack("<I", 8) + b"\x01" * 8)
+    with pytest.raises(ValueError, match="truncated"):
+        decode_avi(payload)
