@@ -199,20 +199,27 @@ def probe_delta(sf_dir: str, store_dir: str,
         pid = int(part["__part"].iloc[0])
         store = pq.read_table(
             os.path.join(store_dir, f"part-{pid}.parquet")).to_pandas()
-        owner_of = dict(zip(store["fp"], store["owner_doc_id"]))
         df = part.sort_values("doc_id", kind="mergesort")
         # first delta occurrence per fp (co-located => complete groups)
-        first = df.groupby("fp", sort=False)["doc_id"].transform("min")
-        in_base = df["fp"].map(owner_of)
-        status = np.where(in_base.notna(), "dup_base",
-                          np.where(df["doc_id"] != first,
-                                   "dup_delta", "kept"))
-        owner = np.where(in_base.notna(), in_base.fillna(-1),
-                         np.where(df["doc_id"] != first,
-                                  first, df["doc_id"]))
-        out = pd.DataFrame({"doc_id": df["doc_id"].to_numpy(),
+        first = df.groupby("fp", sort=False)["doc_id"].transform("min") \
+            .to_numpy(dtype=np.int64)
+        # POSITION indirection, not value map: fp -> row index in the
+        # store stays < |store| (float64-exact), then owners gather as
+        # int64 — a value map would round-trip owner doc_ids through
+        # float64 NaN-land and lose exactness above 2^53
+        pos = df["fp"].map(
+            {fp: i for i, fp in enumerate(store["fp"])})
+        base_mask = pos.notna().to_numpy()
+        doc = df["doc_id"].to_numpy(dtype=np.int64)
+        owner = np.where(doc != first, first, doc)
+        if base_mask.any():
+            owner[base_mask] = store["owner_doc_id"].to_numpy(
+                dtype=np.int64)[pos.to_numpy()[base_mask].astype(np.int64)]
+        status = np.where(base_mask, "dup_base",
+                          np.where(doc != first, "dup_delta", "kept"))
+        out = pd.DataFrame({"doc_id": doc,
                             "status": status,
-                            "owner_doc_id": owner.astype(np.int64)})
+                            "owner_doc_id": owner})
         if include_fp:
             out["fp"] = df["fp"].to_numpy()
             out["__part"] = np.full(len(out), pid, dtype=np.int64)

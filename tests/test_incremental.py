@@ -178,3 +178,29 @@ def test_update_store_preserves_untouched_parts(ray_session, tmp_path):
         t = pq.read_table(os.path.join(out, f"part-{k}.parquet"))
         fps = t.column("fp").to_pylist()
         assert len(fps) == len(set(fps))
+
+
+def test_owner_ids_above_2_53_stay_exact(ray_session, tmp_path):
+    """Owner doc_ids must never round-trip through float64: with base
+    ids above 2^53 (where float64 is no longer integer-exact), dup_base
+    owners and dup_delta owners come back bit-exact."""
+    big = (1 << 53) + 1   # not representable in float64 (rounds to 2^53)
+    big2 = (1 << 53) + 7  # also inexact in float64 (and % 5 != 0)
+    d = tmp_path / "corpus"
+    d.mkdir(exist_ok=True)
+    # split_mod=5: ids 0,5 are delta; big ids are base (not % 5 == 0)
+    pq.write_table(pa.table({
+        "doc_id": pa.array([big, big2, 0, 5, 10, 15], pa.int64()),
+        "text": pa.array(["shared base text", "other base text",
+                          "shared base text",   # delta dup of big
+                          "delta pair", "delta pair",  # delta dup chain
+                          "novel delta"], pa.string())}),
+        str(d / "documents.parquet"))
+    assert big % 5 != 0 and big2 % 5 != 0  # really base rows
+    t = _run(str(d), prefix_tokens=None, num_parts=4)
+    got = {int(r.doc_id): (r.status, int(r.owner_doc_id))
+           for _, r in t.iterrows()}
+    assert got[0] == ("dup_base", big)       # exact, not big - 1
+    assert got[5] == ("kept", 5)
+    assert got[10] == ("dup_delta", 5)
+    assert got[15] == ("kept", 15)
