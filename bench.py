@@ -122,8 +122,8 @@ def run_queries() -> dict:
     worker-spawn/import storm that measures the interpreter, not the
     operator (same protocol as the crawl warm-up)."""
     from linkinator_ray.pipelines import (components, dedup, events, graph,
-                                          joins, linkgraph, similarity, text,
-                                          tpch)
+                                          joins, linkgraph, profile,
+                                          similarity, text, tpch)
     timings = {}
     jobs = {
         "extract_edges": lambda: graph.extract_edges(SF_DIR),
@@ -149,9 +149,7 @@ def run_queries() -> dict:
         "funnel": lambda: events.funnel(SF_DIR),
         "interval_join": lambda: events.interval_join(SF_DIR),
         "user_running_stats": lambda: events.user_running_stats(SF_DIR),
-        "profile_table": lambda: __import__(
-            "linkinator_ray.pipelines.profile",
-            fromlist=["x"]).profile_table(SF_DIR, "lineitem"),
+        "profile_table": lambda: profile.profile_table(SF_DIR, "lineitem"),
         "prepare_corpus": lambda: text.prepare_corpus(SF_DIR),
         "events_by_segment": lambda: joins.events_by_segment(SF_DIR),
         "events_join_customer": lambda: joins.events_join_customer(SF_DIR),

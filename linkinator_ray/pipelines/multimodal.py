@@ -229,25 +229,37 @@ def decode_avi(payload: bytes) -> dict:
 
     avih = None
     frames: list[bytes] = []
-
-    def walk(buf: bytes, pos: int, end: int) -> None:
-        nonlocal avih
+    # explicit stack, not recursion: a crafted payload of thousands of
+    # nested LISTs must be a ValueError-class reject, never a
+    # RecursionError escaping the decoder-batch fallback contract
+    stack: list[tuple[int, int, bool]] = [(12, len(payload), False)]
+    buf = payload
+    while stack:
+        pos, end, in_movi = stack.pop()
         while pos + 8 <= end:
             fourcc = buf[pos:pos + 4]
             size = struct.unpack("<I", buf[pos + 4:pos + 8])[0]
             body_end = min(pos + 8 + size, end)
             if fourcc == b"LIST":
-                walk(buf, pos + 12, body_end)  # skip the list type tag
-            elif fourcc == b"avih":
+                # frames count ONLY inside the movi LIST — hdrl/idx1
+                # chunks whose fourcc happens to end in db/dc must not
+                # inflate n_frames
+                ltype = buf[pos + 8:pos + 12]
+                stack.append((body_end + (size % 2), end, in_movi))
+                pos, end = pos + 12, body_end
+                in_movi = in_movi or ltype == b"movi"
+                continue
+            if fourcc == b"avih":
                 hdr = buf[pos + 8:pos + 8 + 56]
                 if len(hdr) < 56:  # truncated header must be ValueError,
                     raise ValueError("AVI avih header truncated")
                 avih = struct.unpack("<14I", hdr)  # not struct.error
-            elif fourcc[2:4] in (b"db", b"dc"):
+            elif in_movi and fourcc[:2] == b"00" \
+                    and fourcc[2:4] in (b"db", b"dc"):
+                # stream 00 only: avih carries ONE stream's dims/cadence,
+                # so a second stream's frames must not skew the face
                 frames.append(buf[pos + 8:body_end])
             pos = body_end + (size % 2)  # chunks pad to even
-
-    walk(payload, 12, len(payload))
     if avih is None:
         raise ValueError("AVI missing avih main header")
     us_per_frame, width, height = avih[0], avih[8], avih[9]

@@ -42,10 +42,31 @@ import pandas as pd
 import pyarrow as pa
 
 
+def _check_supported(schema: "pa.Schema") -> None:
+    """Fail fast, naming the column, instead of an opaque Arrow kernel
+    error mid-pipeline."""
+    for field in schema:
+        t = field.type
+        ok = (pa.types.is_integer(t) or pa.types.is_timestamp(t)
+              or pa.types.is_floating(t) or pa.types.is_boolean(t)
+              or pa.types.is_date32(t) or pa.types.is_string(t)
+              or pa.types.is_large_string(t))
+        if not ok:
+            raise NotImplementedError(
+                f"profile_table: column {field.name!r} has unsupported "
+                f"type {t} (supported: int/bool/date32/timestamp/float/"
+                f"string)")
+
+
 def _encode_int64(col, typ):
     """Typed int64 encoding for lo/hi and distinct canonicalization;
-    None for strings (they range over byte length instead)."""
+    None for strings/binary (they range over byte length instead)."""
     import pyarrow.compute as pc
+    if pa.types.is_boolean(typ):
+        return pc.cast(col, pa.int64())  # 0/1
+    if pa.types.is_date32(typ):
+        # no direct date32->int64 cast kernel; go through int32 days
+        return pc.cast(pc.cast(col, pa.int32()), pa.int64())
     if pa.types.is_integer(typ):
         return pc.cast(col, pa.int64())
     if pa.types.is_timestamp(typ):
@@ -67,10 +88,12 @@ def profile_table(sf_dir: str, table: str = "lineitem",
     (one row per column — driver-sized by construction):
     (col, n, nulls, n_distinct, lo, hi), all int64."""
     import pyarrow.compute as pc
+    import pyarrow.parquet as pq
     import ray.data as rd
 
     from linkinator_ray.pipelines.hashagg import hash_aggregate
 
+    _check_supported(pq.read_schema(f"{sf_dir}/{table}.parquet"))
     ds = rd.read_parquet(f"{sf_dir}/{table}.parquet")
 
     def partial_stats(batch: pa.Table) -> pa.Table:
@@ -94,12 +117,26 @@ def profile_table(sf_dir: str, table: str = "lineitem",
                          "lo": pa.array(los, pa.int64()),
                          "hi": pa.array(his, pa.int64())})
 
-    stats = hash_aggregate(
+    merged = hash_aggregate(
         ds.map_batches(partial_stats, batch_format="pyarrow",
                        batch_size=65536),
         "col", {"n": ("n", "sum"), "nulls": ("nulls", "sum"),
                 "lo": ("lo", "min"), "hi": ("hi", "max")},
-        num_parts=num_parts).to_pandas()
+        num_parts=num_parts)
+
+    def coalesce_range(batch: pa.Table) -> pa.Table:
+        # an all-NULL column leaves lo/hi null; coalesce ARROW-side —
+        # a null reaching to_pandas would coerce the whole int64 column
+        # to float64, silently losing exactness above 2^53 (the same
+        # float64 bug class the incremental probe fixed)
+        for c in ("lo", "hi"):
+            i = batch.schema.get_field_index(c)
+            batch = batch.set_column(
+                i, c, pc.fill_null(batch.column(c), 0))
+        return batch
+
+    stats = merged.map_batches(
+        coalesce_range, batch_format="pyarrow").to_pandas()
 
     def partial_distinct(batch: pa.Table) -> pa.Table:
         outs = []
@@ -146,6 +183,7 @@ def profile_oracle_sql(table: str, schema: "pa.Schema") -> str:
     """The matching DuckDB SQL — one UNION ALL branch per column with
     the same typed encodings (built from the Arrow schema so the two
     sides can never drift)."""
+    _check_supported(schema)
     branches = []
     for field in schema:
         name, typ = field.name, field.type
@@ -156,6 +194,15 @@ def profile_oracle_sql(table: str, schema: "pa.Schema") -> str:
             lo = f"floor(min({expr}) * 100)"
             hi = f"floor(max({expr}) * 100)"
             dis = f"count(DISTINCT CAST(floor({expr} * 100) AS BIGINT))"
+        elif pa.types.is_boolean(typ):
+            lo = f"min(CAST({name} AS BIGINT))"
+            hi = f"max(CAST({name} AS BIGINT))"
+            dis = f"count(DISTINCT {name})"
+        elif pa.types.is_date32(typ):
+            # epoch days, matching the Arrow date32 -> int64 cast
+            lo = f"min({name} - DATE '1970-01-01')"
+            hi = f"max({name} - DATE '1970-01-01')"
+            dis = f"count(DISTINCT {name})"
         elif pa.types.is_integer(typ):
             lo, hi = f"min({name})", f"max({name})"
             dis = f"count(DISTINCT {name})"

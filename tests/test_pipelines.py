@@ -1807,3 +1807,97 @@ def test_media_decode_avi_truncated_header_is_valueerror():
                + b"avih" + struct.pack("<I", 8) + b"\x01" * 8)
     with pytest.raises(ValueError, match="truncated"):
         decode_avi(payload)
+
+
+def test_profile_table_lo_hi_exact_above_2_53_with_nulls(ray_session,
+                                                         tmp_path):
+    """An all-NULL column must not drag the int64 lo/hi column through
+    float64 (pandas null coercion): ranges above 2^53 stay bit-exact."""
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.profile import profile_table
+    big = (1 << 62) + 1  # float64 would round this
+    t = pa.table({
+        "id": pa.array([big, big - 3], pa.int64()),
+        "z": pa.array([None, None], pa.int64()),
+    })
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(t, str(out / "t.parquet"))
+    df = profile_table(str(out), "t").set_index("col")
+    assert df.loc["id", "lo"] == big - 3 and df.loc["id", "hi"] == big
+    assert df.loc["z"].tolist() == [0, 2, 0, 0, 0]
+
+
+def test_profile_table_bool_and_date32(ray_session, tmp_path):
+    """bool (0/1 range) and date32 (epoch-day range) columns profile;
+    an unsupported type fails fast naming the column."""
+    import datetime
+
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.profile import (profile_oracle_sql,
+                                                  profile_table)
+    t = pa.table({
+        "b": pa.array([True, False, True, None], pa.bool_()),
+        "d": pa.array([datetime.date(1970, 1, 2),
+                       datetime.date(2024, 1, 1), None, None],
+                      pa.date32()),
+    })
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(t, str(out / "t.parquet"))
+    df = profile_table(str(out), "t").set_index("col")
+    assert df.loc["b"].tolist() == [3, 1, 2, 0, 1]
+    days_2024 = (datetime.date(2024, 1, 1)
+                 - datetime.date(1970, 1, 1)).days
+    assert df.loc["d"].tolist() == [2, 2, 2, 1, days_2024]
+    # the generated SQL agrees cell-for-cell
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW t AS SELECT * FROM '{out}/t.parquet'")
+    want = con.execute(profile_oracle_sql(
+        "t", pq.read_schema(str(out / "t.parquet")))).df() \
+        .sort_values("col").reset_index(drop=True)
+    got = df.reset_index()
+    assert got[want.columns.tolist()].astype(object) \
+        .equals(want.astype(object))
+    # unsupported type: fail fast, name the column
+    t2 = pa.table({"x": pa.array([b"ab"], pa.binary())})
+    pq.write_table(t2, str(out / "t2.parquet"))
+    with pytest.raises(NotImplementedError, match="'x'"):
+        profile_table(str(out), "t2")
+
+
+def test_media_decode_avi_hostile_payloads():
+    """A deep nested-LIST bomb is a clean reject (never RecursionError
+    escaping the decoder's ValueError contract), frame chunks OUTSIDE
+    the movi LIST don't count, and a second stream's frames don't skew
+    stream-00 features."""
+    import struct
+
+    from linkinator_ray.pipelines.multimodal import decode_avi, encode_avi
+
+    # 5000 nested LISTs, no headers -> ValueError (missing avih)
+    bomb = b"LIST" + struct.pack("<I", 0xFFFFFF) + b"junk"
+    payload = b"RIFF" + struct.pack("<I", 0xFFFFFF) + b"AVI " + bomb * 5000
+    with pytest.raises(ValueError):
+        decode_avi(payload)
+
+    # frames outside movi (e.g. an idx1-resident 00db) must not count;
+    # a 01db second-stream frame inside movi must not count either
+    base = encode_avi([b"\x10" * 12, b"\x10" * 12], 4, 3)
+
+    def chunk(fourcc, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return fourcc + struct.pack("<I", len(data)) + data + pad
+
+    stray = chunk(b"00db", b"\xff" * 12)          # outside any movi
+    second = chunk(b"LIST", b"movi" + chunk(b"01db", b"\xff" * 12))
+    doctored = base + stray + second
+    # re-stamp the RIFF size so the walk covers the appended bytes
+    doctored = (doctored[:4]
+                + struct.pack("<I", len(doctored) - 8) + doctored[8:])
+    f = decode_avi(doctored)
+    assert f["n_frames"] == 2          # only stream-00 frames in movi
+    assert f["mean_milli"] == 16_000   # \x10 = 16; \xff frames excluded
