@@ -247,25 +247,43 @@ def _make_graph_shard():
             self.n_edges_recv = 0
             self.n_nodes_recv = 0
             self._inbox: dict = {}         # iter -> list of (dst, c)
-            self._inbox_n: dict = {}       # iter -> senders heard
+            self._inbox_from: dict = {}    # iter -> set of sender ids
+            # fire-and-forget senders drop their ObjectRefs, so a
+            # worker-side exception would otherwise vanish and the run
+            # would die 120 s later as an opaque barrier timeout —
+            # record it here; the driver polls via errors()
+            self._errors: list = []
+
+        def errors(self) -> list:
+            return self._errors
 
         # ---- build ----
         def add_edges(self, key, src: np.ndarray, dst: np.ndarray) -> None:
             # post-seal arrivals can only be retry duplicates: the
             # exact-count barrier already accounted for every unique
             # batch before seal ran
-            if self._sealed or key in self._seen_keys:
-                return
-            self._seen_keys.add(key)
-            self._edge_parts.append((src, dst))
-            self.n_edges_recv += len(src)
+            try:
+                if self._sealed or key in self._seen_keys:
+                    return
+                self._seen_keys.add(key)
+                self._edge_parts.append((src, dst))
+                self.n_edges_recv += len(src)
+            except Exception:  # surfaced via errors(), not lost
+                import traceback
+                self._errors.append(traceback.format_exc())
+                raise
 
         def add_nodes(self, key, ids: np.ndarray) -> None:
-            if self._sealed or key in self._seen_keys:
-                return
-            self._seen_keys.add(key)
-            self._node_parts.append(ids)
-            self.n_nodes_recv += len(ids)
+            try:
+                if self._sealed or key in self._seen_keys:
+                    return
+                self._seen_keys.add(key)
+                self._node_parts.append(ids)
+                self.n_nodes_recv += len(ids)
+            except Exception:
+                import traceback
+                self._errors.append(traceback.format_exc())
+                raise
 
         def received(self) -> tuple:
             return self.n_edges_recv, self.n_nodes_recv
@@ -288,8 +306,9 @@ def _make_graph_shard():
             self._node_parts = None
             self._seen_keys = None
             self._sealed = True
-            self.nodes = np.unique(np.concatenate(owned)) if owned \
-                else np.empty(0, np.int64)
+            # owned always holds >= 1 array (self.src, possibly empty);
+            # concatenate-of-empties yields an empty int64 array
+            self.nodes = np.unique(np.concatenate(owned))
             # local degree == global degree: ALL edges of an owned src
             # live here (edges scattered by src owner)
             deg = np.zeros(len(self.nodes), np.int64)
@@ -338,11 +357,25 @@ def _make_graph_shard():
 
         def receive_contribs(self, it: int, sender: int,
                              dst: np.ndarray, c: np.ndarray) -> None:
-            self._inbox.setdefault(it, []).append((dst, c))
-            self._inbox_n[it] = self._inbox_n.get(it, 0) + 1
+            # dedupe by SENDER, not message count: a retried/duplicated
+            # delivery must not let the barrier pass with 2 messages
+            # from shard A and 0 from B (contribs double-counted and
+            # dropped, silently wrong ranks). A sender's (it, payload)
+            # is a pure function of sealed state + pr, so dropping the
+            # duplicate is exact.
+            try:
+                heard = self._inbox_from.setdefault(it, set())
+                if sender in heard:
+                    return
+                heard.add(sender)
+                self._inbox.setdefault(it, []).append((dst, c))
+            except Exception:
+                import traceback
+                self._errors.append(traceback.format_exc())
+                raise
 
         def ready(self, it: int) -> bool:
-            return self._inbox_n.get(it, 0) >= self.P
+            return len(self._inbox_from.get(it, ())) >= self.P
 
         def apply_update(self, it: int, base: int,
                          damping_pct: int) -> None:
@@ -350,7 +383,7 @@ def _make_graph_shard():
             for dst, c in self._inbox.pop(it, []):
                 if len(dst):
                     np.add.at(contrib, np.searchsorted(self.nodes, dst), c)
-            self._inbox_n.pop(it, None)
+            self._inbox_from.pop(it, None)
             _guard_contrib(contrib, damping_pct)
             self.pr = base + contrib * damping_pct // 100
 
@@ -420,23 +453,48 @@ def pagerank_actors(sf_dir: str, iters: int = PR_ITERS,
             .groupby("shard")[["e", "n"]].sum()
         expected = {int(i): (int(r["e"]), int(r["n"]))
                     for i, r in sent.iterrows()}
-        deadline = _time.time() + 120
+
+        def raise_shard_errors() -> None:
+            # fire-and-forget senders drop their ObjectRefs; a recorded
+            # worker-side traceback beats an opaque barrier timeout
+            for p, errs in enumerate(ray.get(
+                    [s.errors.remote() for s in shards])):
+                if errs:
+                    raise RuntimeError(
+                        f"graph shard {p} failed:\n{errs[0]}")
+
+        # progress-based deadline: a healthy large scatter that is
+        # still draining mailboxes must not be killed by a fixed clock —
+        # only STALLED counters (no advance for the window) time out
+        stall_s, last, last_change = 120, None, _time.time()
         while True:
             got = ray.get([s.received.remote() for s in shards])
             if all(tuple(got[p]) == expected.get(p, (0, 0))
                    for p in range(P)):
                 break
-            if _time.time() > deadline:
-                raise TimeoutError(f"scatter barrier: {got} != {expected}")
+            if got != last:
+                last, last_change = got, _time.time()
+            elif _time.time() - last_change > stall_s:
+                raise_shard_errors()
+                raise TimeoutError(f"scatter barrier stalled {stall_s}s: "
+                                   f"{got} != {expected}")
             _time.sleep(0.02)
         ray.get([s.seal.remote(scale) for s in shards])
 
         for it in range(iters):
             ray.get([s.send_contribs.remote(it, shards) for s in shards])
-            deadline = _time.time() + 120
-            while not all(ray.get([s.ready.remote(it) for s in shards])):
-                if _time.time() > deadline:
-                    raise TimeoutError(f"iteration {it} barrier")
+            last_n, last_change = -1, _time.time()
+            while True:
+                ready = ray.get([s.ready.remote(it) for s in shards])
+                if all(ready):
+                    break
+                n = sum(ready)
+                if n != last_n:
+                    last_n, last_change = n, _time.time()
+                elif _time.time() - last_change > stall_s:
+                    raise_shard_errors()
+                    raise TimeoutError(
+                        f"iteration {it} barrier stalled {stall_s}s")
                 _time.sleep(0.02)
             ray.get([s.apply_update.remote(it, base, damping_pct)
                      for s in shards])
@@ -492,9 +550,7 @@ def triangle_count_edges(edges, num_parts: int | None = None):
     """Core of ``triangle_count`` over any (src_doc, dst_doc) edge
     Dataset (directed, possibly with duplicates/self-loops — both are
     canonicalized away)."""
-    from linkinator_ray.pipelines.hashagg import (hash_aggregate,
-                                                  hash_join,
-                                                  hash_partition_apply)
+    from linkinator_ray.pipelines.hashagg import hash_partition_apply
     import pandas as pd
 
     def canon(batch: pa.Table) -> pa.Table:
@@ -519,10 +575,8 @@ def triangle_count_edges(edges, num_parts: int | None = None):
                          num_parts=num_parts).materialize()
 
     def _ren(ds, old: str, new: str):
-        def f(batch: pa.Table) -> pa.Table:
-            return batch.rename_columns(
-                [new if c == old else c for c in batch.column_names])
-        return ds.map_batches(f, batch_format="pyarrow")
+        # Dataset.rename_columns exists on Ray 2.49 — use it
+        return ds.rename_columns({old: new})
 
     e1 = _ren(hash_join(ue, deg, on="a", right_on="doc_id",
                         num_parts=num_parts), "deg", "deg_a")

@@ -180,3 +180,29 @@ def test_triangle_partition_invariance(ray_session):
     ref = triangle_reference(e)
     got = dict(zip(a.doc_id, a.triangles))
     assert got == {n: c for n, c in ref.items()}
+
+
+def test_pagerank_actor_duplicate_delivery_is_dropped(ray_session):
+    """The iteration barrier dedupes by SENDER: a duplicated
+    receive_contribs delivery (task retry / re-send) must not
+    double-count contributions or satisfy the barrier early."""
+    import numpy as np
+    import ray
+
+    from linkinator_ray.pipelines.linkgraph import _make_graph_shard
+    GS = _make_graph_shard()
+    s = GS.remote(0, 1)  # single shard owns the whole 2-cycle 0<->1
+    ray.get(s.add_edges.remote(("k", "e", 0),
+                               np.array([0, 1], np.int64),
+                               np.array([1, 0], np.int64)))
+    ray.get(s.seal.remote(1_000_000))
+    ray.get(s.send_contribs.remote(0, [s]))
+    ray.get(s.send_contribs.remote(0, [s]))  # duplicate delivery
+    assert ray.get(s.ready.remote(0))
+    ray.get(s.apply_update.remote(0, 150_000, 85))
+    pr = ray.get(s.ranks.remote()).to_pandas()["pr"]
+    # each node has deg 1 and receives exactly ONE contribution of
+    # 10^6 — a double-counted duplicate would give 150000 + 2*850000
+    assert set(pr) == {150_000 + 1_000_000 * 85 // 100}
+    assert not ray.get(s.errors.remote())
+    ray.kill(s)
