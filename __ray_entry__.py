@@ -858,7 +858,9 @@ def oracle_sql() -> dict[str, str]:
                      CAST(CAST(concat('0x',
                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                           AS BIGINT) % 1000000 AS BIGINT) AS u_ppm,
-                     CAST((CAST(regexp_extract(source, '[0-9]+') AS BIGINT)
+                     CAST((COALESCE(TRY_CAST(
+                            regexp_extract(source, '[0-9]{1,18}')
+                            AS BIGINT), 0)
                            % 20 + 1) * 50000 AS BIGINT) AS p_ppm
               FROM documents
             )

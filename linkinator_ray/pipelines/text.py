@@ -50,6 +50,22 @@ def _text_col(batch: pa.Table):
     return col.fill_null("") if col.null_count else col
 
 
+def _normalize_text_arr(text) -> pa.Array:
+    """The canonical normalization shared by text_normalize AND
+    prepare_corpus (single source of truth — prepare_corpus' DuckDB
+    oracle chains text_normalize's CTE verbatim, so the two kernels
+    must never drift): NFC + utf8 lowercase + whitespace collapse +
+    trim. NFC is the one per-row Python loop (Arrow has no Unicode
+    normalization kernel); everything after is vectorized."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+    nfc = pa.array([unicodedata.normalize("NFC", t)
+                    for t in text.to_pylist()], pa.string())
+    return pc.utf8_trim_whitespace(pc.replace_substring_regex(
+        pc.utf8_lower(nfc), r"\s+", " "))
+
+
 def _stats_kernel(batch: pa.Table) -> pa.Table:
     """Zero-copy Arrow stats kernel: pyarrow.compute regex counters on
     the string buffers, no pandas block conversion (VERDICT r2 item 2;
@@ -85,15 +101,12 @@ def doc_stats(sf_dir: str):
 
 
 def _fanout(ds):
-    """Repartition to ~CPU count before an all-to-all: Ray Data sizes its
-    shuffle off the input block count, and a single-file read gives one
-    block -> a serial shuffle (3x slower measured at sf0.1)."""
-    try:
-        import ray
-        n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    except Exception:
-        n = 8
-    return ds.repartition(min(32, max(4, n)))
+    """Repartition to ~CPU count before an all-to-all or an expensive
+    map stage. Single maintained implementation lives in dedup.py (it
+    also skips the exchange when the read is already parallel — the
+    real-cluster case); this alias keeps text.py call sites on it."""
+    from linkinator_ray.pipelines.dedup import _fanout as _dedup_fanout
+    return _dedup_fanout(ds)
 
 def token_count_by_lang(sf_dir: str):
     """Σ tokens per language — partial aggregation inside map_batches,
@@ -479,11 +492,12 @@ def _repetition_kernel(batch: pa.Table) -> pa.Table:
     flat = toks.combine_chunks() if isinstance(toks, pa.ChunkedArray) else toks
     top_big = np.zeros(n, np.int64)
     if len(flat) > 1:
-        mask = pa.array(p[:-1] == p[1:])
+        m = p[:-1] == p[1:]
+        mask = pa.array(m)
         left = flat.slice(0, len(flat) - 1).filter(mask)
         right = flat.slice(1).filter(mask)
         big = pc.binary_join_element_wise(left, right, " ")
-        bcnt = pa.table({"p": pa.array(p[:-1][p[:-1] == p[1:]]),
+        bcnt = pa.table({"p": pa.array(p[:-1][m]),
                          "bg": big}).group_by(
             ["p", "bg"], use_threads=False).aggregate([([], "count_all")])
         np.maximum.at(top_big, _int64(bcnt.column("p")),
@@ -566,11 +580,16 @@ def sample_by_source(sf_dir: str):
         u = np.fromiter(
             (int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 1_000_000
              for i in doc), dtype=np.int64, count=len(doc))
+        # digit run capped at 18 chars (fits int64 on both sides) and a
+        # digit-less / null source maps to 0 — _int64 on a NULLABLE array
+        # would round-trip the null through float64 NaN into INT64_MIN
+        # and yield a silent formula-violating p_ppm
         extracted = pc.extract_regex(batch.column("source"),
-                                     r"(?P<n>[0-9]+)")
+                                     r"(?P<n>[0-9]{1,18})")
         if isinstance(extracted, pa.ChunkedArray):
             extracted = extracted.combine_chunks()
-        src_num = _int64(pc.cast(pc.struct_field(extracted, "n"), pa.int64()))
+        src_num = _int64(pc.fill_null(
+            pc.cast(pc.struct_field(extracted, "n"), pa.int64()), 0))
         p = ((src_num % 20) + 1) * 50_000
         keep = pa.array(u < p)
         return pa.table({
@@ -717,8 +736,13 @@ def pack_sequences(sf_dir: str, context_tokens: int = 512,
             "range_part": pa.array(doc // G),
         })
 
+    # counted is consumed TWICE (offset aggregate + partition scan);
+    # without the materialize the second consumer re-runs the parquet
+    # read + tokenize from lineage — a full duplicate corpus pass for
+    # three tiny int64 columns (same reason tfidf_top_terms pins its
+    # token counts)
     counted = docs.map_batches(count_kernel, batch_format="pyarrow",
-                               batch_size=8192)
+                               batch_size=8192).materialize()
 
     part_sums = hash_aggregate(counted, "range_part",
                                {"total": ("n_tokens", "sum")}).to_pandas()
@@ -918,8 +942,16 @@ class _LogPplScorer:
             lst = lst.combine_chunks()
         flat = pc.list_flatten(lst)
         parent = _int64(pc.list_parent_indices(lst))
-        # every token exists in the LM (trained on this corpus)
-        idx = _int64(pc.index_in(flat, value_set=self.tokens))
+        # every token exists in the LM (trained on this corpus); a null
+        # here would round-trip through float64 NaN into INT64_MIN and
+        # crash opaquely downstream — fail with the real story instead
+        hits = pc.index_in(flat, value_set=self.tokens)
+        if hits.null_count:
+            raise ValueError(
+                f"unigram LM vocabulary is missing {hits.null_count} "
+                "token(s) from a scored batch — the LM must be trained "
+                "on the same corpus it scores")
+        idx = _int64(hits)
         nll = self.denom_fp - self.log_c1[idx]  # -log2 p(t) in Q16
         d = batch.num_rows
         s = np.zeros(d, dtype=np.int64)
@@ -1029,16 +1061,10 @@ def text_normalize(sf_dir: str):
     edges). NFC is the one per-string C call (no Arrow kernel exists);
     everything else is vectorized. Pure streaming map, no shuffle.
     """
-    import unicodedata
-
     import pyarrow.compute as pc
 
     def kernel(batch: pa.Table) -> pa.Table:
-        text = _text_col(batch)
-        nfc = pa.array([unicodedata.normalize("NFC", t)
-                        for t in text.to_pylist()], pa.string())
-        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
-            pc.utf8_lower(nfc), r"\s+", " "))
+        norm = _normalize_text_arr(_text_col(batch))
         return pa.table({"doc_id": batch.column("doc_id"),
                          "text_norm": norm,
                          "n_chars_norm": pc.cast(pc.utf8_length(norm),
@@ -1075,6 +1101,11 @@ def chunk_documents(sf_dir: str, chunk_tokens: int = 64,
     stride = chunk_tokens - overlap
 
     def kernel(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:  # np.repeat broadcast fails on 0 rows
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "chunk_id": pa.array([], pa.int64()),
+                             "chunk_text": pa.array([], pa.string()),
+                             "n_tokens": pa.array([], pa.int64())})
         trimmed = pc.utf8_trim_whitespace(_text_col(batch))
         lst = pc.split_pattern_regex(trimmed, r"\s+")
         if isinstance(lst, pa.ChunkedArray):
@@ -1130,8 +1161,13 @@ class _TfidfTopK:
                              "tf": pa.array([], pa.int64()),
                              "df": pa.array([], pa.int64()),
                              "rank": pa.array([], pa.int64())})
-        idx = _int64(pc.index_in(batch["token"], value_set=self.tokens))
-        df = self.df[idx]  # every token exists in the global df table
+        hits = pc.index_in(batch["token"], value_set=self.tokens)
+        if hits.null_count:  # see _LogPplScorer — loud beats INT64_MIN
+            raise ValueError(
+                f"global df table is missing {hits.null_count} token(s) "
+                "present in a tf batch — df must cover the full corpus")
+        idx = _int64(hits)
+        df = self.df[idx]
         tf = _int64(batch["tf"])
         scored = pa.table({"doc_id": batch["doc_id"],
                            "token": batch["token"],
@@ -1627,19 +1663,13 @@ def prepare_corpus(sf_dir: str, min_tokens: int = 20,
     Same conventions as the component operators (text_normalize /
     quality_filter / dedup_exact), so the DuckDB oracle is their CTE
     chain — exact, hash-portable, no floats anywhere."""
-    import unicodedata
-
     import pyarrow.compute as pc
 
     from linkinator_ray.pipelines.hashagg import (hash_aggregate,
                                                   hash_partition_apply)
 
     def kernel(batch: pa.Table) -> pa.Table:
-        text = _text_col(batch)
-        nfc = pa.array([unicodedata.normalize("NFC", t)
-                        for t in text.to_pylist()], pa.string())
-        norm = pc.utf8_trim_whitespace(pc.replace_substring_regex(
-            pc.utf8_lower(nfc), r"\s+", " "))
+        norm = _normalize_text_arr(_text_col(batch))
         # trim is a no-op on norm, so the token rule matches
         # _stats_kernel / the quality_filter oracle applied to t
         n_tokens = _int64(pc.count_substring_regex(norm, r"\s+")) + 1

@@ -922,6 +922,33 @@ def test_sample_by_source_deterministic(ray_session):
         assert row["p_ppm"] == (n % 20 + 1) * 50_000
 
 
+def test_sample_by_source_digitless_source(ray_session, tmp_path):
+    """A source with no digit run (or null) maps to source_number 0 →
+    p_ppm 50_000, matching the oracle's COALESCE(TRY_CAST(...), 0) —
+    previously the null extraction round-tripped through float64 NaN
+    into INT64_MIN and produced a silent 650_000."""
+    import pyarrow.parquet as pq
+    from linkinator_ray.pipelines.text import sample_by_source
+    # doc_ids whose md5 coin is < 50_000 — kept in EVERY bucket, so the
+    # emitted p_ppm for each source shape is observable
+    ids = [6, 8, 13, 19, 38]
+    srcs = ["web", None, "src7", "crawl-data", "s123456789012345678x"]
+    rows = [{"doc_id": i, "source": s, "text": "x", "lang": "en"}
+            for i, s in zip(ids, srcs)]
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(out / "documents.parquet"))
+    df = sample_by_source(str(out)).to_pandas().set_index("doc_id")
+    assert set(df.index) == set(ids)  # coin < 50k keeps all five
+    for i in (6, 8, 19):  # digit-less and null sources → 5% bucket
+        assert df.loc[i, "p_ppm"] == 50_000
+    assert df.loc[13, "p_ppm"] == 400_000  # src7 → (7 % 20 + 1) * 50k
+    # 19-digit run reads its first 18 digits (int64-safe on both sides)
+    assert df.loc[38, "p_ppm"] == \
+        (123456789012345678 % 20 + 1) * 50_000
+
+
 def test_kmeans_matches_local_lloyd(ray_session):
     """The distributed broadcast/partial-reduce k-means must reproduce
     a single-machine Lloyd run with the same deterministic init."""
