@@ -352,9 +352,13 @@ def _substring_sql(w: int = 16) -> str:
             SELECT doc_id, string_split_regex(trim(text), '\\s+') AS l
             FROM documents
         ), toks AS (
+            -- tok <> '' drops the phantom token of empty/ws-only docs
+            -- (split of '' yields ['']) — the pipeline's 0-token
+            -- convention for empty documents
             SELECT doc_id, unnest(l) AS tok,
                    generate_subscripts(l, 1) AS pos
             FROM lists
+            WHERE l <> ['']
         ), th AS (
             SELECT doc_id, pos, tok,
                    ('0x' || substr(md5(tok), 1, 16))::UBIGINT % {p} AS h
@@ -385,12 +389,16 @@ def _substring_sql(w: int = 16) -> str:
             FROM th t LEFT JOIN cov c
                  ON c.doc_id = t.doc_id AND c.pos = t.pos
         )
-        SELECT doc_id,
-               CAST(count(*) AS BIGINT) AS n_tokens,
-               CAST(count(*) - sum(k) AS BIGINT) AS n_removed,
-               coalesce(string_agg(CASE WHEN k = 1 THEN tok END,
-                                   ' ' ORDER BY pos), '') AS clean_text
-        FROM kept GROUP BY doc_id
+        -- LEFT JOIN keeps empty docs in the output: one row per doc,
+        -- n_tokens = 0 and clean_text = '' when the doc has no tokens
+        SELECT d.doc_id,
+               CAST(count(kept.pos) AS BIGINT) AS n_tokens,
+               CAST(count(kept.pos) - coalesce(sum(kept.k), 0)
+                    AS BIGINT) AS n_removed,
+               coalesce(string_agg(CASE WHEN kept.k = 1 THEN kept.tok END,
+                                   ' ' ORDER BY kept.pos), '') AS clean_text
+        FROM documents d LEFT JOIN kept ON kept.doc_id = d.doc_id
+        GROUP BY d.doc_id
     """
 
 

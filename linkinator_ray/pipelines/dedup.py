@@ -301,8 +301,11 @@ class MinHasher:
     def __call__(self, batch: pa.Table) -> pa.Table:
         # zero-copy in, FixedSizeList out: the (D × num_perms) signature
         # matrix becomes one flat uint64 buffer — no per-row object
-        # arrays, and the banding stage reshapes it back zero-copy
-        texts = batch["text"].combine_chunks().fill_null("").to_pylist()
+        # arrays, and the banding stage reshapes it back zero-copy.
+        # fill_null/to_pylist run on the ChunkedArray directly — a
+        # combine_chunks here would overflow int32 string offsets once
+        # a multi-block batch carries >2 GiB of text
+        texts = batch["text"].fill_null("").to_pylist()
         sigs = self.signatures_batch(texts)
         sig_col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1), pa.uint64()), self.num_perms)
@@ -379,7 +382,7 @@ class _VerifyMembers:
         a_out, b_out = [], []
         anchors_of = self.anchors_of
         anchor_sh = self.anchor_sh
-        texts = batch["text"].combine_chunks().fill_null("").to_pylist()
+        texts = batch["text"].fill_null("").to_pylist()
         for doc_id, text in zip(batch["doc_id"].to_pylist(), texts):
             sh = _shingle_hashes(text, self.ngram)
             for a in anchors_of.get(int(doc_id), ()):
@@ -547,22 +550,28 @@ def dedup_minhash(sf_dir: str, threshold: float = 0.7, num_perms: int = 64,
     # drains to the driver — one boilerplate text duplicated 5M times
     # is only 16 hot buckets but 5M pairs)
     n_cand = 0
+    hot_df = None  # pulled once; the broadcast path below reuses it
     if 0 < n_hot <= hot_bucket_threshold:
-        n_cand = int(hot_ds.to_pandas()["n"].sum()) - n_hot
+        hot_df = hot_ds.to_pandas()
+        n_cand = int(hot_df["n"].sum()) - n_hot
     driver_ok = n_hot <= hot_bucket_threshold \
         and n_cand <= hot_bucket_threshold
     if verify == "auto":
         verify = "broadcast" if driver_ok else "partitioned"
     if cluster == "auto":
         cluster = "driver" if driver_ok else "distributed"
-    hot_keys = hot_ds.select_columns(["band_id", "band_hash", "anchor"])
     if verify == "partitioned":
         return _cluster_pairs(_minhash_verify_partitioned(
-            sf_dir, banded, hot_keys.materialize(), ngram, threshold),
-            cluster)
+            sf_dir, banded,
+            hot_ds.select_columns(
+                ["band_id", "band_hash", "anchor"]).materialize(),
+            ngram, threshold), cluster)
     if n_hot == 0:
         return _cluster_pairs(None, cluster)
-    hot = hot_keys.to_pandas()
+    # forced verify="broadcast" above the threshold never pulled hot_df
+    if hot_df is None:
+        hot_df = hot_ds.to_pandas()
+    hot = hot_df[["band_id", "band_hash", "anchor"]]
     try:
         import ray
         _put = ray.put if ray.is_initialized() else (lambda x: x)
@@ -766,7 +775,7 @@ class SimHasher:
         # per-doc stays: the token-memo + small cache-hot bit matrices
         # beat a whole-batch bit tensor (measured 10x — the (tokens, 64)
         # uint64 broadcast temp is ~1 GB per 2.5M tokens)
-        texts = batch["text"].combine_chunks().fill_null("").to_pylist()
+        texts = batch["text"].fill_null("").to_pylist()
         return pa.table({
             "doc_id": batch["doc_id"],
             "simhash": pa.array(
@@ -1169,6 +1178,13 @@ def _explode_chunks(batch: pa.Table, W: int, payload: str) -> pa.Table:
                          "idx": pa.array([], pa.int64()),
                          "ckey": pa.array([], pa.int64()),
                          col[0]: col[1]})
+    rbs = batch.to_batches()
+    if len(rbs) > 1:
+        # multi-block batch: combining >2 GiB of chunked strings
+        # overflows int32 offsets — recurse per record batch instead
+        return pa.concat_tables([
+            _explode_chunks(pa.Table.from_batches([rb]), W, payload)
+            for rb in rbs])
     text = batch.column("text")
     if text.null_count:
         text = text.fill_null("")
@@ -1197,9 +1213,10 @@ def _explode_chunks(batch: pa.Table, W: int, payload: str) -> pa.Table:
     offsets = np.append(bounds, total).astype(np.int64)
     chunks = pc.binary_join(
         pa.LargeListArray.from_arrays(
-            pa.array(offsets, pa.int64()), flat), " ")
-    if chunks.type != pa.string():  # keep block schemas stable
-        chunks = chunks.cast(pa.string())
+            pa.array(offsets, pa.int64()), flat),
+        pa.scalar(" ", flat.type))  # separator type must match values
+    if chunks.type not in (pa.string(), pa.large_string()):
+        chunks = chunks.cast(pa.string())  # keep block schemas stable
     parents = np.asarray(pc.list_parent_indices(lst).to_numpy(
         zero_copy_only=False), dtype=np.int64)
     doc_np = np.asarray(batch.column("doc_id").to_numpy(
@@ -1291,11 +1308,13 @@ def dedup_chunk(sf_dir: str, chunk_tokens: int = 16):
         fl = part.loc[part["__side"] == 0, ["doc_id", "idx", "keep"]] \
             .astype({"doc_id": "int64", "idx": "int64", "keep": "bool"})
         docs = docs.astype({"doc_id": "int64"})
-        # re-chunk locally with the SAME vectorized explode
+        # re-chunk locally with the SAME vectorized explode;
+        # large_string: a partition's text can exceed 2 GiB, where
+        # int32 string offsets overflow at pa.array construction
         ex = _explode_chunks(
             pa.table({"doc_id": pa.array(docs["doc_id"].to_numpy()),
                       "text": pa.array(docs["text"].astype(object),
-                                       pa.string())}),
+                                       pa.large_string())}),
             W, "text").to_pandas()
         m = ex.merge(fl, on=["doc_id", "idx"], how="left")
         m["keep"] = m["keep"].fillna(True).astype(bool)
@@ -1328,20 +1347,33 @@ def _explode_windows(batch: pa.Table, w: int) -> pa.Table:
     w-token window in base ROLLING_B over the 2^61-1 field (the same
     constants as text.rolling_fingerprint, so the DuckDB oracle
     reproduces every hash exactly). Positions are 0-based within the
-    doc; docs shorter than w emit nothing."""
+    doc; empty/whitespace-only docs count zero tokens (the _shingle_*
+    convention — Arrow's split of '' yields [''], a phantom token that
+    at w=1 would make empty docs dedup against each other); docs
+    shorter than w emit nothing."""
     import pyarrow.compute as pc
 
     from linkinator_ray.pipelines.text import (ROLLING_B, ROLLING_P,
                                                _addmod_p, _mulmod_p)
+    assert ROLLING_P == _MERSENNE  # _token_hashes reduces mod _MERSENNE
     empty = pa.table({"doc_id": pa.array([], pa.int64()),
                       "pos": pa.array([], pa.int64()),
                       "wh": pa.array([], pa.int64())})
     if batch.num_rows == 0:
         return empty
+    rbs = batch.to_batches()
+    if len(rbs) > 1:
+        # a multi-block batch keeps its text column CHUNKED; combining
+        # >2 GiB of strings overflows int32 offsets, so recurse per
+        # record batch (each views ONE chunk, bounded by its block)
+        return pa.concat_tables([
+            _explode_windows(pa.Table.from_batches([rb]), w)
+            for rb in rbs])
     text = batch.column("text")
     if text.null_count:
         text = text.fill_null("")
-    lst = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+    trimmed = pc.utf8_trim_whitespace(text)
+    lst = pc.split_pattern_regex(trimmed, r"\s+")
     if isinstance(lst, pa.ChunkedArray):
         lst = lst.combine_chunks()
     flat = pc.list_flatten(lst)
@@ -1349,19 +1381,24 @@ def _explode_windows(batch: pa.Table, w: int) -> pa.Table:
         flat = flat.combine_chunks()
     nt = np.asarray(pc.list_value_length(lst).to_numpy(
         zero_copy_only=False), dtype=np.int64)
+    emptymask = np.asarray(pc.equal(trimmed, "").to_numpy(
+        zero_copy_only=False), dtype=bool)
+    if emptymask.any():  # drop the phantom '' token of empty docs
+        keep = np.ones(int(nt.sum()), bool)
+        keep[np.concatenate(([0], np.cumsum(nt)[:-1]))[emptymask]] = False
+        flat = flat.filter(pa.array(keep))
+        nt = np.where(emptymask, 0, nt)
     total = int(nt.sum())
     if total < w:
         return empty
-    # md5 once per DISTINCT token (the stream repeats its vocabulary)
+    # md5 once per DISTINCT token (the stream repeats its vocabulary);
+    # _token_hashes is the ONE hash definition shared with the shingle
+    # and rolling-fingerprint kernels (and their SQL oracles)
     d = flat.dictionary_encode()
-    uniq = d.dictionary.to_pylist()
-    uh = np.array([int.from_bytes(hashlib.md5(t.encode()).digest()[:8],
-                                  "big") % ROLLING_P for t in uniq],
-                  dtype=np.uint64)
+    uh = _token_hashes(d.dictionary.to_pylist())
     h = uh[np.asarray(d.indices.to_numpy(zero_copy_only=False),
                       dtype=np.int64)]
-    p = np.asarray(pc.list_parent_indices(lst).to_numpy(
-        zero_copy_only=False), dtype=np.int64)
+    p = np.repeat(np.arange(len(nt), dtype=np.int64), nt)
     starts = np.concatenate(([0], np.cumsum(nt)[:-1]))
     # window hash at flat position i: Σ_j h[i+j]·B^(w-1-j) mod P —
     # w field multiply-adds over the whole batch, no per-doc dispatch
@@ -1469,8 +1506,12 @@ def dedup_substring(sf_dir: str, window: int = 16):
         sp = part.loc[part["__side"] == 0, ["doc_id", "pos"]] \
             .astype({"doc_id": "int64", "pos": "int64"})
         doc_ids = docs["doc_id"].to_numpy(np.int64)
-        text = pa.array(docs["text"].fillna("").astype(object), pa.string())
-        lst = pc.split_pattern_regex(pc.utf8_trim_whitespace(text), r"\s+")
+        # large_string: a partition's text can exceed 2 GiB, where
+        # int32 string offsets overflow at pa.array construction
+        text = pa.array(docs["text"].fillna("").astype(object),
+                        pa.large_string())
+        trimmed = pc.utf8_trim_whitespace(text)
+        lst = pc.split_pattern_regex(trimmed, r"\s+")
         if isinstance(lst, pa.ChunkedArray):
             lst = lst.combine_chunks()
         flat = pc.list_flatten(lst)
@@ -1478,6 +1519,14 @@ def dedup_substring(sf_dir: str, window: int = 16):
             flat = flat.combine_chunks()
         nt = np.asarray(pc.list_value_length(lst).to_numpy(
             zero_copy_only=False), dtype=np.int64)
+        emptymask = np.asarray(pc.equal(trimmed, "").to_numpy(
+            zero_copy_only=False), dtype=bool)
+        if emptymask.any():  # empty docs: 0 tokens, not the phantom ''
+            keeptok = np.ones(int(nt.sum()), bool)
+            keeptok[np.concatenate(
+                ([0], np.cumsum(nt)[:-1]))[emptymask]] = False
+            flat = flat.filter(pa.array(keeptok))
+            nt = np.where(emptymask, 0, nt)
         total = int(nt.sum())
         starts = np.concatenate(([0], np.cumsum(nt)[:-1]))
         # coverage via one flat diff-array: +1 at each span's global
@@ -1500,9 +1549,8 @@ def dedup_substring(sf_dir: str, window: int = 16):
         joined = pc.binary_join(
             pa.LargeListArray.from_arrays(
                 pa.array(offsets, pa.int64()),
-                flat.filter(pa.array(kept))), " ")
-        if joined.type != pa.string():
-            joined = joined.cast(pa.string())
+                flat.filter(pa.array(kept))),
+            pa.scalar(" ", flat.type))  # separator type matches values
         return pd.DataFrame({
             "doc_id": doc_ids,
             "n_tokens": nt,
@@ -1559,6 +1607,10 @@ def contamination_check(sf_dir: str, bench_mod: int = 50):
         return nt, p[:-2][m], tri
 
     def bench_kernel(batch: pa.Table) -> pa.Table:
+        rbs = batch.to_batches()
+        if len(rbs) > 1:  # never combine_chunks >2 GiB of text (_tri)
+            return pa.concat_tables([
+                bench_kernel(pa.Table.from_batches([rb])) for rb in rbs])
         doc = np.asarray(batch.column("doc_id").to_numpy(
             zero_copy_only=False), dtype=np.int64)
         sel = pa.array(doc % bench_mod == 0)
@@ -1588,6 +1640,10 @@ def contamination_check(sf_dir: str, bench_mod: int = 50):
                 self.bench = bench_ref
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            rbs = batch.to_batches()
+            if len(rbs) > 1:  # see bench_kernel: per-record-batch _tri
+                return pa.concat_tables([
+                    self(pa.Table.from_batches([rb])) for rb in rbs])
             doc = np.asarray(batch.column("doc_id").to_numpy(
                 zero_copy_only=False), dtype=np.int64)
             nt, parents, tri = _tri(batch)

@@ -808,7 +808,8 @@ def _substring_reference(rows, w):
     import hashlib
     import re
     P, B = (1 << 61) - 1, 1000003
-    toks = {r["doc_id"]: re.split(r"\s+", r["text"].strip()) for r in rows}
+    toks = {r["doc_id"]: (re.split(r"\s+", r["text"].strip())
+                          if r["text"].strip() else []) for r in rows}
     th = {d: [int.from_bytes(hashlib.md5(t.encode()).digest()[:8], "big") % P
               for t in ts] for d, ts in toks.items()}
     occ = {}  # wh -> sorted list of (doc_id, pos)
@@ -869,7 +870,9 @@ def test_dedup_substring_planted(ray_session, tmp_path):
     assert df.loc[3, "n_removed"] == 16
     assert df.loc[3, "clean_text"] == y + " z"
     assert df.loc[4, "n_removed"] == 0
-    assert df.loc[5, "n_tokens"] == 1 and df.loc[5, "clean_text"] == ""
+    # empty doc: ZERO tokens (not Arrow's phantom '' split token)
+    assert df.loc[5, "n_tokens"] == 0 and df.loc[5, "n_removed"] == 0
+    assert df.loc[5, "clean_text"] == ""
     assert df.loc[6, "n_removed"] == 0
     assert df.loc[7, "n_removed"] == 20 and df.loc[7, "clean_text"] == ""
     ref = _substring_reference(rows, 16)
@@ -878,6 +881,55 @@ def test_dedup_substring_planted(ray_session, tmp_path):
             assert df.loc[d, k] == v, (d, k, df.loc[d, k], v)
     with pytest.raises(ValueError):
         dedup_substring(str(out), window=0)
+
+
+def test_dedup_substring_empty_docs_window1(ray_session, tmp_path):
+    """At window=1 empty/whitespace-only docs must NOT dedup against
+    each other through Arrow's phantom '' split token: each reports
+    n_tokens=0 / n_removed=0, and real single-token dedup still works."""
+    import pyarrow.parquet as pq
+    from linkinator_ray.pipelines.dedup import dedup_substring
+    rows = [
+        {"doc_id": 0, "text": ""},
+        {"doc_id": 1, "text": "   "},       # whitespace-only
+        {"doc_id": 2, "text": "\t\n"},
+        {"doc_id": 3, "text": "tok"},
+        {"doc_id": 4, "text": "tok"},        # real dup at w=1
+    ]
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows), str(out / "documents.parquet"))
+    df = dedup_substring(str(out), window=1).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert len(df) == 5  # one row per doc, empties included
+    for d in (0, 1, 2):
+        assert df.loc[d, "n_tokens"] == 0
+        assert df.loc[d, "n_removed"] == 0
+        assert df.loc[d, "clean_text"] == ""
+    assert df.loc[3, "n_removed"] == 0 and df.loc[3, "clean_text"] == "tok"
+    assert df.loc[4, "n_removed"] == 1 and df.loc[4, "clean_text"] == ""
+
+
+def test_explode_kernels_multichunk_batch():
+    """The explode kernels must not combine a multi-chunk text column
+    (>2 GiB of strings overflows int32 offsets at real batch sizes):
+    a batch assembled from several record batches must produce exactly
+    the same rows as the same data in one contiguous chunk."""
+    from linkinator_ray.pipelines.dedup import (_explode_chunks,
+                                                _explode_windows)
+    rb1 = pa.record_batch({"doc_id": pa.array([0, 1], pa.int64()),
+                           "text": ["a b c d e", ""]})
+    rb2 = pa.record_batch({"doc_id": pa.array([2], pa.int64()),
+                           "text": ["a b c d e f"]})
+    multi = pa.Table.from_batches([rb1, rb2])
+    single = multi.combine_chunks()
+    assert len(multi.column("text").chunks) == 2
+    for w in (1, 3):
+        assert _explode_windows(multi, w).to_pydict() \
+            == _explode_windows(single, w).to_pydict()
+    for W in (2, 4):
+        assert _explode_chunks(multi, W, "hash").to_pydict() \
+            == _explode_chunks(single, W, "hash").to_pydict()
 
 
 def test_contamination_check_planted(ray_session, tmp_path):
