@@ -207,7 +207,10 @@ def main(argv: list[str] | None = None) -> int:
     config.pop("config", None)
     # CLI-level keys configure output, not CheckOptions; flag wins over
     # config, silent ⇒ verbosity ERROR (src/cli.ts:607-620)
-    silent = bool(args.silent) or bool(config.pop("silent", False))
+    # pop unconditionally: `or` would short-circuit past the pop when
+    # --silent is passed, leaking `silent` into CheckOptions(**merged)
+    config_silent = bool(config.pop("silent", False))
+    silent = bool(args.silent) or config_silent
     if silent and (args.verbosity or config.get("verbosity")):
         raise SystemExit("The SILENT and VERBOSITY flags cannot both be "
                          "defined. Please consider using VERBOSITY only.")

@@ -403,6 +403,13 @@ class LinkChecker:
         # frontier-level BROKEN rows retained across spills (J1 join input)
         self.broken_first_tables: list[pa.Table] = []
         self._spill_part = 0
+        # per-node spill-part floors inherited from a resumed checkpoint
+        # (mesh node{i}_part numbering). Carried forward into every
+        # checkpoint THIS run writes — even when this run has fewer
+        # nodes (or is a driver run): a later resume would otherwise see
+        # no floor for those node indices, treat their FINALIZED parts
+        # as stale and delete crawl results the replay never re-produces
+        self._inherited_node_floors: list[int] = []
         self.dup_edge_tables: list[pa.Table] = []   # (url, parent) dup references
         self.pending_fragments: dict[str, set[str]] = {}
         self.delay_map: dict[str, float] = {}       # host → retry-after deadline
@@ -1281,13 +1288,24 @@ class LinkChecker:
                 "routes": pa.array([s["edge_routes"].tobytes()],
                                    pa.binary())})
         seen_tables = [seen_blob_to_table(s["url_seen"]) for s in snaps]
+        # merge this mesh's floors with inherited ones: node indices
+        # this run doesn't have (resume shrank the mesh) keep their
+        # checkpointed floor so their finalized parts survive a later
+        # resume's prune; shared indices take max (own counters only
+        # ever grow from the restored value)
+        floors = [s["spill_part"] for s in snaps]
+        for i, f in enumerate(self._inherited_node_floors):
+            if i < len(floors):
+                floors[i] = max(floors[i], f)
+            else:
+                floors.append(f)
         ckpt.save_round(
             self.opts.checkpoint_dir, self.run_id, epoch, tables,
             seen_tables, counters,
             extra={"mesh": True, "mesh_nodes": num_actors,
                    "journal": True,
                    "spill_part": self._spill_part,
-                   "node_spill_parts": [s["spill_part"] for s in snaps],
+                   "node_spill_parts": floors,
                    "clock": self.clock.now()},
         )
         ray.get([n.resume_run.remote() for n in nodes])
@@ -1311,7 +1329,11 @@ class LinkChecker:
         last = ckpt.latest_round(checkpoint_dir)
         if last is None:
             raise ValueError(f"no checkpoint found under {checkpoint_dir}")
-        manifest, tables, seen_tables = ckpt.load_round(checkpoint_dir, last)
+        # defer the seen-shard reads: the elastic (journal) branch
+        # rebuilds the filters from the key journal and never touches
+        # the positional shard dumps — at scale the checkpoint's bulk
+        manifest, tables, _ = ckpt.load_round(checkpoint_dir, last,
+                                              load_seen=False)
         saved_nodes = manifest["extra"].get("mesh_nodes")
         elastic = saved_nodes != num_actors
         if elastic and not manifest["extra"].get("journal"):
@@ -1351,6 +1373,7 @@ class LinkChecker:
                     want_pieces[a] = wants.take(pa.array(idx))
         saved_parts = manifest["extra"].get("node_spill_parts",
                                             [0] * (saved_nodes or num_actors))
+        self._inherited_node_floors = list(saved_parts)
         # results spill files are namespaced node{i}_part{k}: a new node
         # sharing an old index continues that numbering; indices beyond
         # the old count start fresh; on shrink, orphaned old parts stay
@@ -1362,6 +1385,8 @@ class LinkChecker:
         prune_stale_spill_parts(self.opts.results_dir, self._spill_part,
                                 saved_parts)
         if not elastic:
+            seen_tables = ckpt.load_seen_shards(checkpoint_dir, last,
+                                                manifest)
             ray.get([
                 nodes[i].restore_state.remote(
                     seen_table_to_blob(seen_tables[i]),
@@ -1722,14 +1747,20 @@ class LinkChecker:
              "dup_edges": dup, "results": results, "delay_map": delay,
              "broken_first": broken_first},
             self.seen.dump_tables(), dict(self.counters),
-            extra={"clock": self.clock.now(), "spill_part": self._spill_part},
+            extra={"clock": self.clock.now(), "spill_part": self._spill_part,
+                   # carry node floors from a resumed mesh checkpoint so
+                   # a later resume keeps those nodes' finalized parts
+                   "node_spill_parts": self._inherited_node_floors},
         )
 
     def _restore(self, checkpoint_dir: str):
         last = ckpt.latest_round(checkpoint_dir)
         if last is None:
             raise ValueError(f"no checkpoint found under {checkpoint_dir}")
-        manifest, tables, seen_tables = ckpt.load_round(checkpoint_dir, last)
+        # defer the seen-shard reads: the journal branch below never
+        # uses them, and at scale they're the bulk of a checkpoint
+        manifest, tables, _ = ckpt.load_round(checkpoint_dir, last,
+                                              load_seen=False)
         self.counters.update(manifest["counters"])
         if manifest["extra"].get("mesh"):
             # mesh-written checkpoint resumed in a driver mode: the
@@ -1747,7 +1778,8 @@ class LinkChecker:
             if len(edge_keys):
                 self.edge_seen.contains_or_insert(edge_keys)
         else:
-            self.seen.restore_tables(seen_tables)
+            self.seen.restore_tables(
+                ckpt.load_seen_shards(checkpoint_dir, last, manifest))
         frontier = tables["frontier"]
         pend = tables["pending_fragments"]
         for url, frag in zip(pend["target_url"].to_pylist(), pend["fragment"].to_pylist()):
@@ -1764,8 +1796,10 @@ class LinkChecker:
         self._spill_part = int(manifest["extra"].get("spill_part", 0))
         # parts the dead run spilled AFTER this checkpoint duplicate
         # rows the replay will re-produce — drop them before resuming
+        self._inherited_node_floors = list(
+            manifest["extra"].get("node_spill_parts", []))
         prune_stale_spill_parts(self.opts.results_dir, self._spill_part,
-                                manifest["extra"].get("node_spill_parts", []))
+                                self._inherited_node_floors)
         broken_first = tables.get("broken_first")
         if broken_first is not None and broken_first.num_rows:
             self.broken_first_tables = [broken_first]

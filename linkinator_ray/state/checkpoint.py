@@ -93,17 +93,32 @@ def latest_round(checkpoint_dir: str) -> int | None:
     rounds = []
     for name in os.listdir(checkpoint_dir):
         if name.startswith("round_") and not name.endswith(".tmp"):
-            manifest = os.path.join(checkpoint_dir, name, "manifest.json")
-            try:  # a corrupt manifest (pre-fsync crash) is not a round
-                with open(manifest) as f:
-                    json.load(f)
-            except (OSError, ValueError):
+            try:
+                rounds.append(int(name.split("_")[1]))
+            except ValueError:
                 continue
-            rounds.append(int(name.split("_")[1]))
-    return max(rounds) if rounds else None
+    # validate candidates newest-first and return the first whose
+    # manifest parses (a corrupt manifest — pre-fsync crash — is not a
+    # round); a long run accumulates thousands of epoch dirs, so only
+    # the winning candidate's manifest is opened, not every one
+    for r in sorted(rounds, reverse=True):
+        manifest = os.path.join(checkpoint_dir, f"round_{r:06d}",
+                                "manifest.json")
+        try:
+            with open(manifest) as f:
+                json.load(f)
+        except (OSError, ValueError):
+            continue
+        return r
+    return None
 
 
-def load_round(checkpoint_dir: str, round_no: int):
+def load_round(checkpoint_dir: str, round_no: int,
+               load_seen: bool = True):
+    """``load_seen=False`` skips the seen-shard parquet reads (returns
+    an empty list) — a journal-based resume rebuilds membership from
+    the key journal and never touches the positional shard dumps, which
+    at scale are the bulk of a checkpoint's bytes."""
     round_dir = os.path.join(checkpoint_dir, f"round_{round_no:06d}")
     with open(os.path.join(round_dir, "manifest.json")) as f:
         manifest = json.load(f)
@@ -113,5 +128,16 @@ def load_round(checkpoint_dir: str, round_no: int):
     seen_tables = [
         pq.read_table(os.path.join(round_dir, f"seen_shard_{i:04d}.parquet"))
         for i in range(manifest["num_seen_shards"])
-    ]
+    ] if load_seen else []
     return manifest, tables, seen_tables
+
+
+def load_seen_shards(checkpoint_dir: str, round_no: int,
+                     manifest: dict) -> list:
+    """The deferred half of ``load_round(load_seen=False)``: read the
+    positional seen-shard dumps once the caller knows it needs them."""
+    round_dir = os.path.join(checkpoint_dir, f"round_{round_no:06d}")
+    return [
+        pq.read_table(os.path.join(round_dir, f"seen_shard_{i:04d}.parquet"))
+        for i in range(manifest["num_seen_shards"])
+    ]

@@ -217,8 +217,9 @@ class MeshNode:
                 table = table.filter(pa.array(~future))
             if table.num_rows:
                 self._append_local(table)
-            else:
-                self._schedule_pump()
+            # when EVERY row parked in deferred the node cannot
+            # self-wake (_schedule_pump no-ops on an empty queue): the
+            # driver's quiescence loop calls wake_deferred at deadline
 
     def _append_local(self, table: pa.Table) -> None:
         self.queue.append(table)

@@ -404,3 +404,22 @@ def test_cli_config_silent_verbosity_conflict(tmp_path):
         capture_output=True, text=True, cwd="/root/repo")
     assert proc.returncode != 0
     assert "SILENT and VERBOSITY" in proc.stderr
+
+
+def test_cli_silent_flag_plus_silent_config(tmp_path):
+    """--silent together with {"silent": true} in the config (redundant
+    but natural) must behave like either alone — the short-circuited
+    `or` used to skip the config pop, leaking `silent` into
+    CheckOptions(**merged) as an unexpected keyword."""
+    fixture = fx.recurse()
+    corpus = str(tmp_path / "docs.parquet")
+    pq.write_table(fixture.documents, corpus)
+    cfg = tmp_path / "linkinator.config.json"
+    cfg.write_text('{"silent": true}')
+    proc = subprocess.run(
+        [sys.executable, "-m", "linkinator_ray.cli", corpus, "recurse/",
+         "--recurse", "--silent", "--skip", "example.invalid",
+         "--config", str(cfg)],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr
+    assert "[200]" not in proc.stdout  # silent ⇒ ERROR verbosity

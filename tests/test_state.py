@@ -467,6 +467,100 @@ class TestResumeHardening:
             "node00_part_00000.parquet", "other.txt",
             "part_00000.parquet", "part_00001.parquet"]
 
+    def test_shrink_resume_carries_node_floors(self, ray_session,
+                                               tmp_path):
+        """Double-crash with a mesh SHRINK in between: run A (2 nodes)
+        checkpoints per-node spill floors; run B resumes with 1 node
+        (node 1 never runs again) and its checkpoints must CARRY node
+        1's floor forward — without it, run C's prune sees no floor for
+        node01_part files, treats finalized parts as stale and deletes
+        crawl results the replay never re-produces (their URLs are
+        already in the seen set). Final sets must equal a clean run."""
+        import json
+        import os
+
+        import pyarrow.parquet as pq
+
+        from linkinator_ray.pipelines import crawl as crawl_mod
+        from linkinator_ray.sources.synth import synth_crawl_corpus
+        docs, seeds, expected_seen, _ = synth_crawl_corpus(
+            num_hosts=2, docs_per_host=400)
+        base = dict(paths=seeds, recurse=True, mesh=True)
+        full = LinkChecker(CheckOptions(**base, fetch_concurrency=2),
+                           docs, [], multi_host=True, use_ray=True).check()
+
+        ck = str(tmp_path / "meshck")
+        res_dir = str(tmp_path / "meshres")
+        orig = crawl_mod.LinkChecker._mesh_checkpoint
+
+        def make_bomb(counter):
+            def bomb(self, nodes, epoch, num_actors, seed_rows):
+                orig(self, nodes, epoch, num_actors, seed_rows)
+                counter["n"] += 1
+                if counter["n"] >= 1:
+                    raise KeyboardInterrupt
+            return bomb
+
+        def newest_manifest():
+            rounds = sorted(d for d in os.listdir(ck)
+                            if d.startswith("round_")
+                            and not d.endswith(".tmp"))
+            with open(os.path.join(ck, rounds[-1], "manifest.json")) as f:
+                return json.load(f)
+
+        # run A: 2 nodes, crash after the first epoch checkpoint
+        run_a = LinkChecker(
+            CheckOptions(**base, fetch_concurrency=2, checkpoint_dir=ck,
+                         checkpoint_interval_s=0.2, batch_size=64,
+                         results_dir=res_dir, results_flush_rows=50),
+            docs, [], multi_host=True, use_ray=True,
+            transport_latency_s=0.005)
+        run_a._mesh_checkpoint = make_bomb({"n": 0}).__get__(run_a)
+        try:
+            run_a.check()
+        except KeyboardInterrupt:
+            pass
+        floors_a = newest_manifest()["extra"]["node_spill_parts"]
+        assert len(floors_a) == 2
+
+        # run B: SHRINK to 1 node, crash after its first checkpoint
+        run_b = LinkChecker(
+            CheckOptions(**base, fetch_concurrency=1, checkpoint_dir=ck,
+                         checkpoint_interval_s=0.2, batch_size=64,
+                         results_dir=res_dir, results_flush_rows=50),
+            docs, [], multi_host=True, use_ray=True,
+            transport_latency_s=0.005)
+        run_b._mesh_checkpoint = make_bomb({"n": 0}).__get__(run_b)
+        try:
+            run_b.check(resume_from=ck)
+        except KeyboardInterrupt:
+            pass
+        floors_b = newest_manifest()["extra"]["node_spill_parts"]
+        # the 1-node run's checkpoint still knows node 1's floor
+        assert len(floors_b) == 2
+        assert floors_b[1] == floors_a[1]
+        assert floors_b[0] >= floors_a[0]
+
+        # run C: resume again (1 node), run to completion
+        run_c = LinkChecker(
+            CheckOptions(**base, fetch_concurrency=1, checkpoint_dir=ck,
+                         results_dir=res_dir, results_flush_rows=50),
+            docs, [], multi_host=True, use_ray=True)
+        final = run_c.check(resume_from=ck)
+
+        parts = sorted(os.listdir(res_dir))
+        tables = [pq.read_table(os.path.join(res_dir, p)) for p in parts]
+        cols = ["url", "state", "status"]
+        rows = [final.results.select(cols)] \
+            + [t.select(cols) for t in tables]
+
+        def key(table):
+            return {(r["url"], r["state"], r["status"])
+                    for r in table.to_pylist()}
+        got = set().union(*(key(t) for t in rows))
+        assert got == key(full.results)
+        assert final.stats["seen_urls"] == expected_seen
+
     def test_check_does_not_mutate_caller_options(self):
         """check() must leave the caller's CheckOptions untouched (the
         tail flush used to zero results_flush_rows; markdown auto-detect
