@@ -59,9 +59,8 @@ def export_corpus(sf_dir: str, out_dir: str, num_shards: int = 8,
 
     Returns a manifest dict: {"num_shards", "written" (shard ids this
     run), "skipped" (already finished)}."""
-    S = int(num_shards)
-    if S <= 0:
-        raise ValueError(f"num_shards must be positive, got {num_shards}")
+    from linkinator_ray.pipelines.sink import validate_shard_count
+    S = validate_shard_count(out_dir, int(num_shards), "shard")
     cols = columns or ["doc_id", "text", "lang", "source"]
     if "doc_id" not in cols:
         raise ValueError("export columns must include doc_id")
@@ -152,20 +151,11 @@ def export_tar(sf_dir: str, out_dir: str, num_shards: int = 8) -> dict:
     import pandas as pd
 
     from linkinator_ray.pipelines.hashagg import hash_map_groups
+    from linkinator_ray.pipelines.sink import claim_shards, finalize_shards
 
-    S = int(num_shards)
-    if S <= 0:
-        raise ValueError(f"num_shards must be positive, got {num_shards}")
-    os.makedirs(out_dir, exist_ok=True)
-    done = {k for k in range(S)
-            if os.path.exists(os.path.join(out_dir, f"shard-{k}._SUCCESS"))}
-    todo = sorted(set(range(S)) - done)
+    S, done, todo = claim_shards(out_dir, int(num_shards), "shard", ".tar")
     if not todo:
         return {"num_shards": S, "written": [], "skipped": sorted(done)}
-    for k in todo:
-        path = os.path.join(out_dir, f"shard-{k}.tar")
-        if os.path.exists(path):
-            os.remove(path)
     todo_arr = pa.array(np.asarray(todo, dtype=np.int64))
 
     def keep_todo(batch: pa.Table) -> pa.Table:
@@ -202,21 +192,20 @@ def export_tar(sf_dir: str, out_dir: str, num_shards: int = 8) -> dict:
                           "n_bytes": pd.array([], dtype="int64")})
     manifest = hash_map_groups(rows, "shard", write_shard,
                                num_parts=min(S, 16), empty=empty) \
-        .to_pandas().sort_values("shard")
-    # Which todo shards are genuinely empty comes from the RETURNED
-    # manifest (shards absent from it received no rows) — never from
-    # probing the driver filesystem: on a multi-node cluster without a
-    # shared fs, a worker-written tar lives on another node and an
-    # os.path.exists probe here would stamp an EMPTY tar over real data.
-    written_shards = set(int(s) for s in manifest["shard"])
-    for k in todo:
-        if k not in written_shards:
-            # genuinely empty shard: member-less tar + marker
-            import tarfile
-            tarfile.open(os.path.join(out_dir, f"shard-{k}.tar"),
-                         "w").close()
-        with open(os.path.join(out_dir, f"shard-{k}._SUCCESS"), "w"):
-            pass
+        .to_pandas()
+    if len(manifest) == 0:
+        # a ZERO-row routed stream never reaches per_part, so even the
+        # empty template is lost — to_pandas() is column-less and
+        # sort_values would KeyError
+        manifest = empty
+    manifest = manifest.sort_values("shard")
+
+    def empty_tar(k: int) -> None:  # genuinely empty shard
+        import tarfile
+        tarfile.open(os.path.join(out_dir, f"shard-{k}.tar"), "w").close()
+
+    finalize_shards(out_dir, "shard", todo,
+                    set(int(s) for s in manifest["shard"]), empty_tar)
     return {"num_shards": S, "written": todo, "skipped": sorted(done),
             "manifest": manifest.to_dict("records")}
 
@@ -274,20 +263,12 @@ def export_jsonl(sf_dir: str, out_dir: str, num_shards: int = 8) -> dict:
     import pandas as pd
 
     from linkinator_ray.pipelines.hashagg import hash_map_groups
+    from linkinator_ray.pipelines.sink import claim_shards, finalize_shards
 
-    S = int(num_shards)
-    if S <= 0:
-        raise ValueError(f"num_shards must be positive, got {num_shards}")
-    os.makedirs(out_dir, exist_ok=True)
-    done = {k for k in range(S)
-            if os.path.exists(os.path.join(out_dir, f"shard-{k}._SUCCESS"))}
-    todo = sorted(set(range(S)) - done)
+    S, done, todo = claim_shards(out_dir, int(num_shards), "shard",
+                                 ".jsonl")
     if not todo:
         return {"num_shards": S, "written": [], "skipped": sorted(done)}
-    for k in todo:
-        path = os.path.join(out_dir, f"shard-{k}.jsonl")
-        if os.path.exists(path):
-            os.remove(path)
     todo_arr = pa.array(np.asarray(todo, dtype=np.int64))
 
     def keep_todo(batch: pa.Table) -> pa.Table:
@@ -304,16 +285,18 @@ def export_jsonl(sf_dir: str, out_dir: str, num_shards: int = 8) -> dict:
         g = g.sort_values("doc_id")
         path = os.path.join(out_dir, f"shard-{k}.jsonl")
         n_bytes = 0
-        with open(path, "w", encoding="utf-8") as f:
+        with open(path, "wb") as f:
             for rec in g.itertuples(index=False):
-                line = json.dumps(
+                # write + count ENCODED bytes: ensure_ascii=False emits
+                # multi-byte UTF-8, so len(str) would undercount
+                payload = (json.dumps(
                     {"doc_id": int(rec.doc_id), "shard": k,
                      "text": rec.text or "", "lang": rec.lang,
                      "source": rec.source},
                     ensure_ascii=False, sort_keys=True,
-                    separators=(",", ":"))
-                f.write(line + "\n")
-                n_bytes += len(line) + 1
+                    separators=(",", ":")) + "\n").encode("utf-8")
+                f.write(payload)
+                n_bytes += len(payload)
         return pd.DataFrame({"shard": [k], "n_docs": [len(g)],
                              "n_bytes": [n_bytes]})
 
@@ -322,13 +305,16 @@ def export_jsonl(sf_dir: str, out_dir: str, num_shards: int = 8) -> dict:
                           "n_bytes": pd.array([], dtype="int64")})
     manifest = hash_map_groups(rows, "shard", write_shard,
                                num_parts=min(S, 16), empty=empty) \
-        .to_pandas().sort_values("shard")
-    written_shards = set(int(s) for s in manifest["shard"])
-    for k in todo:
-        if k not in written_shards:
-            open(os.path.join(out_dir, f"shard-{k}.jsonl"), "w").close()
-        with open(os.path.join(out_dir, f"shard-{k}._SUCCESS"), "w"):
-            pass
+        .to_pandas()
+    if len(manifest) == 0:
+        # zero-row routed stream: map_groups never ran, to_pandas() is
+        # column-less and sort_values("shard") would KeyError
+        manifest = empty
+    manifest = manifest.sort_values("shard")
+    finalize_shards(
+        out_dir, "shard", todo, set(int(s) for s in manifest["shard"]),
+        lambda k: open(os.path.join(out_dir, f"shard-{k}.jsonl"),
+                       "w").close())
     return {"num_shards": S, "written": todo, "skipped": sorted(done),
             "manifest": manifest.to_dict("records")}
 

@@ -44,7 +44,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from linkinator_ray.pipelines.hashagg import _part_of_table, default_parts
+from linkinator_ray.pipelines.hashagg import _part_of_table
 from linkinator_ray.pipelines.text import _text_col, read_docs
 
 TOKEN_RE = r"\s+"
@@ -95,19 +95,10 @@ def build_inverted_index(sf_dir: str, out_dir: str,
     partition that received no pairs is stamped with an empty file —
     emptiness is decided from the returned manifest, never a driver
     filesystem probe of worker-written files."""
-    if num_parts is not None and int(num_parts) <= 0:
-        raise ValueError(f"num_parts must be positive, got {num_parts}")
-    P = int(num_parts) if num_parts is not None else default_parts()
-    os.makedirs(out_dir, exist_ok=True)
-    done = {k for k in range(P)
-            if os.path.exists(os.path.join(out_dir, f"part-{k}._SUCCESS"))}
-    todo = sorted(set(range(P)) - done)
+    from linkinator_ray.pipelines.sink import claim_shards, finalize_shards
+    P, done, todo = claim_shards(out_dir, num_parts, "part", ".parquet")
     if not todo:
         return {"num_parts": P, "written": [], "skipped": sorted(done)}
-    for k in todo:
-        path = os.path.join(out_dir, f"part-{k}.parquet")
-        if os.path.exists(path):
-            os.remove(path)
     todo_arr = pa.array(np.asarray(todo, dtype=np.int64))
 
     def route(batch: pa.Table) -> pa.Table:
@@ -132,17 +123,17 @@ def build_inverted_index(sf_dir: str, out_dir: str,
     if len(manifest) == 0:
         manifest = empty
     manifest = manifest.sort_values("part")
-    written = set(int(p) for p in manifest["part"])
     import pyarrow.parquet as pq
-    for k in todo:
-        if k not in written:
-            pq.write_table(pa.table({
-                "token": pa.array([], type=pa.string()),
-                "doc_freq": pa.array([], type=pa.int64()),
-                "postings": pa.array([], type=pa.large_list(pa.int64()))}),
-                os.path.join(out_dir, f"part-{k}.parquet"))
-        with open(os.path.join(out_dir, f"part-{k}._SUCCESS"), "w"):
-            pass
+
+    def empty_part(k: int) -> None:  # genuinely empty partition
+        pq.write_table(pa.table({
+            "token": pa.array([], type=pa.string()),
+            "doc_freq": pa.array([], type=pa.int64()),
+            "postings": pa.array([], type=pa.large_list(pa.int64()))}),
+            os.path.join(out_dir, f"part-{k}.parquet"))
+
+    finalize_shards(out_dir, "part", todo,
+                    set(int(p) for p in manifest["part"]), empty_part)
     return {"num_parts": P, "written": todo, "skipped": sorted(done),
             "manifest": manifest.to_dict("records")}
 
