@@ -573,12 +573,30 @@ def _profile_sql() -> str:
     # oracle_sql() may be called repeatedly and must not pay a disk
     # read each time.
     if not _PROFILE_SQL_CACHE:
+        import os as _os
+
         import pyarrow.parquet as _pq
 
         from linkinator_ray.pipelines.profile import profile_oracle_sql
-        _PROFILE_SQL_CACHE.append(profile_oracle_sql(
-            "lineitem",
-            _pq.read_schema("/root/testdata/sf0.001/lineitem.parquet")))
+
+        # look where the sweep actually runs ($GRAFT_SF_DIR) first, then
+        # every local sf dir — the schema is identical at all scale
+        # factors, so any copy serves; only when NONE exists does the
+        # caller drop this oracle
+        roots = [_os.environ.get("GRAFT_SF_DIR", "")] + [
+            f"/root/testdata/sf{s}" for s in ("0.001", "0.01", "0.1")]
+        last_err: Exception = OSError("no lineitem.parquet found")
+        for root in roots:
+            if not root:
+                continue
+            try:
+                schema = _pq.read_schema(f"{root}/lineitem.parquet")
+                break
+            except OSError as e:
+                last_err = e
+        else:
+            raise last_err
+        _PROFILE_SQL_CACHE.append(profile_oracle_sql("lineitem", schema))
     return _PROFILE_SQL_CACHE[0]
 
 

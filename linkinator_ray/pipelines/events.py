@@ -29,15 +29,11 @@ def _epoch_s(ts_col) -> np.ndarray:
 
 
 def _fanout(ds):
-    """Repartition to ~CPU count before an all-to-all: Ray Data sizes its
-    shuffle off the input block count, and a single-file read gives one
-    block -> a serial shuffle (3x slower measured at sf0.1)."""
-    try:
-        import ray
-        n = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-    except Exception:
-        n = 8
-    return ds.repartition(min(32, max(4, n)))
+    """Repartition to ~CPU count before an all-to-all — shared with
+    dedup.py so the skip-when-already-parallel logic (multi-file reads
+    on a real cluster need no extra exchange) cannot drift."""
+    from linkinator_ray.pipelines.dedup import _fanout as _dedup_fanout
+    return _dedup_fanout(ds)
 
 def tumbling_window(sf_dir: str, window_s: int = 3600):
     """Per (event_type, window) count + sum(value): partial aggregation

@@ -465,13 +465,21 @@ def pagerank_actors(sf_dir: str, iters: int = PR_ITERS,
 
         # progress-based deadline: a healthy large scatter that is
         # still draining mailboxes must not be killed by a fixed clock —
-        # only STALLED counters (no advance for the window) time out
-        stall_s, last, last_change = 120, None, _time.time()
+        # only STALLED counters (no advance for the window) time out.
+        # Errors are polled every ~1 s, not only at stall timeout, so a
+        # deterministic worker failure surfaces immediately instead of
+        # costing the full 120 s window first.
+        stall_s, err_poll_s = 120, 1.0
+        last, last_change = None, _time.time()
+        last_err_poll = _time.time()
         while True:
             got = ray.get([s.received.remote() for s in shards])
             if all(tuple(got[p]) == expected.get(p, (0, 0))
                    for p in range(P)):
                 break
+            if _time.time() - last_err_poll > err_poll_s:
+                raise_shard_errors()
+                last_err_poll = _time.time()
             if got != last:
                 last, last_change = got, _time.time()
             elif _time.time() - last_change > stall_s:
@@ -484,10 +492,14 @@ def pagerank_actors(sf_dir: str, iters: int = PR_ITERS,
         for it in range(iters):
             ray.get([s.send_contribs.remote(it, shards) for s in shards])
             last_n, last_change = -1, _time.time()
+            last_err_poll = _time.time()
             while True:
                 ready = ray.get([s.ready.remote(it) for s in shards])
                 if all(ready):
                     break
+                if _time.time() - last_err_poll > err_poll_s:
+                    raise_shard_errors()
+                    last_err_poll = _time.time()
                 n = sum(ready)
                 if n != last_n:
                     last_n, last_change = n, _time.time()

@@ -179,6 +179,18 @@ def profile_table(sf_dir: str, table: str = "lineitem",
         .sort_values("col").reset_index(drop=True)
 
 
+def _qid(name: str) -> str:
+    """Quote a SQL identifier for DuckDB (embedded quotes doubled) so a
+    column/table named with spaces, quotes, or reserved words still
+    produces valid — and non-injectable — oracle SQL."""
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _qstr(s: str) -> str:
+    """Quote a SQL string literal for DuckDB."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def profile_oracle_sql(table: str, schema: "pa.Schema") -> str:
     """The matching DuckDB SQL — one UNION ALL branch per column with
     the same typed encodings (built from the Arrow schema so the two
@@ -186,7 +198,8 @@ def profile_oracle_sql(table: str, schema: "pa.Schema") -> str:
     _check_supported(schema)
     branches = []
     for field in schema:
-        name, typ = field.name, field.type
+        raw, typ = field.name, field.type
+        name = _qid(raw)
         expr = name
         if pa.types.is_floating(typ):
             # NaN profiles as NULL, matching the Ray-side encoding
@@ -214,10 +227,10 @@ def profile_oracle_sql(table: str, schema: "pa.Schema") -> str:
             hi = f"max(strlen({name}))"
             dis = f"count(DISTINCT {name})"
         branches.append(
-            f"SELECT '{name}' AS col, CAST(count({expr}) AS BIGINT) AS n, "
+            f"SELECT {_qstr(raw)} AS col, CAST(count({expr}) AS BIGINT) AS n, "
             f"CAST(count(*) - count({expr}) AS BIGINT) AS nulls, "
             f"CAST({dis} AS BIGINT) AS n_distinct, "
             f"CAST(coalesce({lo}, 0) AS BIGINT) AS lo, "
             f"CAST(coalesce({hi}, 0) AS BIGINT) AS hi "
-            f"FROM {table}")
+            f"FROM {_qid(table)}")
     return " UNION ALL ".join(branches)

@@ -1690,6 +1690,33 @@ def test_profile_table_sql_and_partition_invariant(ray_session):
         assert got[want.columns.tolist()].equals(want), parts
 
 
+def test_profile_oracle_sql_hostile_identifiers(ray_session, tmp_path):
+    """Generated oracle SQL quotes identifiers: a column named with a
+    space, an embedded double-quote, or a reserved word must still
+    produce runnable DuckDB SQL that matches the Ray-side profile
+    (which already handled such schemas)."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.profile import (profile_oracle_sql,
+                                                  profile_table)
+    t = pa.table({
+        "col with space": pa.array([1, 2, 2, None], pa.int64()),
+        'qu"ote': pa.array(["a", "bb", None, "a"], pa.string()),
+        "select": pa.array([0.5, None, 1.25, 0.5], pa.float64()),
+    })
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(t, str(out / "weird.parquet"))
+    con = duckdb.connect()
+    con.execute(f"""CREATE VIEW "weird" AS SELECT *
+                    FROM '{out / "weird.parquet"}'""")
+    want = con.execute(profile_oracle_sql("weird", t.schema)).df() \
+        .sort_values("col").reset_index(drop=True)
+    got = profile_table(str(out), "weird").reset_index(drop=True)
+    assert got[want.columns.tolist()].equals(want)
+
+
 def test_prepare_corpus_planted_semantics(ray_session, tmp_path):
     """Composition semantics: normalization-VARIANT copies (case /
     whitespace / combining-vs-precomposed) collapse to one kept doc
