@@ -20,6 +20,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from linkinator_ray.pipelines.hashagg import \
+    auto_concurrency as _autoconc
+
 from linkinator_ray import schema
 from linkinator_ray.options import CheckOptions
 from linkinator_ray.pipelines.crawl import LinkChecker
@@ -148,7 +151,7 @@ def extract_links_dataset(sf_dir: str):
     corpus = synth_corpus(sf_dir)
     links = rd.from_arrow(corpus).map_batches(
         ExtractLinks, batch_format="pyarrow", batch_size=2048,
-        concurrency=(1, 4))
+        concurrency=_autoconc())
 
     def to_edges(batch: pa.Table) -> pa.Table:
         # vectorized id extraction (RE2 kernels) — null where no match,

@@ -8,6 +8,9 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
+from linkinator_ray.pipelines.hashagg import \
+    auto_concurrency as _autoconc
+
 
 def _read(sf_dir: str, table: str, columns=None):
     import ray.data as rd
@@ -68,7 +71,7 @@ def events_by_segment(sf_dir: str):
         seg_ref = seg_pair
     partials = _read(sf_dir, "events", ["user_id", "value"]).map_batches(
         _SegmentLookup, batch_format="pyarrow", batch_size=16384,
-        concurrency=(1, 4), fn_constructor_kwargs={"seg_ref": seg_ref})
+        concurrency=_autoconc(), fn_constructor_kwargs={"seg_ref": seg_ref})
     from linkinator_ray.pipelines.dedup import _fanout
     return _fanout(partials).groupby("mktsegment").aggregate(
         Sum("n", alias_name="n_events"), Sum("total", alias_name="sum_cents"))

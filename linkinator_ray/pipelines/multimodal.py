@@ -28,6 +28,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from linkinator_ray.pipelines.hashagg import \
+    auto_concurrency as _autoconc
+
 MEDIA_SCHEMA = pa.schema([
     ("media_id", pa.int64()),
     ("kind", pa.string()),          # image | audio | video
@@ -366,7 +369,7 @@ def media_features(sf_dir: str):
     """synthesize → actor-pool decode/feature stage → features table."""
     media = synthesize_media(sf_dir)
     return media.map_batches(MediaDecoder, batch_format="pyarrow",
-                             batch_size=512, concurrency=(1, 4))
+                             batch_size=512, concurrency=_autoconc())
 
 
 def media_summary(sf_dir: str):

@@ -11,6 +11,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from linkinator_ray.pipelines.hashagg import \
+    auto_concurrency as _autoconc
+
 
 _BUCKETER_CACHE: dict = {}
 
@@ -97,7 +100,7 @@ def knn_bruteforce(sf_dir: str, k: int = 5, num_queries: int = 4):
         queries_ref = queries
 
     partials = read_embeddings(sf_dir).map_batches(
-        _PartialTopK, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4),
+        _PartialTopK, batch_format="pyarrow", batch_size=4096, concurrency=_autoconc(),
         fn_constructor_kwargs={"queries_ref": queries_ref, "k": k})
 
     def merge(group: pd.DataFrame) -> pd.DataFrame:
@@ -301,7 +304,7 @@ def knn_ivf(sf_dir: str, k: int = 5, num_queries: int = 4,
 
     assigned = read_embeddings(sf_dir).map_batches(
         _IvfAssign, batch_format="pyarrow", batch_size=4096,
-        concurrency=(1, 4), fn_constructor_kwargs={"centroids_ref": cen_ref})
+        concurrency=_autoconc(), fn_constructor_kwargs={"centroids_ref": cen_ref})
     wanted = pa.array(sorted(set().union(*probes)), pa.int64())
 
     def keep_wanted(batch: pa.Table) -> pa.Table:
@@ -312,7 +315,7 @@ def knn_ivf(sf_dir: str, k: int = 5, num_queries: int = 4,
     partials = assigned.map_batches(
         keep_wanted, batch_format="pyarrow", batch_size=8192).map_batches(
         _IvfPartialTopK, batch_format="pyarrow", batch_size=8192,
-        concurrency=(1, 4),
+        concurrency=_autoconc(),
         fn_constructor_kwargs={"queries_ref": queries_ref,
                                "probes": probes, "k": k})
 
@@ -367,7 +370,7 @@ def knn_lsh(sf_dir: str, k: int = 5, num_queries: int = 4, n_planes: int = 6):
     partials = bucketed.map_batches(
         keep_wanted, batch_format="pyarrow", batch_size=8192).map_batches(
         _LshPartialTopK, batch_format="pyarrow", batch_size=8192,
-        concurrency=(1, 4),
+        concurrency=_autoconc(),
         fn_constructor_kwargs={"queries_ref": queries_ref,
                                "qbuckets": qbuckets, "k": k})
 

@@ -20,6 +20,9 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from linkinator_ray.pipelines.hashagg import \
+    auto_concurrency as _autoconc
+
 _WS = re.compile(r"\s+")
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic
@@ -224,7 +227,7 @@ class LangId:
 def lang_id(sf_dir: str):
     from linkinator_ray.pipelines.dedup import _fanout
     return _fanout(read_docs(sf_dir, ["doc_id", "text"])).map_batches(
-        LangId, batch_format="pyarrow", batch_size=2048, concurrency=(1, 8))
+        LangId, batch_format="pyarrow", batch_size=2048, concurrency=_autoconc())
 
 
 # ---------------------------------------------------------------------------
@@ -1013,7 +1016,7 @@ def unigram_logppl(sf_dir: str, broadcast_vocab_threshold: int = 2_000_000):
                                        preserve_index=False)
         return docs.map_batches(
             _LogPplScorer, batch_format="pyarrow", batch_size=4096,
-            concurrency=(1, 8),
+            concurrency=_autoconc(),
             fn_constructor_kwargs={"cnt_ref": ray.put(cnt_tbl),
                                    "denom_fp": denom_fp})
 
@@ -1244,7 +1247,7 @@ def tfidf_top_terms(sf_dir: str, k: int = 3,
                                       preserve_index=False)
         return tc.map_batches(
             _TfidfTopK, batch_format="pyarrow", batch_size=None,
-            concurrency=(1, 8),
+            concurrency=_autoconc(),
             fn_constructor_kwargs={"df_ref": ray.put(df_tbl), "k": k})
 
     joined = hash_join(tc, df, on="token")
