@@ -160,6 +160,9 @@ def run_queries() -> dict:
         "contamination_check": lambda: dedup.contamination_check(SF_DIR),
         "sample_by_source": lambda: text.sample_by_source(SF_DIR),
         "stratified_sample": lambda: text.stratified_sample(SF_DIR),
+        "top_docs_per_lang": lambda: text.top_docs_per_lang(SF_DIR),
+        "global_rank": lambda: text.global_rank(SF_DIR),
+        "corpus_diff": lambda: dedup.corpus_diff(SF_DIR),
         "export_tar_roundtrip": lambda: __import__(
             "linkinator_ray.pipelines.export",
             fromlist=["x"]).export_tar_roundtrip(SF_DIR),

@@ -1097,6 +1097,75 @@ def corpus_dedup_keep(sf_dir: str, threshold: float = 0.7,
     })
 
 
+def corpus_diff(sf_dir: str, split_mod: int = 2):
+    """Snapshot set-difference by CONTENT: docs of split A (doc_id %
+    split_mod != 0 — "the new crawl") whose NORMALIZED text (NFC +
+    lowercase + whitespace collapse, the shared ``_normalize_text_arr``
+    kernel) appears nowhere in split B (doc_id % split_mod == 0 — "the
+    previous snapshot"). The dataset-vs-dataset analogue of
+    ``dedup_exact`` (within-corpus) and the exact-text cousin of
+    ``contamination_check`` (trigram overlap) — the primitive behind
+    "what is genuinely new in this crawl".
+
+    Scale shape: both sides stream through the md5 content-hash
+    combiner (48 B/doc crosses the network, never the text), then ONE
+    hash-partitioned LEFT ANTI join on text_hash. No driver state, no
+    broadcast — the previous snapshot can be as large as the new crawl.
+
+    Output: (doc_id) of the A-side survivors, one row per doc
+    (A-internal duplicates are each reported — the diff is row-level,
+    dedup is ``corpus_dedup_keep``'s job).
+    """
+    import pyarrow.compute as pc
+
+    from linkinator_ray.pipelines.hashagg import default_parts, hash_join
+    from linkinator_ray.pipelines.text import _normalize_text_arr
+
+    if split_mod < 2:
+        raise ValueError(f"split_mod must be >= 2, got {split_mod}")
+
+    def hashed(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        norm = _normalize_text_arr(text.fill_null(""))
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "text_hash": pa.array(
+                [hashlib.md5(t.encode()).hexdigest()
+                 for t in norm.to_pylist()], pa.string()),
+        })
+
+    docs = _fanout(read_docs(sf_dir, ["doc_id", "text"])).map_batches(
+        hashed, batch_format="pyarrow", batch_size=4096)
+    mod = pa.scalar(split_mod, pa.int64())
+
+    # Arrow-native split: A = doc_id % mod != 0, B = the rest — both
+    # zero-copy pyarrow filters over the SAME hashed pass.
+    def part_a(b: pa.Table) -> pa.Table:
+        keep = pc.not_equal(_pc_mod(b.column("doc_id"), mod), 0)
+        return b.filter(keep)
+
+    def part_b(b: pa.Table) -> pa.Table:
+        keep = pc.equal(_pc_mod(b.column("doc_id"), mod), 0)
+        return b.filter(keep)
+
+    docs = docs.materialize()  # both splits consume it; hash once
+    a = docs.map_batches(part_a, batch_format="pyarrow")
+    b = docs.map_batches(part_b, batch_format="pyarrow") \
+        .select_columns(["text_hash"])
+    out = hash_join(a, b, on="text_hash", how="left_anti",
+                    num_parts=default_parts())
+    return out.select_columns(["doc_id"])
+
+
+def _pc_mod(col, mod):
+    """Arrow modulo: a %% m for non-negative int64 columns."""
+    import pyarrow.compute as pc
+    return pc.subtract(col, pc.multiply(
+        pc.divide(col, mod), mod))
+
+
 def embedding_dim(sf_dir: str) -> int:
     """Vector dimensionality — one row-group peek, not a table scan."""
     import pyarrow.parquet as pq

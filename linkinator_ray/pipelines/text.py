@@ -673,6 +673,73 @@ def stratified_sample(sf_dir: str, n_per_lang: int = 50):
     return hash_map_groups(partials, "lang", finish, empty=empty)
 
 
+def top_docs_per_lang(sf_dir: str, k: int = 5):
+    """Per-language top-k selection by a DATA column — the "best docs
+    per bucket" primitive of quality/curriculum selection (longest docs
+    win here; doc_id breaks ties), vs ``stratified_sample``'s random
+    quota.
+
+    Same mergeable per-group top-N shape: the per-batch combiner keeps
+    at most k rows per lang, so the ONE exchange (hash-partitioned by
+    lang) moves ≤ k·langs rows per input batch — never the corpus; the
+    per-partition finish re-sorts the ≤ k·P survivors per lang and
+    ranks. At 100 TB this streams: no global sort, no driver state.
+
+    Output (lang, rank, doc_id, n_chars) with rank 1..k per lang by
+    (n_chars DESC, doc_id ASC) — all-integer, so the window-function
+    oracle hashes identically.
+    """
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        doc = _int64(batch.column("doc_id"))
+        n_chars = _int64(batch.column("n_chars"))
+        langs = batch.column("lang")
+        if isinstance(langs, pa.ChunkedArray):
+            langs = langs.combine_chunks()
+        codes = langs.dictionary_encode()
+        code = np.asarray(codes.indices.to_numpy(zero_copy_only=False),
+                          dtype=np.int64)
+        # lexsort: last key is primary — group, then n_chars DESC, then
+        # doc_id ASC for the deterministic tie-break
+        order = np.lexsort((doc, -n_chars, code))
+        sorted_code = code[order]
+        boundary = np.empty(len(order), dtype=bool)
+        if len(order):
+            boundary[0] = True
+            boundary[1:] = sorted_code[1:] != sorted_code[:-1]
+        starts = np.flatnonzero(boundary)
+        rank = np.arange(len(order), dtype=np.int64) - \
+            np.repeat(starts, np.diff(np.append(starts, len(order))))
+        keep = order[rank < k]
+        return pa.table({
+            "doc_id": pa.array(doc[keep]),
+            "lang": langs.take(pa.array(keep)),
+            "n_chars": pa.array(n_chars[keep]),
+        })
+
+    from linkinator_ray.pipelines.hashagg import hash_map_groups
+    partials = read_docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=8192)
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            "lang": g["lang"].to_numpy(),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "doc_id": g["doc_id"].to_numpy(),
+            "n_chars": g["n_chars"].to_numpy(),
+        })
+
+    empty = pd.DataFrame({"lang": pd.array([], dtype="string"),
+                          "rank": pd.array([], dtype="int64"),
+                          "doc_id": pd.array([], dtype="int64"),
+                          "n_chars": pd.array([], dtype="int64")})
+    return hash_map_groups(partials, "lang", finish, empty=empty)
+
+
 # ---------------------------------------------------------------------------
 # sequence packing — distributed prefix scan into fixed context windows
 # ---------------------------------------------------------------------------
@@ -773,6 +840,58 @@ def pack_sequences(sf_dir: str, context_tokens: int = 512,
         return pd.concat(outs, ignore_index=True)
 
     return hash_partition_apply(counted, "range_part", scan, num_parts=P)
+
+
+def global_rank(sf_dir: str, num_parts: int | None = None):
+    """EXACT global rank of every document by (n_chars DESC, doc_id
+    ASC) — the order-statistics primitive behind "take the longest N%",
+    curriculum ordering, and sorted exports — WITHOUT a global sort.
+
+    Scale shape (a rank-by-histogram scan, cousin of pack_sequences'
+    prefix scan):
+      1. one streaming pass counts docs per distinct n_chars value
+         (two-level hashagg — the value histogram);
+      2. the driver orders the histogram by value DESC and computes
+         exclusive cumulative offsets — one small array, never rows
+         (assumption: the DISTINCT-VALUE count is driver-sized; it is
+         bounded by the max document length, not the corpus);
+      3. one value-hash exchange co-locates each value's rows; a
+         per-value vectorized finish sorts by doc_id and adds the
+         value's base offset.
+    No all-to-all sort of the corpus; the exchange moves (doc_id,
+    n_chars) pairs only. Skew: a single massively-repeated value makes
+    one hot partition — the within-value order is by doc_id, so a salted
+    sub-split on doc_id ranges (with offsets from a (value, range)
+    histogram) restores balance; not needed at test scale.
+
+    Output (doc_id, n_chars, rank), rank 1..N — all-integer so the
+    window-function oracle hashes identically.
+    """
+    from linkinator_ray.pipelines.hashagg import (hash_aggregate,
+                                                  hash_map_groups)
+
+    docs = read_docs(sf_dir, ["doc_id", "n_chars"])
+    hist = hash_aggregate(docs, "n_chars", {"n": ("doc_id", "count")},
+                          num_parts=num_parts).to_pandas()
+    hist = hist.sort_values("n_chars", ascending=False)
+    counts = hist["n"].to_numpy(np.int64)
+    offsets = dict(zip(hist["n_chars"].to_numpy(np.int64),
+                       np.concatenate(([0], np.cumsum(counts)[:-1]))))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="stable")
+        base = offsets[int(g["n_chars"].iloc[0])]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].to_numpy(np.int64),
+            "n_chars": g["n_chars"].to_numpy(np.int64),
+            "rank": base + np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    empty = pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                          "n_chars": pd.array([], dtype="int64"),
+                          "rank": pd.array([], dtype="int64")})
+    return hash_map_groups(docs, "n_chars", finish, num_parts=num_parts,
+                           empty=empty)
 
 
 def shuffle_export(sf_dir: str, num_shards: int = 8):

@@ -1690,6 +1690,79 @@ def test_profile_table_sql_and_partition_invariant(ray_session):
         assert got[want.columns.tolist()].equals(want), parts
 
 
+def test_top_docs_per_lang_planted(ray_session, tmp_path):
+    """Grouped top-k semantics: n_chars DESC wins, doc_id breaks ties
+    ASC, a lang with fewer than k docs returns them all, ranks are
+    1..k per lang — invariant across partial-batch boundaries."""
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.text import top_docs_per_lang
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "lang": pa.array(["en", "en", "en", "en", "fr", "fr"]),
+        # en: 4 docs, tie at 100 between doc 2 and doc 3
+        "n_chars": pa.array([50, 100, 100, 70, 9, 8], pa.int64()),
+    })
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(t, str(out / "documents.parquet"))
+    df = top_docs_per_lang(str(out), k=2).to_pandas() \
+        .sort_values(["lang", "rank"]).reset_index(drop=True)
+    assert df[df["lang"] == "en"]["doc_id"].tolist() == [2, 3]
+    assert df[df["lang"] == "fr"]["doc_id"].tolist() == [5, 6]
+    assert df["rank"].tolist() == [1, 2, 1, 2]
+
+
+def test_global_rank_ties_and_partition_invariance(ray_session, tmp_path):
+    """Order-statistics rank: repeated n_chars values rank by doc_id
+    within the value run; the full ranking is a permutation of 1..N and
+    identical at 1 and 7 partitions (partitioning must not leak into
+    the result)."""
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.text import global_rank
+    ids = np.arange(20, dtype=np.int64)
+    n_chars = (ids % 4) * 10  # heavy ties: only 4 distinct values
+    t = pa.table({"doc_id": pa.array(ids), "n_chars": pa.array(n_chars)})
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(t, str(out / "documents.parquet"))
+    want = pd.DataFrame({"doc_id": ids, "n_chars": n_chars}) \
+        .sort_values(["n_chars", "doc_id"], ascending=[False, True])
+    want["rank"] = np.arange(1, 21, dtype=np.int64)
+    want = want.sort_values("doc_id").reset_index(drop=True)
+    for parts in (1, 7):
+        df = global_rank(str(out), num_parts=parts).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert df[["doc_id", "n_chars", "rank"]].equals(want), parts
+
+
+def test_corpus_diff_planted_normalized(ray_session, tmp_path):
+    """Snapshot diff semantics: an A-side doc whose NORMALIZED text
+    (case/whitespace variant) exists in B is NOT new; a genuinely new
+    A-side doc is; B-side docs never appear; A-internal duplicates are
+    each reported (row-level diff, not dedup)."""
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.dedup import corpus_diff
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 5, 7], pa.int64()),
+        "text": pa.array([
+            "Hello  World",   # B (even): the previous snapshot
+            "hello world",    # A: normalization-variant of doc 0 -> old
+            "shared exact",   # B
+            "brand new doc",  # A: genuinely new
+            "shared exact",   # A: exact copy of doc 2 -> old
+            "brand new doc",  # A: internal dup of doc 3 -> BOTH reported
+        ]),
+    })
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(t, str(out / "documents.parquet"))
+    got = sorted(corpus_diff(str(out)).to_pandas()["doc_id"].tolist())
+    assert got == [3, 7]
+
+
 def test_profile_oracle_sql_hostile_identifiers(ray_session, tmp_path):
     """Generated oracle SQL quotes identifiers: a column named with a
     space, an embedded double-quote, or a reserved word must still
