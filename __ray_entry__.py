@@ -109,8 +109,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": lambda sf: dedup.dedup_minhash(sf, threshold=0.7),  # exact SQL oracle
         "corpus_dedup_keep": lambda sf: dedup.corpus_dedup_keep(sf),  # exact SQL oracle
         "dedup_simhash": lambda sf: dedup.dedup_simhash(sf, max_hamming=3),  # exact SQL oracle
-        "dedup_chunk": lambda sf: dedup.dedup_chunk(sf, chunk_tokens=16),
-        "dedup_substring": lambda sf: dedup.dedup_substring(sf, window=16),  # exact SQL oracle
         "dedup_components": components.dedup_components,
         "contamination_check": lambda sf: dedup.contamination_check(sf),
         "ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
@@ -139,6 +137,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, "purchase"),  # exact SQL oracle
         "tumbling_window": lambda sf: events.tumbling_window(sf, 3600),
         "sliding_window": lambda sf: events.sliding_window(sf, 7200, 3600),
+        # NEW in r5: exact count-distinct windows + cohort retention
+        "daily_active_users": lambda sf: events.daily_active_users(
+            sf),  # exact SQL oracle
+        "retention_cohorts": lambda sf: events.retention_cohorts(
+            sf),  # exact SQL oracle
         # joins (broadcast small-side + hash-partitioned Dataset join)
         "events_by_segment": joins.events_by_segment,
         "events_asof_order": joins.events_asof_order,
@@ -146,6 +149,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     UNTOUCHED in r5, re-checkable anytime ---
         "funnel": lambda sf: events.funnel(sf),
         "events_join_customer": lambda sf: joins.events_join_customer(sf, 50),
+        "dedup_chunk": lambda sf: dedup.dedup_chunk(sf, chunk_tokens=16),
+        "dedup_substring": lambda sf: dedup.dedup_substring(sf, window=16),  # exact SQL oracle
         "token_count_bpe": text.token_count_bpe,
         "rolling_fingerprint": text.rolling_fingerprint,  # exact SQL oracle
         "repetition_stats": text.repetition_stats,
@@ -1020,6 +1025,28 @@ def oracle_sql() -> dict[str, str]:
                                  1, 16))::UBIGINT, doc_id) AS rank
               FROM documents)
             WHERE rank <= 50 ORDER BY lang, rank
+        """,
+        # exact count-distinct per window via the distinct-pair
+        # combiner (events.py:daily_active_users)
+        "daily_active_users": """
+            SELECT (epoch_us(ts) // 86400000000) * 86400 AS window_start,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM events GROUP BY 1 ORDER BY 1
+        """,
+        # cohort retention triangle (events.py:retention_cohorts)
+        "retention_cohorts": """
+            WITH du AS (
+              SELECT DISTINCT user_id,
+                     (epoch_us(ts) // 86400000000) * 86400 AS w
+              FROM events),
+            f AS (SELECT user_id, min(w) AS cohort FROM du
+                  GROUP BY user_id)
+            SELECT f.cohort AS cohort_start,
+                   CAST((du.w - f.cohort) // 86400 AS BIGINT) AS day_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM du JOIN f USING (user_id)
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # grouped top-k by a data column (text.py:top_docs_per_lang)
         "top_docs_per_lang": """

@@ -149,6 +149,8 @@ def run_queries() -> dict:
         "funnel": lambda: events.funnel(SF_DIR),
         "interval_join": lambda: events.interval_join(SF_DIR),
         "user_running_stats": lambda: events.user_running_stats(SF_DIR),
+        "daily_active_users": lambda: events.daily_active_users(SF_DIR),
+        "retention_cohorts": lambda: events.retention_cohorts(SF_DIR),
         "profile_table": lambda: profile.profile_table(SF_DIR, "lineitem"),
         "prepare_corpus": lambda: text.prepare_corpus(SF_DIR),
         "events_by_segment": lambda: joins.events_by_segment(SF_DIR),

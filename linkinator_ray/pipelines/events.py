@@ -356,3 +356,111 @@ def funnel(sf_dir: str,
     partials = hash_partition_apply(pruned, "user_id", per_part)
     return hash_aggregate(partials, ["stage", "stage_name"],
                           {"n_users": ("n", "sum")})
+
+
+def daily_active_users(sf_dir: str, window_s: int = 86400):
+    """EXACT distinct-users-per-window (the DAU/WAU primitive) plus
+    event counts — count-distinct done scale-safe: the per-batch
+    combiner collapses each batch to its DISTINCT (window, user) pairs
+    (with per-pair event counts), ONE pair exchange merges them
+    globally, and a tiny per-window count finishes. The pair table —
+    bounded by active (user, window) combinations — crosses the
+    network once; raw events never do.
+
+    Output (window_start, n_users, n_events), all exact int64.
+    """
+    from linkinator_ray.pipelines.hashagg import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = _epoch_s(batch["ts"])
+        win = (epoch // window_s) * window_s
+        user = np.asarray(
+            batch["user_id"].to_numpy(zero_copy_only=False), np.int64)
+        t = pa.table({"window_start": pa.array(win),
+                      "user_id": pa.array(user)})
+        agg = t.group_by(["window_start", "user_id"],
+                         use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"window_start": agg["window_start"],
+                         "user_id": agg["user_id"],
+                         "n": agg["count_all"]})
+
+    pairs = hash_aggregate(
+        _fanout(read_events(sf_dir, ["ts", "user_id"])).map_batches(
+            partial, batch_format="pyarrow", batch_size=65536),
+        ["window_start", "user_id"], {"n_events": ("n", "sum")})
+
+    # pairs are now GLOBALLY distinct — a per-batch window count + one
+    # tiny window merge yields the exact distinct-user count
+    def per_window(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by("window_start", use_threads=False).aggregate(
+            [([], "count_all"), ("n_events", "sum")])
+        return pa.table({"window_start": agg["window_start"],
+                         "n_users": agg["count_all"],
+                         "n_events": agg["n_events_sum"]})
+
+    return hash_aggregate(
+        pairs.map_batches(per_window, batch_format="pyarrow"),
+        "window_start",
+        {"n_users": ("n_users", "sum"), "n_events": ("n_events", "sum")})
+
+
+def retention_cohorts(sf_dir: str, window_s: int = 86400):
+    """Cohort retention triangle: users grouped by their FIRST active
+    window (the cohort); for each (cohort, day offset) the number of
+    cohort members active that day.
+
+    Shape: the DAU distinct-pair pass (combiner + ONE exchange), a
+    per-user min-window aggregate (cohort assignment — one more
+    combiner exchange over pairs, not events), ONE hash join pairing
+    each distinct (user, window) with its user's cohort, and a final
+    (cohort, offset) count — exact distinct users by construction
+    because the pairs are already distinct. Four pair-sized exchanges
+    total; the raw event stream is read once.
+
+    Output (cohort_start, day_offset, n_users), all exact int64.
+    """
+    from linkinator_ray.pipelines.hashagg import hash_aggregate, hash_join
+
+    def partial(batch: pa.Table) -> pa.Table:
+        epoch = _epoch_s(batch["ts"])
+        win = (epoch // window_s) * window_s
+        user = np.asarray(
+            batch["user_id"].to_numpy(zero_copy_only=False), np.int64)
+        t = pa.table({"user_id": pa.array(user),
+                      "window_start": pa.array(win)})
+        agg = t.group_by(["user_id", "window_start"],
+                         use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"user_id": agg["user_id"],
+                         "window_start": agg["window_start"]})
+
+    # distinct (user, window) pairs; materialized — the cohort
+    # aggregate AND the join both consume them (lineage would re-run
+    # the events read + distinct pass per consumer)
+    du = hash_aggregate(
+        _fanout(read_events(sf_dir, ["ts", "user_id"])).map_batches(
+            partial, batch_format="pyarrow", batch_size=65536),
+        ["user_id", "window_start"],
+        {"n": ("window_start", "count")}).select_columns(
+        ["user_id", "window_start"]).materialize()
+
+    cohorts = hash_aggregate(du, "user_id",
+                             {"cohort_start": ("window_start", "min")})
+    joined = hash_join(du, cohorts, on="user_id", how="inner")
+
+    def offsets(batch: pa.Table) -> pa.Table:
+        win = np.asarray(
+            batch["window_start"].to_numpy(zero_copy_only=False), np.int64)
+        coh = np.asarray(
+            batch["cohort_start"].to_numpy(zero_copy_only=False), np.int64)
+        t = pa.table({"cohort_start": pa.array(coh),
+                      "day_offset": pa.array((win - coh) // window_s)})
+        agg = t.group_by(["cohort_start", "day_offset"],
+                         use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"cohort_start": agg["cohort_start"],
+                         "day_offset": agg["day_offset"],
+                         "n": agg["count_all"]})
+
+    return hash_aggregate(
+        joined.map_batches(offsets, batch_format="pyarrow",
+                           batch_size=65536),
+        ["cohort_start", "day_offset"], {"n_users": ("n", "sum")})

@@ -309,6 +309,57 @@ def test_sessionize_matches_sql_and_partition_invariant(ray_session):
             want.astype("int64").values.tolist(), parts
 
 
+def test_daily_active_users_planted(ray_session, tmp_path):
+    """Exact count-distinct semantics: a user active twice in one
+    window counts once in n_users but twice in n_events; windows split
+    at the 86400s boundary."""
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.events import daily_active_users
+    day = 86_400_000_000  # us
+    t = pa.table({
+        "ts": pa.array([10 * 10**6, 20 * 10**6, day + 5 * 10**6,
+                        day + 6 * 10**6, day + 7 * 10**6],
+                       pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2], pa.int64()),
+    })
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(t, str(out / "events.parquet"))
+    df = daily_active_users(str(out)).to_pandas() \
+        .sort_values("window_start").reset_index(drop=True)
+    assert df["window_start"].tolist() == [0, 86400]
+    assert df["n_users"].tolist() == [1, 2]
+    assert df["n_events"].tolist() == [2, 3]
+
+
+def test_retention_cohorts_planted(ray_session, tmp_path):
+    """Cohort semantics: users cohort by FIRST active day; each
+    (cohort, offset) cell counts distinct active users; a user active
+    twice on an offset day counts once."""
+    import pyarrow.parquet as pq
+
+    from linkinator_ray.pipelines.events import retention_cohorts
+    day_us = 86_400_000_000
+    # user 1: days 0, 1, 1 (dup), 3 — cohort 0
+    # user 2: days 1, 3            — cohort 1
+    rows = [(1, 0), (1, 1), (1, 1), (1, 3), (2, 1), (2, 3)]
+    t = pa.table({
+        "ts": pa.array([d * day_us + u * 10**6 for u, d in rows],
+                       pa.timestamp("us")),
+        "user_id": pa.array([u for u, _ in rows], pa.int64()),
+    })
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(t, str(out / "events.parquet"))
+    df = retention_cohorts(str(out)).to_pandas() \
+        .sort_values(["cohort_start", "day_offset"]).reset_index(drop=True)
+    got = list(map(tuple, df[["cohort_start", "day_offset",
+                              "n_users"]].to_numpy()))
+    assert got == [(0, 0, 1), (0, 1, 1), (0, 3, 1),
+                   (86400, 0, 1), (86400, 2, 1)]
+
+
 def test_media_decoder_plumbing(ray_session):
     from linkinator_ray.pipelines.multimodal import media_features
     df = media_features(SF).to_pandas()

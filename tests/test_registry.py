@@ -35,7 +35,7 @@ def test_registry_shape(entry_mod):
     declared rows-only set is exactly the oracle-less remainder."""
     qs = entry_mod.queries()
     os_ = entry_mod.oracle_sql()
-    assert len(qs) >= 72
+    assert len(qs) >= 74
     assert all(callable(fn) for fn in qs.values())
     assert set(os_) <= set(qs), sorted(set(os_) - set(qs))
     assert set(qs) - set(os_) == NO_ORACLE
