@@ -57,20 +57,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # every query whose code was TOUCHED in r5 (the actor-pool
     # concurrency sweep: lang_id, tfidf_top_terms, unigram_logppl,
     # dedup_minhash, dedup_simhash, dedup_embedding, contamination_
-    # check, knn_bruteforce, media_features, extract_edges,
+    # check, knn_bruteforce, extract_edges,
     # events_by_segment; the events _fanout alias: sessionize,
     # interval_join, user_running_stats; the quoted-identifier oracle:
-    # profile_table); and the three NEW r5 queries (top_docs_per_lang,
-    # global_rank, corpus_diff). The overflow tail (positions 51+)
-    # holds only queries hash-green in the r4 driver sweep whose code
-    # is UNTOUCHED in r5 (funnel, events_join_customer, token_count_
-    # bpe, rolling_fingerprint, repetition_stats, pii_scrub,
-    # pack_sequences, length_quantiles, the three export roundtrips,
-    # keyword_search, hll/cms sketches, bm25_search, chunk_documents,
-    # text_normalize, inverted_index — tests/test_registry.py pins that
-    # every first-50 entry carries an oracle), and the four rows-only
-    # queries (no oracle by declared design: LSH/IVF/kmeans float
-    # paths, recall- and differential-tested in pytest instead).
+    # profile_table); and the NEW r5 queries (top_docs_per_lang,
+    # global_rank, corpus_diff, daily_active_users, retention_cohorts,
+    # hits, local_supplier_volume, brand_revenue). The overflow tail
+    # (positions 51+) holds only queries hash-green in the r4 driver
+    # sweep whose code is unchanged in r5 beyond the mechanical
+    # _autoconc cap (media_features, media_summary, events_asof_order,
+    # funnel, events_join_customer, token_count_bpe,
+    # rolling_fingerprint, repetition_stats, pii_scrub, pack_sequences,
+    # length_quantiles, the three export roundtrips, keyword_search,
+    # hll/cms sketches, bm25_search, chunk_documents, text_normalize,
+    # inverted_index — tests/test_registry.py pins that every first-50
+    # entry carries an oracle), and the four rows-only queries (no
+    # oracle by declared design: LSH/IVF/kmeans float paths, recall-
+    # and differential-tested in pytest instead).
     return {
         # crawl engine over the deterministic link graph
         "crawl_reachability": graph.crawl_reachability,
@@ -80,6 +83,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # graph analytics
         "degree_stats": linkgraph.degree_stats,
         "pagerank": linkgraph.pagerank,  # exact-integer, unrolled SQL oracle
+        "hits": linkgraph.hits,  # NEW in r5: exact-integer, unrolled SQL oracle
         "triangle_count": linkgraph.triangle_count,  # exact SQL oracle
         # columnar classics over the star schema
         "top_customers": lambda sf: tpch.top_customers(sf, k=10),
@@ -87,9 +91,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_with_returns": tpch.orders_with_returns,  # semi-join
         "idle_customers": tpch.idle_customers,            # anti-join
         "pricing_summary": lambda sf: tpch.pricing_summary(sf),
-        # multimodal plumbing
-        "media_features": media_features_sql_cols,
-        "media_summary": multimodal.media_summary,
+        # NEW in r5: Q5-shaped 3-exchange multi-join, Q14-shaped
+        # join + conditional aggregate
+        "local_supplier_volume": lambda sf: tpch.local_supplier_volume(sf),
+        "brand_revenue": lambda sf: tpch.brand_revenue(sf),
         # NEW in r5: grouped top-k, order-statistics rank, snapshot diff
         "top_docs_per_lang": lambda sf: text.top_docs_per_lang(
             sf, k=5),  # exact SQL oracle (window function)
@@ -144,9 +149,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf),  # exact SQL oracle
         # joins (broadcast small-side + hash-partitioned Dataset join)
         "events_by_segment": joins.events_by_segment,
-        "events_asof_order": joins.events_asof_order,
         # --- overflow margin: hash-green in the r4 driver sweep, code
-        #     UNTOUCHED in r5, re-checkable anytime ---
+        #     unchanged in r5 beyond the mechanical _autoconc cap (whose
+        #     behavior IS in-window via lang_id / events_by_segment),
+        #     re-checkable anytime ---
+        "media_features": media_features_sql_cols,
+        "media_summary": multimodal.media_summary,
+        "events_asof_order": joins.events_asof_order,
         "funnel": lambda sf: events.funnel(sf),
         "events_join_customer": lambda sf: joins.events_join_customer(sf, 50),
         "dedup_chunk": lambda sf: dedup.dedup_chunk(sf, chunk_tokens=16),
@@ -566,6 +575,46 @@ def _pagerank_sql(iters: int, damping_pct: int, scale: int) -> str:
     return sql + f"\n        SELECT d AS doc_id, pr FROM pr{iters} ORDER BY doc_id"
 
 
+def _hits_sql(iters: int, scale: int) -> str:
+    """Unrolled exact-integer HITS oracle — max-normalized floor
+    arithmetic, order-independent like the pagerank oracle, so DuckDB
+    reproduces the distributed recurrence bit-for-bit
+    (pipelines/linkgraph.py:hits)."""
+    sql = f"""
+        WITH {_EDGES_CTE},
+        e AS (SELECT DISTINCT src, dst FROM edges WHERE src % 13 <> 7),
+        nodes AS (SELECT src AS d FROM e UNION SELECT dst FROM e),
+        a0 AS (SELECT d, CAST({scale} AS BIGINT) AS a FROM nodes)"""
+    # MATERIALIZED: each raw CTE is referenced twice (the max scalar
+    # subquery + the FROM) — without it DuckDB inlines the whole chain
+    # at every reference, i.e. 4^iters re-evaluations
+    for i in range(1, iters + 1):
+        sql += f""",
+        hraw{i} AS MATERIALIZED (
+          SELECT n.d, CAST(COALESCE(s.c, 0) AS BIGINT) AS raw
+          FROM nodes n LEFT JOIN (
+            SELECT e.src AS d, sum(p.a) AS c
+            FROM e JOIN a{i - 1} p ON p.d = e.dst GROUP BY e.src
+          ) s ON s.d = n.d),
+        h{i} AS MATERIALIZED (
+          SELECT d, CAST(CAST(raw AS HUGEINT) * {scale}
+                         // (SELECT max(raw) FROM hraw{i}) AS BIGINT) AS h
+          FROM hraw{i}),
+        araw{i} AS MATERIALIZED (
+          SELECT n.d, CAST(COALESCE(s.c, 0) AS BIGINT) AS raw
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS d, sum(p.h) AS c
+            FROM e JOIN h{i} p ON p.d = e.src GROUP BY e.dst
+          ) s ON s.d = n.d),
+        a{i} AS MATERIALIZED (
+          SELECT d, CAST(CAST(raw AS HUGEINT) * {scale}
+                         // (SELECT max(raw) FROM araw{i}) AS BIGINT) AS a
+          FROM araw{i})"""
+    return sql + f"""
+        SELECT h.d AS doc_id, h.h AS hub, a.a AS auth
+        FROM h{iters} h JOIN a{iters} a ON a.d = h.d ORDER BY doc_id"""
+
+
 _PROFILE_SQL_CACHE: list[str] = []
 
 
@@ -651,6 +700,7 @@ def oracle_sql() -> dict[str, str]:
             FROM c GROUP BY doc_id ORDER BY doc_id
         """,
         "pagerank": _pagerank_sql(4, 85, 10 ** 12),
+        "hits": _hits_sql(3, 10 ** 6),
         # same (deg, id)-ordered orientation as the Ray pipeline: each
         # triangle matches the 3-way join exactly once (acyclic
         # orientation => unique u<v<w), so no /3 anywhere
@@ -1586,6 +1636,45 @@ def oracle_sql() -> dict[str, str]:
               AND l.l_shipdate > TIMESTAMP '1998-06-01'
             GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
             ORDER BY revenue_u DESC, l_orderkey LIMIT 10
+        """,
+        # Q5-shaped multi-join (tpch.py:local_supplier_volume): same
+        # integer revenue units as shipping_priority
+        "local_supplier_volume": """
+            SELECT n.n_name AS n_name,
+                   CAST(sum(CAST(floor(l.l_extendedprice*100 + 0.5)
+                                 AS BIGINT) *
+                            (100 - CAST(floor(l.l_discount*100 + 0.5)
+                                        AS BIGINT))) AS BIGINT) AS revenue_u
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            WHERE c.c_nationkey = s.s_nationkey
+              AND r.r_name = 'ASIA'
+              AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o.o_orderdate < TIMESTAMP '1999-01-01'
+            GROUP BY n.n_name ORDER BY n_name
+        """,
+        # Q14-shaped join + conditional aggregate (tpch.py:brand_revenue)
+        "brand_revenue": """
+            SELECT p.p_brand AS p_brand,
+                   CAST(sum(CAST(floor(l.l_extendedprice*100 + 0.5)
+                                 AS BIGINT) *
+                            (100 - CAST(floor(l.l_discount*100 + 0.5)
+                                        AS BIGINT))) AS BIGINT) AS revenue_u,
+                   CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                                 THEN CAST(floor(l.l_extendedprice*100 + 0.5)
+                                           AS BIGINT) *
+                                      (100 - CAST(floor(l.l_discount*100
+                                                        + 0.5) AS BIGINT))
+                                 ELSE 0 END) AS BIGINT) AS promo_revenue_u,
+                   CAST(count(*) AS BIGINT) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l.l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY p.p_brand ORDER BY p_brand
         """,
         # semi-join: orders with >= 1 returned lineitem, per priority
         "orders_with_returns": """

@@ -169,6 +169,121 @@ def pagerank(sf_dir: str, iters: int = PR_ITERS,
     return ranks.map_batches(project, batch_format="pyarrow")
 
 
+HITS_SCALE = 10 ** 6
+HITS_ITERS = 3
+
+
+def _hits_half(edges, scores, nodes, join_on: str, group_to: str,
+               out_col: str, scale: int):
+    """One HITS half-step: raw[group_to] = Σ_{edges} scores[join_on],
+    then max-normalize to [0, scale] with floor division.
+
+    Max-normalization (instead of the textbook L2 norm) keeps the whole
+    recurrence in exact int64 — sums and max are order-independent, so
+    the unrolled DuckDB oracle reproduces the distributed result
+    bit-for-bit. One hash-partitioned join + one combiner exchange per
+    half-step, same cost shape as a pagerank iteration; the global max
+    is a tiny O(|V|)→scalar aggregate."""
+    score_col = scores.schema().names[1]
+    joined = hash_join(edges, scores, on=join_on, right_on="d")
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        return pa.table({"d": batch[group_to], "c": batch[score_col]})
+
+    def to_zero_rows(batch: pa.Table) -> pa.Table:
+        # keeps contribution-less nodes alive through the exchange
+        return pa.table({
+            "d": batch["d"],
+            "c": pa.array(np.zeros(batch.num_rows, dtype=np.int64))})
+
+    rows = joined.map_batches(to_rows, batch_format="pyarrow")
+    zeros = nodes.map_batches(to_zero_rows, batch_format="pyarrow")
+    raw = hash_aggregate(rows.union(zeros), "d",
+                         {"raw": ("c", "sum")}).materialize()
+    m = raw.max("raw")
+    if m is None or m <= 0:
+        raise ValueError("HITS max-normalizer is 0 — empty edge set?")
+    if m > (2 ** 63 - 1) // scale:
+        raise OverflowError(
+            f"HITS normalize multiply would overflow int64 (max raw {m}, "
+            f"scale {scale}); lower scale")
+
+    def norm(batch: pa.Table) -> pa.Table:
+        r = batch["raw"].to_numpy(zero_copy_only=False)
+        if len(r) and int(r.min()) < 0:
+            raise OverflowError("HITS contribution SUM wrapped int64")
+        return pa.table({"d": batch["d"], out_col: pa.array(r * scale // m)})
+
+    return raw.map_batches(norm, batch_format="pyarrow").materialize()
+
+
+def hits(sf_dir: str, iters: int = HITS_ITERS, scale: int = HITS_SCALE):
+    """Exact-integer HITS (hubs & authorities) over the extracted link
+    graph (Kleinberg 1999), the second classic crawl-output ranking
+    next to ``pagerank`` (reference walks the same per-page link lists,
+    src/links.ts:94-140).
+
+    a0[v] = scale; per iteration: h[u] = norm(Σ_{u→v} a[v]),
+    a[v] = norm(Σ_{u→v} h[u]) with norm(x) = x·scale // max(x) — all
+    int64 floor arithmetic, so a 3-iteration unrolled SQL oracle hashes
+    identically. Per iteration: two hash-partitioned joins (edges ⋈
+    scores) + two combiner exchanges + two scalar max aggregates;
+    working set O(|E|) edges (materialized once) + O(|V|) scores —
+    the same at-scale shape as distributed pagerank."""
+    edges = graph.extract_edges(sf_dir).materialize()
+
+    def node_only(batch: pa.Table) -> pa.Table:
+        return pa.table({"d": batch["d"]})
+
+    nodes = _node_degrees(edges).map_batches(
+        node_only, batch_format="pyarrow").materialize()
+
+    def init(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "d": batch["d"],
+            "a": pa.array(np.full(batch.num_rows, scale, dtype=np.int64))})
+
+    auth = nodes.map_batches(init, batch_format="pyarrow").materialize()
+    hub = None
+    for _ in range(iters):
+        # h[u] = norm(Σ over out-edges (u,v) of a[v]): join on dst, sum per src
+        hub = _hits_half(edges, auth, nodes, join_on="dst_doc",
+                         group_to="src_doc", out_col="h", scale=scale)
+        # a[v] = norm(Σ over in-edges (u,v) of h[u]): join on src, sum per dst
+        auth = _hits_half(edges, hub, nodes, join_on="src_doc",
+                          group_to="dst_doc", out_col="a", scale=scale)
+
+    both = hash_join(hub, auth.map_batches(
+        lambda b: pa.table({"d2": b["d"], "a": b["a"]}),
+        batch_format="pyarrow"), on="d", right_on="d2")
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["d"], "hub": batch["h"],
+                         "auth": batch["a"]})
+
+    return both.map_batches(project, batch_format="pyarrow")
+
+
+def hits_reference(edges: list[tuple[int, int]], iters: int = HITS_ITERS,
+                   scale: int = HITS_SCALE) -> dict[int, tuple[int, int]]:
+    """Single-machine integer HITS (differential-test oracle)."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    a = {v: scale for v in nodes}
+    h = {v: 0 for v in nodes}
+    for _ in range(iters):
+        raw_h = {v: 0 for v in nodes}
+        for u, v in edges:
+            raw_h[u] += a[v]
+        m = max(raw_h.values())
+        h = {v: raw_h[v] * scale // m for v in nodes}
+        raw_a = {v: 0 for v in nodes}
+        for u, v in edges:
+            raw_a[v] += h[u]
+        m = max(raw_a.values())
+        a = {v: raw_a[v] * scale // m for v in nodes}
+    return {v: (h[v], a[v]) for v in nodes}
+
+
 def pagerank_reference(edges: list[tuple[int, int]], iters: int = PR_ITERS,
                        damping_pct: int = PR_DAMPING_PCT,
                        scale: int = PR_SCALE) -> dict[int, int]:

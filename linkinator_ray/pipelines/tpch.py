@@ -244,6 +244,168 @@ def orders_with_returns(sf_dir: str):
     return out
 
 
+def _rev_units(batch: pa.Table) -> pa.ChunkedArray:
+    """Exact-integer discounted revenue units shared by the join-heavy
+    queries: floor(price·100+.5) × (100 − floor(disc·100+.5)) — same
+    formula as shipping_priority, so every oracle states it once."""
+    price_c = pc.cast(pc.floor(pc.add(
+        pc.multiply(batch["l_extendedprice"], pa.scalar(100.0)),
+        pa.scalar(0.5))), pa.int64())
+    disc_p = pc.cast(pc.floor(pc.add(
+        pc.multiply(batch["l_discount"], pa.scalar(100.0)),
+        pa.scalar(0.5))), pa.int64())
+    return pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()),
+                                            disc_p))
+
+
+def local_supplier_volume(sf_dir: str, region: str = "ASIA",
+                          date_from: str = "1996-01-01",
+                          date_to: str = "1999-01-01"):
+    """Q5-shaped multi-join: revenue by nation where the customer and
+    the supplier share the nation, one region, one date window.
+
+    The canonical 3-exchange distributed plan: region⋈nation collapses
+    to a tiny nationkey set on the driver (dimension broadcast);
+    customer and supplier filter against it AT THE READ; then exactly
+    three hash-partitioned exchanges join the big sides —
+    orders⋈customer on custkey, lineitem⋈supplier on suppkey, and the
+    two halves on orderkey — with the c_nationkey = s_nationkey
+    equality applied as a vectorized post-join filter. Revenue partials
+    pre-combine per (orderkey, s_nationkey) inside each batch before
+    the last exchange; the final per-nation aggregate is 5 rows."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from linkinator_ray.pipelines.hashagg import hash_aggregate, hash_join
+
+    # tiny dims on the driver: nationkeys of the region + key→name
+    nat = pads.dataset(f"{sf_dir}/nation.parquet").to_table(
+        columns=["n_nationkey", "n_name", "n_regionkey"])
+    reg = pads.dataset(f"{sf_dir}/region.parquet").to_table(
+        columns=["r_regionkey"],
+        filter=pads.field("r_name") == region)
+    rkeys = set(reg["r_regionkey"].to_pylist())
+    name_of = {k: n for k, n, rk in zip(nat["n_nationkey"].to_pylist(),
+                                        nat["n_name"].to_pylist(),
+                                        nat["n_regionkey"].to_pylist())
+               if rk in rkeys}
+    nat_keys = sorted(name_of)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
+        filter=pads.field("c_nationkey").isin(nat_keys))
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"],
+        filter=pads.field("s_nationkey").isin(nat_keys))
+    lo = pa.scalar(np.datetime64(date_from, "us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
+        filter=(pads.field("o_orderdate") >= lo)
+        & (pads.field("o_orderdate") < hi))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_orderkey": batch["l_orderkey"],
+                      "l_suppkey": batch["l_suppkey"],
+                      "rev": _rev_units(batch)})
+        agg = t.group_by(["l_orderkey", "l_suppkey"],
+                         use_threads=False).aggregate([("rev", "sum")])
+        return pa.table({"l_orderkey": agg["l_orderkey"],
+                         "l_suppkey": agg["l_suppkey"],
+                         "rev_u": agg["rev_sum"]})
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]).map_batches(
+        rev_partial, batch_format="pyarrow", batch_size=131072)
+
+    cust_orders = hash_join(orders, cust, on="o_custkey",
+                            right_on="c_custkey")
+    supp_lines = hash_join(lines, supp, on="l_suppkey",
+                           right_on="s_suppkey")
+    both = hash_join(supp_lines, cust_orders, on="l_orderkey",
+                     right_on="o_orderkey")
+
+    def nation_partial(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["s_nationkey"], batch["c_nationkey"])
+        batch = batch.filter(keep)
+        t = pa.table({"nk": batch["s_nationkey"], "rev": batch["rev_u"]})
+        agg = t.group_by("nk", use_threads=False).aggregate(
+            [("rev", "sum")])
+        return pa.table({"nk": agg["nk"], "rev_u": agg["rev_sum"]})
+
+    per_nation = hash_aggregate(
+        both.map_batches(nation_partial, batch_format="pyarrow"),
+        "nk", {"revenue_u": ("rev_u", "sum")})
+
+    def name_row(batch: pa.Table) -> pa.Table:
+        nk = batch["nk"].to_pylist()  # ≤ |nation| rows total
+        return pa.table({
+            "n_name": pa.array([name_of[k] for k in nk], pa.string()),
+            "revenue_u": batch["revenue_u"]})
+
+    return per_nation.map_batches(name_row, batch_format="pyarrow")
+
+
+def brand_revenue(sf_dir: str, date_from: str = "1997-01-01",
+                  date_to: str = "1998-01-01"):
+    """Q14-shaped join + conditional aggregate: per-brand revenue with
+    a promo share, one ship-date year.
+
+    Lineitem revenue partials pre-combine per partkey inside each batch
+    (the natural combiner — parts repeat heavily within row groups), so
+    the part join moves ≤|part| rows per input block through ONE
+    hash-partitioned exchange; the promo split is a vectorized
+    starts_with on the joined p_type. Output is 25 brand rows."""
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from linkinator_ray.pipelines.hashagg import hash_aggregate, hash_join
+
+    lo = pa.scalar(np.datetime64(date_from, "us"))
+    hi = pa.scalar(np.datetime64(date_to, "us"))
+
+    def rev_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"l_partkey": batch["l_partkey"],
+                      "rev": _rev_units(batch),
+                      "one": pa.array(np.ones(batch.num_rows,
+                                              dtype=np.int64))})
+        agg = t.group_by("l_partkey", use_threads=False).aggregate(
+            [("rev", "sum"), ("one", "sum")])
+        return pa.table({"l_partkey": agg["l_partkey"],
+                         "rev_u": agg["rev_sum"], "n": agg["one_sum"]})
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount"],
+        filter=(pads.field("l_shipdate") >= lo)
+        & (pads.field("l_shipdate") < hi)).map_batches(
+        rev_partial, batch_format="pyarrow", batch_size=131072)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type"])
+    joined = hash_join(lines, part, on="l_partkey", right_on="p_partkey")
+
+    def brand_partial(batch: pa.Table) -> pa.Table:
+        promo = pc.starts_with(batch["p_type"], "PROMO")
+        rev = batch["rev_u"]
+        promo_rev = pc.if_else(promo, rev, pa.scalar(0, pa.int64()))
+        t = pa.table({"p_brand": batch["p_brand"], "rev": rev,
+                      "promo_rev": promo_rev, "n": batch["n"]})
+        agg = t.group_by("p_brand", use_threads=False).aggregate(
+            [("rev", "sum"), ("promo_rev", "sum"), ("n", "sum")])
+        return pa.table({"p_brand": agg["p_brand"],
+                         "rev": agg["rev_sum"],
+                         "promo_rev": agg["promo_rev_sum"],
+                         "n": agg["n_sum"]})
+
+    return hash_aggregate(
+        joined.map_batches(brand_partial, batch_format="pyarrow"),
+        "p_brand", {"revenue_u": ("rev", "sum"),
+                    "promo_revenue_u": ("promo_rev", "sum"),
+                    "n_items": ("n", "sum")})
+
+
 def idle_customers(sf_dir: str, since: str = "1998-06-01"):
     """Q22-shaped ANTI-join: per-segment counts of customers with NO
     orders since the cutoff (lapsed customers). Orders row-filter at

@@ -206,3 +206,31 @@ def test_pagerank_actor_duplicate_delivery_is_dropped(ray_session):
     assert set(pr) == {150_000 + 1_000_000 * 85 // 100}
     assert not ray.get(s.errors.remote())
     ray.kill(s)
+
+
+def test_hits_reference_hub_authority():
+    # 3 hubs all point at node 0; node 0 points at node 4.
+    # The hubs share the top hub score; 0 is the unique top authority.
+    from linkinator_ray.pipelines.linkgraph import hits_reference
+    edges = [(1, 0), (2, 0), (3, 0), (0, 4)]
+    scores = hits_reference(edges, iters=3, scale=10 ** 6)
+    hubs = {v: h for v, (h, _) in scores.items()}
+    auths = {v: a for v, (_, a) in scores.items()}
+    assert hubs[1] == hubs[2] == hubs[3] == 10 ** 6
+    assert max(auths, key=auths.get) == 0 and auths[0] == 10 ** 6
+    # node 4 is a pure sink: no out-edges -> zero hub score
+    assert hubs[4] == 0
+
+
+def test_hits_distributed_equals_reference(ray_session):
+    """The Ray pipeline (2 joins + 2 combiner exchanges + 2 scalar max
+    aggregates per iteration) must be BIT-IDENTICAL to the single-
+    machine integer recurrence — max-normalized floor arithmetic is
+    order-independent."""
+    from linkinator_ray.pipelines.linkgraph import hits, hits_reference
+    expect = hits_reference(_edges(SF), iters=3)
+    got = hits(SF, iters=3).to_pandas().set_index("doc_id")
+    assert len(got) == len(expect)
+    for d, (h, a) in expect.items():
+        assert int(got.loc[d, "hub"]) == h, f"hub {d}"
+        assert int(got.loc[d, "auth"]) == a, f"auth {d}"

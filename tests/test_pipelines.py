@@ -2131,3 +2131,40 @@ def test_media_decode_avi_hostile_payloads():
     f = decode_avi(doctored)
     assert f["n_frames"] == 2          # only stream-00 frames in movi
     assert f["mean_milli"] == 16_000   # \x10 = 16; \xff frames excluded
+
+
+def test_local_supplier_volume_matches_duckdb(ray_session):
+    """Q5 shape end-to-end vs the registered oracle: 3 hash exchanges,
+    nation-equality post-join filter, exact-integer revenue."""
+    import duckdb
+    import __ray_entry__ as entrymod
+    from linkinator_ray.pipelines.tpch import local_supplier_volume
+    got = local_supplier_volume(SF).to_pandas().sort_values(
+        "n_name").reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "supplier", "nation",
+              "region"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    want = con.sql(entrymod.oracle_sql()["local_supplier_volume"]).df()
+    assert got["n_name"].tolist() == want["n_name"].tolist()
+    assert got["revenue_u"].tolist() == want["revenue_u"].tolist()
+
+
+def test_brand_revenue_matches_duckdb(ray_session):
+    """Q14 shape end-to-end vs the registered oracle: per-partkey
+    combiner, one part join, conditional promo aggregate."""
+    import duckdb
+    import __ray_entry__ as entrymod
+    from linkinator_ray.pipelines.tpch import brand_revenue
+    got = brand_revenue(SF).to_pandas().sort_values(
+        "p_brand").reset_index(drop=True)
+    con = duckdb.connect()
+    for t in ("lineitem", "part"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    want = con.sql(entrymod.oracle_sql()["brand_revenue"]).df()
+    assert got["p_brand"].tolist() == want["p_brand"].tolist()
+    assert got["revenue_u"].tolist() == want["revenue_u"].tolist()
+    assert got["promo_revenue_u"].tolist() == want["promo_revenue_u"].tolist()
+    assert got["n_items"].tolist() == want["n_items"].tolist()
+    # promo share is a strict subset of revenue
+    assert (got["promo_revenue_u"] <= got["revenue_u"]).all()
