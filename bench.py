@@ -176,6 +176,8 @@ def run_queries() -> dict:
         "train_split": lambda: text.train_split(SF_DIR),
         "length_quantiles": lambda: text.length_quantiles(SF_DIR),
         "shipping_priority": lambda: tpch.shipping_priority(SF_DIR),
+        "local_supplier_volume": lambda: tpch.local_supplier_volume(SF_DIR),
+        "brand_revenue": lambda: tpch.brand_revenue(SF_DIR),
         "orders_with_returns": lambda: tpch.orders_with_returns(SF_DIR),
         "idle_customers": lambda: tpch.idle_customers(SF_DIR),
         "tfidf_top_terms": lambda: text.tfidf_top_terms(SF_DIR),
@@ -198,6 +200,7 @@ def run_queries() -> dict:
         "triangle_count": lambda: linkgraph.triangle_count(SF_DIR),
         "pagerank": lambda: linkgraph.pagerank(SF_DIR),
         "pagerank_actors": lambda: linkgraph.pagerank_actors(SF_DIR),
+        "hits": lambda: linkgraph.hits(SF_DIR),
     }
     if os.path.isdir(WARM_SF_DIR):
         global SF_DIR

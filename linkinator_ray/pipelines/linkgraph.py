@@ -214,7 +214,10 @@ def _hits_half(edges, scores, nodes, join_on: str, group_to: str,
             raise OverflowError("HITS contribution SUM wrapped int64")
         return pa.table({"d": batch["d"], out_col: pa.array(r * scale // m)})
 
-    return raw.map_batches(norm, batch_format="pyarrow").materialize()
+    # raw is already materialized (the max() pass consumed it); norm is
+    # a cheap projection — leave it lazy so each half-step costs one
+    # exchange + one scalar aggregate, not a third materialization
+    return raw.map_batches(norm, batch_format="pyarrow")
 
 
 def hits(sf_dir: str, iters: int = HITS_ITERS, scale: int = HITS_SCALE):
