@@ -187,6 +187,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, threshold=0.9),  # rows-only (scale path)
         "kmeans_embeddings": lambda sf: similarity.kmeans_embeddings(
             sf, k=10, iters=5),  # rows-only (iterative; differential-tested)
+        "semantic_dedup": lambda sf: similarity.semantic_dedup(
+            sf, k=10, iters=3, threshold=0.95),  # rows-only (planted-dup test)
         "knn_lsh": lambda sf: similarity.knn_lsh(sf, k=5, num_queries=4),  # rows-only
         "knn_ivf": lambda sf: similarity.knn_ivf(sf, k=5, num_queries=4),  # rows-only + recall test
     }

@@ -190,6 +190,8 @@ def run_queries() -> dict:
         "cms_token_counts": lambda: text.cms_token_counts(SF_DIR),
         "kmeans_embeddings": lambda: similarity.kmeans_embeddings(
             SF_DIR, k=10, iters=5),
+        "semantic_dedup": lambda: similarity.semantic_dedup(
+            SF_DIR, k=10, iters=3, threshold=0.95),
         "inverted_index": lambda: __import__(
             "linkinator_ray.pipelines.index",
             fromlist=["x"]).inverted_index(SF_DIR),

@@ -480,3 +480,132 @@ def kmeans_embeddings(sf_dir: str, k: int = 10, iters: int = 5):
     return read_embeddings(sf_dir).map_batches(
         _assign, batch_format="pyarrow", batch_size=4096,
         fn_kwargs={"cents_ref": final_ref})
+
+
+def semantic_dedup(sf_dir: str, k: int = 10, iters: int = 3,
+                   threshold: float = 0.95, cluster_cap: int = 100_000):
+    """SemDeDup-style semantic near-dup removal (Abbas et al. 2023,
+    arXiv:2303.09540): k-means partition the embedding space, then
+    compare pairs WITHIN each cluster only — pairwise cost falls from
+    O(n²) to Σ O(|cluster|²) and every cluster is processed
+    independently on its own hash partition.
+
+    A pure composition of primitives already proven here: the
+    broadcast-centroid k-means sketch loop (kmeans_embeddings) trains
+    centroids; one streaming assignment pass emits (vec_id, cluster,
+    embedding); ``hash_partition_apply`` on cluster co-locates each
+    cluster; the per-partition kernel normalizes once, takes the
+    blockwise gram matrix per cluster, and applies the deterministic
+    keep-lowest-id rule — vector j is dropped iff ANY lower-id vector
+    in its cluster has cosine ≥ threshold, and ``dup_of`` records the
+    lowest such anchor. Returns the drops Dataset
+    (vec_id, dup_of, cluster).
+
+    Partitioning assumption (documented per the custom-operator rule):
+    one CLUSTER must fit a worker's memory for its gram block —
+    ``cluster_cap`` fails loudly instead of silently O(n²)-ing when a
+    degenerate clustering collapses everything into one cluster; raise
+    k (more, smaller clusters) or split hot clusters to proceed.
+    Float path → rows-only oracle; semantics pinned by a planted-dup
+    pytest (tests/test_similarity.py)."""
+    import ray
+
+    from linkinator_ray.pipelines.hashagg import hash_partition_apply
+
+    import pandas as pd
+
+    # train centroids with the same broadcast-sketch loop as
+    # kmeans_embeddings (kmeans returns only (vec_id, cluster); the
+    # dedup kernel needs the embedding co-located with the assignment,
+    # so the assignment pass below carries the vector through instead
+    # of paying a join against a second read)
+    cents = _kmeans_init(sf_dir, k)
+
+    def _put(obj):
+        return ray.put(obj) if ray.is_initialized() else obj
+
+    def _cents_of(ref) -> np.ndarray:
+        return ref if isinstance(ref, np.ndarray) else ray.get(ref)
+
+    def _partial(batch: pa.Table, *, cents_ref) -> pa.Table:
+        cents_m = _cents_of(cents_ref)
+        mat = _normalized(_embedding_matrix(batch.column("embedding")))
+        assign = (mat @ cents_m.T).argmax(1)
+        kk = cents_m.shape[0]
+        sums = np.zeros((kk, mat.shape[1]))
+        np.add.at(sums, assign, mat)
+        counts = np.bincount(assign, minlength=kk).astype(np.int64)
+        return pa.table({
+            "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+            "n": pa.array(counts),
+            "psum": pa.array(list(sums)),
+        })
+
+    for _ in range(iters):
+        ref = _put(cents)
+        parts = read_embeddings(sf_dir).map_batches(
+            _partial, batch_format="pyarrow", batch_size=4096,
+            fn_kwargs={"cents_ref": ref}).to_pandas()
+        new = cents.copy()
+        for c, grp in parts.groupby("cluster"):
+            n = int(grp["n"].sum())
+            if n > 0:
+                s = np.sum(np.stack(grp["psum"].to_numpy()), axis=0)
+                norm = np.linalg.norm(s)
+                if norm > 1e-12:
+                    new[int(c)] = s / norm
+        cents = new
+
+    final_ref = _put(cents)
+
+    def assign_with_vec(batch: pa.Table, *, cents_ref) -> pa.Table:
+        cents_m = _cents_of(cents_ref)
+        mat = _normalized(_embedding_matrix(batch.column("embedding")))
+        assign = (mat @ cents_m.T).argmax(1).astype(np.int64)
+        return pa.table({
+            "vec_id": batch.column("vec_id"),
+            "cluster": pa.array(assign),
+            "embedding": batch.column("embedding"),
+        })
+
+    assigned = read_embeddings(sf_dir).map_batches(
+        assign_with_vec, batch_format="pyarrow", batch_size=4096,
+        fn_kwargs={"cents_ref": final_ref})
+
+    def drops_of_partition(df: "pd.DataFrame") -> "pd.DataFrame":
+        out_id, out_anchor, out_cluster = [], [], []
+        for c, grp in df.groupby("cluster"):
+            m = len(grp)
+            if m < 2:
+                continue
+            if m > cluster_cap:
+                raise ValueError(
+                    f"semantic_dedup cluster {c} has {m} vectors "
+                    f"(> cluster_cap={cluster_cap}); raise k")
+            grp = grp.sort_values("vec_id")
+            ids = grp["vec_id"].to_numpy()
+            mat = _normalized(np.ascontiguousarray(
+                np.stack(grp["embedding"].to_numpy()), dtype=np.float64))
+            # column blocks keep peak memory at m × block instead of m²
+            block = 4096
+            for j0 in range(1, m, block):
+                j1 = min(j0 + block, m)
+                g = mat @ mat[j0:j1].T          # (m, j1-j0)
+                jj = np.arange(j0, j1)
+                # only anchors with i < j count
+                g[np.arange(m)[:, None] >= jj[None, :]] = -np.inf
+                hit = g >= threshold
+                has = hit.any(axis=0)
+                if not has.any():
+                    continue
+                first = hit.argmax(axis=0)       # lowest-row anchor
+                out_id.extend(ids[jj[has]])
+                out_anchor.extend(ids[first[has]])
+                out_cluster.extend([int(c)] * int(has.sum()))
+        return pd.DataFrame({
+            "vec_id": pd.Series(out_id, dtype="int64"),
+            "dup_of": pd.Series(out_anchor, dtype="int64"),
+            "cluster": pd.Series(out_cluster, dtype="int64"),
+        })
+
+    return hash_partition_apply(assigned, "cluster", drops_of_partition)

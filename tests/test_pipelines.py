@@ -2168,3 +2168,52 @@ def test_brand_revenue_matches_duckdb(ray_session):
     assert got["n_items"].tolist() == want["n_items"].tolist()
     # promo share is a strict subset of revenue
     assert (got["promo_revenue_u"] <= got["revenue_u"]).all()
+
+
+def test_semantic_dedup_planted(ray_session, tmp_path):
+    """SemDeDup semantics: two planted near-identical copies of
+    existing vectors (one per region of the space) must be dropped with
+    dup_of = their lower-id anchor; well-separated vectors survive."""
+    import pyarrow.parquet as pq
+    from linkinator_ray.pipelines.similarity import semantic_dedup
+    rng = np.random.default_rng(11)
+    # two well-separated blobs so k-means has real structure
+    a = rng.standard_normal((50, 32)).astype(np.float32) + 8.0
+    b = rng.standard_normal((50, 32)).astype(np.float32) - 8.0
+    vecs = np.vstack([a, b])
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist(), "label": 0}
+            for i in range(100)]
+    rows.append({"vec_id": 500,
+                 "embedding": (vecs[7] * 1.0001).tolist(), "label": 0})
+    rows.append({"vec_id": 501,
+                 "embedding": (vecs[60] * 1.0002).tolist(), "label": 0})
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(out / "embeddings.parquet"))
+    drops = semantic_dedup(str(out), k=4, iters=4,
+                           threshold=0.999).to_pandas()
+    by_id = drops.set_index("vec_id")["dup_of"].to_dict()
+    assert by_id.get(500) == 7
+    assert by_id.get(501) == 60
+    # nothing else is that similar at 0.999
+    assert set(drops["vec_id"]) == {500, 501}
+
+
+def test_semantic_dedup_cluster_cap(ray_session, tmp_path):
+    """A cluster larger than cluster_cap fails loudly instead of
+    silently going O(n²)."""
+    import pytest as _pytest
+    import pyarrow.parquet as pq
+    from linkinator_ray.pipelines.similarity import semantic_dedup
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((40, 8)).astype(np.float32)
+    rows = [{"vec_id": i, "embedding": vecs[i].tolist(), "label": 0}
+            for i in range(40)]
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(out / "embeddings.parquet"))
+    with _pytest.raises(Exception, match="cluster_cap"):
+        semantic_dedup(str(out), k=1, iters=1, threshold=0.99,
+                       cluster_cap=10).to_pandas()

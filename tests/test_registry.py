@@ -21,7 +21,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 # rows-only by declared design (float-geometry / iterative paths)
 NO_ORACLE = {"dedup_embedding_lsh", "kmeans_embeddings", "knn_lsh",
-             "knn_ivf"}
+             "knn_ivf", "semantic_dedup"}
 
 
 @pytest.fixture(scope="module")
