@@ -106,6 +106,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": lambda sf: text.quality_filter(sf),
         "fingerprint_md5": text.fingerprint_md5,
         "top_tokens": lambda sf: text.top_tokens(sf, k=20),
+        "bigram_counts": lambda sf: text.bigram_counts(
+            sf, k=20),  # NEW in r5: exact SQL oracle
         "lang_id": text.lang_id,                      # exact SQL oracle
         "tfidf_top_terms": lambda sf: text.tfidf_top_terms(sf, k=3),
         "unigram_logppl": text.unigram_logppl,  # exact SQL oracle
@@ -147,14 +149,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf),  # exact SQL oracle
         "retention_cohorts": lambda sf: events.retention_cohorts(
             sf),  # exact SQL oracle
-        # joins (broadcast small-side + hash-partitioned Dataset join)
-        "events_by_segment": joins.events_by_segment,
         # --- overflow margin: hash-green in the r4 driver sweep, code
         #     unchanged in r5 beyond the mechanical _autoconc cap (whose
         #     behavior IS in-window via lang_id / events_by_segment),
         #     re-checkable anytime ---
         "media_features": media_features_sql_cols,
         "media_summary": multimodal.media_summary,
+        "events_by_segment": joins.events_by_segment,
         "events_asof_order": joins.events_asof_order,
         "funnel": lambda sf: events.funnel(sf),
         "events_join_customer": lambda sf: joins.events_join_customer(sf, 50),
@@ -1463,6 +1464,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(bit_xor(doc_id) AS BIGINT) AS postings_xor
             FROM tok GROUP BY token
             ORDER BY doc_freq DESC, token ASC LIMIT 20
+        """,
+        # same \s+ tokenizer as every text oracle; consecutive in-doc
+        # pairs (text.py:bigram_counts)
+        "bigram_counts": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                       string_split_regex(trim(text), '\s+') AS toks
+                FROM documents
+            ),
+            big AS (
+                SELECT list_extract(toks, i) || ' '
+                       || list_extract(toks, i + 1) AS bigram
+                FROM tok, UNNEST(generate_series(1, len(toks) - 1)) AS t(i)
+            )
+            SELECT bigram, CAST(count(*) AS BIGINT) AS n
+            FROM big GROUP BY bigram
+            ORDER BY n DESC, bigram ASC LIMIT 20
         """,
         "top_tokens": r"""
             WITH tok AS (

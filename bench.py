@@ -133,6 +133,7 @@ def run_queries() -> dict:
         "lang_id": lambda: text.lang_id(SF_DIR),
         "quality_filter": lambda: text.quality_filter(SF_DIR),
         "top_tokens": lambda: text.top_tokens(SF_DIR),
+        "bigram_counts": lambda: text.bigram_counts(SF_DIR),
         "dedup_exact": lambda: dedup.dedup_exact(SF_DIR),
         "dedup_minhash": lambda: dedup.dedup_minhash(SF_DIR),
         "corpus_dedup_keep": lambda: dedup.corpus_dedup_keep(SF_DIR),

@@ -1843,3 +1843,54 @@ def prepare_corpus(sf_dir: str, min_tokens: int = 20,
         "lang", {"n_kept": ("nk", "sum"), "kept_tokens": ("tok", "sum"),
                  "n_dup_dropped": ("dups", "sum")},
         num_parts=num_parts)  # unordered; comparators sort
+
+
+def bigram_counts(sf_dir: str, k: int = 20):
+    """Global top-k BIGRAMS by occurrence count (collocation mining —
+    the n-gram statistics pass of corpus analysis, same exchange shape
+    as top_tokens but over a quadratically sparser key space).
+
+    Per batch: one regex split to a list column, consecutive-token
+    pairing fully vectorized on the flattened array (same-parent mask,
+    no Python loop), binary_join to the bigram string, C-speed group_by
+    as the combiner. Two-level hash aggregate merges the partials (rows
+    bounded by distinct bigrams, pre-combined per batch); per-partition
+    local top-k is a valid partial because each bigram's global count
+    lives in exactly one hash partition; driver sees P×k rows."""
+    import pyarrow.compute as pc
+
+    from linkinator_ray.pipelines.hashagg import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(_text_col(batch))
+        lst = pc.split_pattern_regex(trimmed, r"\s+")
+        flat = lst.combine_chunks() if isinstance(
+            lst, pa.ChunkedArray) else lst
+        toks = flat.flatten()
+        parents = pc.list_parent_indices(flat).to_numpy(
+            zero_copy_only=False)
+        if len(toks) < 2:
+            return pa.table({"bigram": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        same = parents[:-1] == parents[1:]
+        idx = np.flatnonzero(same)
+        left = toks.take(pa.array(idx))
+        right = toks.take(pa.array(idx + 1))
+        bigrams = pc.binary_join_element_wise(left, right, " ")
+        agg = pa.table({"bigram": bigrams}).group_by(
+            "bigram", use_threads=False).aggregate([([], "count_all")])
+        return pa.table({"bigram": agg.column("bigram"),
+                         "n": agg.column("count_all")})
+
+    partials = read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=8192)
+    merged = hash_aggregate(partials, "bigram", {"n": ("n", "sum")})
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        return batch.sort_values(["n", "bigram"],
+                                 ascending=[False, True]).head(k)
+
+    top = merged.map_batches(local_topk, batch_format="pandas").to_pandas() \
+        .sort_values(["n", "bigram"], ascending=[False, True]).head(k)
+    return pa.Table.from_pandas(top.reset_index(drop=True),
+                                preserve_index=False)

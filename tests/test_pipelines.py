@@ -2217,3 +2217,23 @@ def test_semantic_dedup_cluster_cap(ray_session, tmp_path):
     with _pytest.raises(Exception, match="cluster_cap"):
         semantic_dedup(str(out), k=1, iters=1, threshold=0.99,
                        cluster_cap=10).to_pandas()
+
+
+def test_bigram_counts_planted(ray_session, tmp_path):
+    """Planted corpus: the repeated in-doc bigram wins; bigrams never
+    span documents; single-token docs contribute nothing."""
+    import pyarrow.parquet as pq
+    from linkinator_ray.pipelines.text import bigram_counts
+    rows = [
+        {"doc_id": 0, "text": "a b a b a b"},   # "a b" x3, "b a" x2
+        {"doc_id": 1, "text": "b"},              # no bigram
+        {"doc_id": 2, "text": "c"},              # "b c" must NOT appear
+        {"doc_id": 3, "text": "a b"},            # "a b" x1
+    ]
+    out = tmp_path / "sf"
+    out.mkdir()
+    pq.write_table(pa.Table.from_pylist(rows),
+                   str(out / "documents.parquet"))
+    got = bigram_counts(str(out), k=10).to_pandas()
+    counts = dict(zip(got["bigram"], got["n"]))
+    assert counts == {"a b": 4, "b a": 2}
