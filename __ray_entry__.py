@@ -84,6 +84,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_stats": linkgraph.degree_stats,
         "pagerank": linkgraph.pagerank,  # exact-integer, unrolled SQL oracle
         "hits": linkgraph.hits,  # NEW in r5: exact-integer, unrolled SQL oracle
+        "cocitation_topk": lambda sf: linkgraph.cocitation_topk(
+            sf, k=20),  # NEW in r5: exact SQL oracle
         "triangle_count": linkgraph.triangle_count,  # exact SQL oracle
         # columnar classics over the star schema
         "top_customers": lambda sf: tpch.top_customers(sf, k=10),
@@ -120,9 +122,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_check": lambda sf: dedup.contamination_check(sf),
         "ngram_jaccard": lambda sf: dedup.ngram_jaccard_pairs(
             sf, limit=100, ngram=1, threshold=0.5),
-        "incremental_dedup": lambda sf: incremental.incremental_dedup(
-            sf, prefix_tokens=8, split_mod=5,
-            num_parts=8),  # exact SQL oracle
         "dedup_embedding": embedding_pairs,
         "knn_bruteforce": knn,
         # sampling / split / export
@@ -137,7 +136,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-dedup -> per-lang summary, one stream
         "prepare_corpus": lambda sf: text.prepare_corpus(sf),  # exact SQL oracle
         # streaming-shaped
-        "sessionize": lambda sf: events.sessionize(sf, 1800),
         "interval_join": lambda sf: events.interval_join(
             sf, "click", "purchase", 1800),  # exact SQL oracle
         "user_running_stats": lambda sf: events.user_running_stats(
@@ -157,6 +155,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_summary": multimodal.media_summary,
         "events_by_segment": joins.events_by_segment,
         "events_asof_order": joins.events_asof_order,
+        "sessionize": lambda sf: events.sessionize(sf, 1800),
+        "incremental_dedup": lambda sf: incremental.incremental_dedup(
+            sf, prefix_tokens=8, split_mod=5,
+            num_parts=8),  # exact SQL oracle
         "funnel": lambda sf: events.funnel(sf),
         "events_join_customer": lambda sf: joins.events_join_customer(sf, 50),
         "dedup_chunk": lambda sf: dedup.dedup_chunk(sf, chunk_tokens=16),
@@ -704,6 +706,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pagerank": _pagerank_sql(4, 85, 10 ** 12),
         "hits": _hits_sql(3, 10 ** 6),
+        # co-citation pair counts; the out-degree cap (64) is part of
+        # the operator contract, mirrored here (linkgraph.py:
+        # cocitation_topk)
+        "cocitation_topk": f"""
+            WITH {_EDGES_CTE},
+            e AS (SELECT DISTINCT src, dst FROM edges WHERE src % 13 <> 7),
+            ok AS (SELECT src FROM e GROUP BY src
+                   HAVING count(*) <= 64),
+            pairs AS (
+              SELECT e1.dst AS a, e2.dst AS b
+              FROM e e1 JOIN e e2
+                ON e1.src = e2.src AND e1.dst < e2.dst
+              WHERE e1.src IN (SELECT src FROM ok)
+            )
+            SELECT a, b, CAST(count(*) AS BIGINT) AS n
+            FROM pairs GROUP BY a, b
+            ORDER BY n DESC, a, b LIMIT 20
+        """,
         # same (deg, id)-ordered orientation as the Ray pipeline: each
         # triangle matches the 3-way join exactly once (acyclic
         # orientation => unique u<v<w), so no /3 anywhere

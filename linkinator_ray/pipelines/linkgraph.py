@@ -809,3 +809,82 @@ def triangle_reference(edges: list[tuple[int, int]]) -> dict[int, int]:
                 # credit the OPPOSITE vertex each time
                 tri[c] += 1
     return tri
+
+
+def cocitation_topk(sf_dir: str, k: int = 20, max_out_degree: int = 64,
+                    num_parts: int | None = None):
+    """Top-k CO-CITED page pairs: (a, b) ranked by how many pages link
+    to both — the classic co-citation similarity signal over the
+    crawl's link graph (companion to ``hits``/``pagerank``; the wedge
+    kernel is triangle_count's, re-aimed at pair counting).
+
+    Plan: ONE hash partition of the distinct edge set on src co-locates
+    each citing page's out-list; the per-partition kernel drops sources
+    above ``max_out_degree`` (a hub page citing m targets emits C(m,2)
+    pairs — the cap bounds the blowup at scale and is mirrored in the
+    SQL oracle, not silently applied), generates ordered (a<b) pairs
+    fully vectorized (run boundaries + np.repeat indexing), and
+    pre-counts per pair as the combiner; a two-level hash aggregate
+    merges pair counts and a mergeable per-partition top-k leaves P×k
+    rows for the driver. Deterministic (n desc, a, b) order."""
+    return cocitation_topk_edges(graph.extract_edges(sf_dir), k=k,
+                                 max_out_degree=max_out_degree,
+                                 num_parts=num_parts)
+
+
+def cocitation_topk_edges(edges, k: int = 20, max_out_degree: int = 64,
+                          num_parts: int | None = None):
+    """Core of ``cocitation_topk`` over any DISTINCT (src_doc, dst_doc)
+    edge dataset (callers must pre-dedup — duplicate edges would
+    double-count pairs and inflate the degree cap)."""
+    import pandas as pd
+
+    from linkinator_ray.pipelines.hashagg import (hash_aggregate,
+                                                  hash_partition_apply)
+
+    def pair_fn(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["src_doc", "dst_doc"], kind="stable")
+        s = df["src_doc"].to_numpy()
+        d = df["dst_doc"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        sizes = np.diff(np.r_[starts, len(s)])
+        # degree cap BEFORE pair generation: the oracle filters the
+        # same sources, so results stay bit-identical
+        keep_run = sizes <= max_out_degree
+        keep = np.repeat(keep_run, sizes)
+        s, d = s[keep], d[keep]
+        if len(s) == 0:
+            return pd.DataFrame({"a": np.array([], np.int64),
+                                 "b": np.array([], np.int64),
+                                 "n": np.array([], np.int64)})
+        starts = np.flatnonzero(np.r_[True, s[1:] != s[:-1]])
+        sizes = np.diff(np.r_[starts, len(s)])
+        local = np.arange(len(s)) - np.repeat(starts, sizes)
+        reps = np.repeat(sizes, sizes) - 1 - local
+        total = int(reps.sum())
+        if total == 0:
+            return pd.DataFrame({"a": np.array([], np.int64),
+                                 "b": np.array([], np.int64),
+                                 "n": np.array([], np.int64)})
+        lefts = np.repeat(np.arange(len(s)), reps)
+        run_off = np.cumsum(reps) - reps
+        within = np.arange(total) - np.repeat(run_off, reps)
+        rights = np.repeat(np.arange(len(s)) + 1, reps) + within
+        out = pd.DataFrame({"a": d[lefts], "b": d[rights]})
+        # out-lists are dst-sorted within each src run, so a < b always
+        return out.groupby(["a", "b"], sort=False).size() \
+            .rename("n").reset_index()
+
+    pairs = hash_partition_apply(edges, "src_doc", pair_fn,
+                                 num_parts=num_parts)
+    merged = hash_aggregate(pairs, ["a", "b"], {"n": ("n", "sum")},
+                            num_parts=num_parts)
+
+    def local_topk(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df.sort_values(["n", "a", "b"],
+                              ascending=[False, True, True]).head(k)
+
+    top = merged.map_batches(local_topk, batch_format="pandas").to_pandas() \
+        .sort_values(["n", "a", "b"], ascending=[False, True, True]).head(k)
+    return pa.Table.from_pandas(top.reset_index(drop=True),
+                                preserve_index=False)

@@ -234,3 +234,65 @@ def test_hits_distributed_equals_reference(ray_session):
     for d, (h, a) in expect.items():
         assert int(got.loc[d, "hub"]) == h, f"hub {d}"
         assert int(got.loc[d, "auth"]) == a, f"auth {d}"
+
+
+def _cocite_ds(edges, **kw):
+    import pyarrow as pa
+    import ray.data as rd
+    from linkinator_ray.pipelines.linkgraph import cocitation_topk_edges
+    src = [int(a) for a, _ in edges]
+    dst = [int(b) for _, b in edges]
+    ds = rd.from_arrow(pa.table({"src_doc": pa.array(src, pa.int64()),
+                                 "dst_doc": pa.array(dst, pa.int64())}))
+    return cocitation_topk_edges(ds, **kw).to_pandas()
+
+
+def _cocite_reference(edges, k, max_out_degree):
+    """Brute-force co-citation: count citing pages per ordered pair."""
+    from collections import Counter, defaultdict
+    outs = defaultdict(set)
+    for s, d in edges:
+        outs[s].add(d)
+    c = Counter()
+    for s, ds in outs.items():
+        if len(ds) > max_out_degree:
+            continue
+        ds = sorted(ds)
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                c[(ds[i], ds[j])] += 1
+    rows = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(a, b, n) for (a, b), n in rows]
+
+
+def test_cocitation_planted(ray_session):
+    # 3 pages all cite {10, 11}; one also cites 12
+    e = [(0, 10), (0, 11), (1, 10), (1, 11), (2, 10), (2, 11), (2, 12)]
+    got = _cocite_ds(e, k=10)
+    rows = list(zip(got.a, got.b, got.n))
+    assert rows[0] == (10, 11, 3)
+    assert set(rows[1:]) == {(10, 12, 1), (11, 12, 1)}
+
+    # degree cap: a hub citing 5 targets is dropped at cap 4
+    hub = [(99, t) for t in range(5)]
+    got = _cocite_ds(e + hub, k=50, max_out_degree=4)
+    assert not ((got.a < 5) & (got.b < 5)).any()
+    # without the cap the hub's C(5,2)=10 pairs appear
+    got = _cocite_ds(e + hub, k=50, max_out_degree=64)
+    assert ((got.a < 5) & (got.b < 5)).sum() == 10
+
+
+def test_cocitation_matches_reference_and_partition_invariant(ray_session):
+    rng = np.random.RandomState(11)
+    e = sorted({(int(rng.randint(0, 60)), int(rng.randint(0, 200)))
+                for _ in range(600)})
+    expect = _cocite_reference(e, k=25, max_out_degree=16)
+    a = _cocite_ds(e, k=25, max_out_degree=16, num_parts=3)
+    b = _cocite_ds(e, k=25, max_out_degree=16, num_parts=11)
+    assert list(zip(a.a, a.b, a.n)) == expect
+    pd.testing.assert_frame_equal(a, b)
+    # sf fixture end-to-end vs brute force over the known edge rule
+    from linkinator_ray.pipelines.linkgraph import cocitation_topk
+    expect_sf = _cocite_reference(_edges(SF), k=20, max_out_degree=64)
+    got_sf = cocitation_topk(SF, k=20).to_pandas()
+    assert list(zip(got_sf.a, got_sf.b, got_sf.n)) == expect_sf
