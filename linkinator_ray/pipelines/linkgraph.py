@@ -888,3 +888,88 @@ def cocitation_topk_edges(edges, k: int = 20, max_out_degree: int = 64,
         .sort_values(["n", "a", "b"], ascending=[False, True, True]).head(k)
     return pa.Table.from_pandas(top.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def crawl_depth_edges(edges, roots: list[int], max_rounds: int = 64,
+                      num_parts: int | None = None):
+    """Declarative dataset face of BFS discovery depth (the engine path
+    is graph.crawl_depth — the crawl itself, whose round counter IS the
+    depth; this formulation exists as its oracle-checkable equivalence
+    witness over any DISTINCT (src_doc, dst_doc) edge dataset).
+
+    Level-synchronous frontier expansion, TWO hash exchanges per level:
+
+    1. ``hash_join(frontier, edges, on=src)`` expands the frontier;
+    2. one fused partition on the discovered id: unique(candidates)
+       LEFT ANTI visited — the dataset analogue of the engine's sharded
+       URL-seen set (state/seen.py), with the distinct folded into the
+       same exchange instead of a separate combiner pass.
+
+    Rounds = graph depth (log |V| on link graphs with tree-like cores).
+    Re-shipping the edge set through exchange 1 every level is the
+    declarative formulation's cost — the engine avoids it by holding
+    edges/seen sharded in actors, which is the 100 TB path. Visited
+    fronts accumulate as materialized O(|V|) blocks; the driver sees
+    only per-round counts until the final bounded result."""
+    import pandas as pd
+    import ray.data as rd
+
+    from linkinator_ray.pipelines.hashagg import hash_partition_apply
+
+    edges = edges.materialize()
+    root_t = pa.table({"doc_id": pa.array(sorted(set(roots)), pa.int64()),
+                       "depth": pa.array([0] * len(set(roots)), pa.int64())})
+    fronts = [rd.from_arrow(root_t)]
+    frontier = fronts[0]
+
+    # explicit arrow projection instead of select_columns: the per-round
+    # frontier comes out of map_groups as pandas blocks, where
+    # select_columns does not reliably project (observed on Ray 2.49 —
+    # the downstream join then saw the depth column), and this also
+    # normalizes every union input back to arrow blocks
+    def proj(src_col: str, tag_val: int | None = None):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            cols = {"doc_id": pc.cast(batch[src_col], pa.int64())}
+            if tag_val is not None:
+                cols["__new"] = pa.array([tag_val] * batch.num_rows,
+                                         pa.int8())
+            return pa.table(cols)
+        return fn
+
+    for depth in range(1, max_rounds + 1):
+        cand = hash_join(
+            frontier.map_batches(proj("doc_id"), batch_format="pyarrow"),
+            edges, on="doc_id", right_on="src_doc", num_parts=num_parts) \
+            .map_batches(proj("dst_doc"), batch_format="pyarrow")
+
+        visited = fronts[0].map_batches(proj("doc_id", 0),
+                                        batch_format="pyarrow")
+        for f in fronts[1:]:
+            visited = visited.union(
+                f.map_batches(proj("doc_id", 0), batch_format="pyarrow"))
+        tagged = cand.map_batches(proj("doc_id", 1),
+                                  batch_format="pyarrow").union(visited)
+
+        def antidiff(df: "pd.DataFrame", d: int = depth) -> "pd.DataFrame":
+            new = df.loc[df["__new"] == 1, "doc_id"].unique()
+            seen = df.loc[df["__new"] == 0, "doc_id"].to_numpy()
+            fresh = new[~np.isin(new, seen)]
+            return pd.DataFrame({
+                "doc_id": fresh.astype(np.int64),
+                "depth": np.full(len(fresh), d, np.int64)})
+
+        new = hash_partition_apply(tagged, "doc_id", antidiff,
+                                   num_parts=num_parts).materialize()
+        if new.count() == 0:
+            break
+        fronts.append(new)
+        frontier = new
+    else:
+        raise RuntimeError(f"BFS did not drain in {max_rounds} rounds")
+
+    out = fronts[0]
+    for f in fronts[1:]:
+        out = out.union(f)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -296,3 +296,52 @@ def test_cocitation_matches_reference_and_partition_invariant(ray_session):
     expect_sf = _cocite_reference(_edges(SF), k=20, max_out_degree=64)
     got_sf = cocitation_topk(SF, k=20).to_pandas()
     assert list(zip(got_sf.a, got_sf.b, got_sf.n)) == expect_sf
+
+
+def _bfs_reference(edges, roots):
+    """Single-machine min-depth BFS."""
+    from collections import defaultdict, deque
+    adj = defaultdict(list)
+    for s, d in edges:
+        adj[s].append(d)
+    depth = {r: 0 for r in roots}
+    q = deque(roots)
+    while q:
+        u = q.popleft()
+        for v in adj[u]:
+            if v not in depth:
+                depth[v] = depth[u] + 1
+                q.append(v)
+    return depth
+
+
+def _depth_ds(edges, roots, **kw):
+    import pyarrow as pa
+    import ray.data as rd
+    from linkinator_ray.pipelines.linkgraph import crawl_depth_edges
+    src = [int(a) for a, _ in edges]
+    dst = [int(b) for _, b in edges]
+    ds = rd.from_arrow(pa.table({"src_doc": pa.array(src, pa.int64()),
+                                 "dst_doc": pa.array(dst, pa.int64())}))
+    t = crawl_depth_edges(ds, roots=roots, **kw).to_pandas()
+    return dict(zip(t.doc_id, t.depth))
+
+
+def test_crawl_depth_edges_planted(ray_session):
+    # diamond + tail + unreachable island; a back-edge must not deepen
+    e = [(0, 1), (0, 2), (1, 3), (2, 3), (3, 4), (4, 0), (9, 10)]
+    assert _depth_ds(e, [0]) == {0: 0, 1: 1, 2: 1, 3: 2, 4: 3}
+    # multi-root: island becomes reachable, depths take the min root
+    got = _depth_ds(e, [0, 9], num_parts=3)
+    assert got == _bfs_reference(e, [0, 9])
+
+
+def test_crawl_depth_engine_matches_reference(ray_session):
+    """The ENGINE's round counter (graph.crawl_depth) must equal a
+    single-machine BFS over the known edge rule — the level-synchronous
+    round loop's depth semantics, end to end through fetch/extract/
+    seen-set."""
+    from linkinator_ray.pipelines.graph import crawl_depth
+    expect = _bfs_reference(_edges(SF), [0])
+    got = crawl_depth(SF).to_pandas()
+    assert dict(zip(got.doc_id, got.depth)) == expect
