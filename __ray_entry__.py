@@ -98,6 +98,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # join + conditional aggregate
         "local_supplier_volume": lambda sf: tpch.local_supplier_volume(sf),
         "brand_revenue": lambda sf: tpch.brand_revenue(sf),
+        "rollup_orders": tpch.rollup_orders,  # NEW in r5: exact SQL oracle
+        "pivot_events": lambda sf: events.pivot_events(
+            sf),  # NEW in r5: exact SQL oracle
         # NEW in r5: grouped top-k, order-statistics rank, snapshot diff
         "top_docs_per_lang": lambda sf: text.top_docs_per_lang(
             sf, k=5),  # exact SQL oracle (window function)
@@ -1651,6 +1654,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(sz) AS BIGINT) AS max_session_events,
                    CAST(sum(sz) AS BIGINT) AS n_events
             FROM sizes GROUP BY user_id ORDER BY user_id
+        """,
+        # rollup levels marked 'ALL' on both sides (COALESCE) so
+        # NULL-encoding differences can't break the value hash
+        # (tpch.py:rollup_orders)
+        "rollup_orders": """
+            SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+                       AS BIGINT) AS total_cents,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+            ORDER BY 1, 2
+        """,
+        # fixed-type pivot contract, one column per event type
+        # (events.py:pivot_events)
+        "pivot_events": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE event_type = 'click')
+                       AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (WHERE event_type = 'error')
+                       AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                       AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (WHERE event_type = 'signup')
+                       AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (WHERE event_type = 'view')
+                       AS BIGINT) AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "pricing_summary": """
             SELECT l_returnflag, l_linestatus,

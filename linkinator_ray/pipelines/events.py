@@ -464,3 +464,39 @@ def retention_cohorts(sf_dir: str, window_s: int = 86400):
         joined.map_batches(offsets, batch_format="pyarrow",
                            batch_size=65536),
         ["cohort_start", "day_offset"], {"n_users": ("n", "sum")})
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def pivot_events(sf_dir: str, types: tuple = EVENT_TYPES):
+    """Wide per-user event-type counts — the pivot/crosstab operator
+    (one column per event type, a fixed contract as in any pivot). Per
+    batch, one C-speed arrow group_by produces (user, type, n) partials
+    already exploded into the wide zero-padded layout; ONE combiner
+    exchange (hashagg on user_id) sums them — rows moved ≤ distinct
+    (user, type) pairs per batch, never raw events. Output is
+    user-count-sized; no driver state beyond the return contract."""
+    import pyarrow.compute as pc
+
+    from linkinator_ray.pipelines.hashagg import hash_aggregate
+
+    ds = read_events(sf_dir, ["user_id", "event_type"])
+    zero = pa.scalar(0, pa.int64())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        agg = batch.group_by(["user_id", "event_type"],
+                             use_threads=False).aggregate([([], "count_all")])
+        n = pc.cast(agg.column("count_all"), pa.int64())
+        cols = {"user_id": agg.column("user_id")}
+        for t in types:
+            cols[f"n_{t}"] = pc.if_else(
+                pc.equal(agg.column("event_type"), t), n, zero)
+        return pa.table(cols)
+
+    part = _fanout(ds).map_batches(partial, batch_format="pyarrow")
+    out = hash_aggregate(
+        part, ["user_id"],
+        {f"n_{t}": (f"n_{t}", "sum") for t in types})
+    df = out.to_pandas().sort_values("user_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

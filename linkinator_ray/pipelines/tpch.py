@@ -440,3 +440,64 @@ def idle_customers(sf_dir: str, since: str = "1998-06-01"):
 
     return hash_aggregate(idle.map_batches(partial, batch_format="pyarrow"),
                           "c_mktsegment", {"n_customers": ("n", "sum")})
+
+
+def rollup_orders(sf_dir: str):
+    """GROUP BY ROLLUP (o_orderpriority, o_orderstatus): order counts +
+    exact-cent totals at three granularities — (priority, status),
+    per-priority subtotal, grand total — with 'ALL' as the rolled-up
+    marker on both sides (COALESCE in the oracle) so NULL-encoding
+    differences can't break the value hash.
+
+    Scale shape: the fine level is ONE partial-agg pass (per-batch arrow
+    group_by combiner, then the tiny two-level merge); the coarser
+    levels are re-aggregates OF THE FINE AGGREGATE — priority×status is
+    dozens of rows, so rollup costs one scan regardless of how many
+    grouping sets stack on top. The classic rollup-from-the-cube trick:
+    never rescan the fact table per level."""
+    from linkinator_ray.pipelines.hashagg import hash_aggregate
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(batch["o_totalprice"], pa.scalar(100.0))),
+            pa.int64())
+        tbl = pa.table({
+            "o_orderpriority": batch["o_orderpriority"],
+            "o_orderstatus": batch["o_orderstatus"],
+            "cents": cents,
+            "n": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+        return pa.TableGroupBy(
+            tbl, ["o_orderpriority", "o_orderstatus"]).aggregate(
+            [("cents", "sum"), ("n", "sum")]) \
+            .rename_columns(["o_orderpriority", "o_orderstatus",
+                             "cents", "n"])
+
+    from linkinator_ray.pipelines.dedup import _fanout
+    parts = _fanout(_read(
+        sf_dir, "orders",
+        ["o_orderpriority", "o_orderstatus", "o_totalprice"])) \
+        .map_batches(partial, batch_format="pyarrow", batch_size=131072)
+    fine = hash_aggregate(parts, ["o_orderpriority", "o_orderstatus"],
+                          {"total_cents": ("cents", "sum"),
+                           "n_orders": ("n", "sum")})
+    # the fine aggregate is tiny (|priorities| x |statuses| rows):
+    # finish the rollup levels in one driver-side arrow pass
+    fine_t = pa.concat_tables(
+        [b for b in fine.iter_batches(batch_format="pyarrow")
+         if b.num_rows], promote_options="none") \
+        if fine.count() else fine.schema().empty_table()
+    df = fine_t.to_pandas()
+    mid = df.groupby("o_orderpriority", as_index=False)[
+        ["total_cents", "n_orders"]].sum()
+    mid["o_orderstatus"] = "ALL"
+    top = pd.DataFrame({
+        "o_orderpriority": ["ALL"], "o_orderstatus": ["ALL"],
+        "total_cents": [df["total_cents"].sum()],
+        "n_orders": [df["n_orders"].sum()]})
+    cols = ["o_orderpriority", "o_orderstatus", "total_cents", "n_orders"]
+    out = pd.concat([df[cols], mid[cols], top[cols]], ignore_index=True) \
+        .sort_values(["o_orderpriority", "o_orderstatus"]) \
+        .reset_index(drop=True)
+    out["total_cents"] = out["total_cents"].astype(np.int64)
+    out["n_orders"] = out["n_orders"].astype(np.int64)
+    return pa.Table.from_pandas(out, preserve_index=False)

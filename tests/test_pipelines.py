@@ -2237,3 +2237,58 @@ def test_bigram_counts_planted(ray_session, tmp_path):
     got = bigram_counts(str(out), k=10).to_pandas()
     counts = dict(zip(got["bigram"], got["n"]))
     assert counts == {"a b": 4, "b a": 2}
+
+
+def test_rollup_orders_levels_consistent(ray_session):
+    """Rollup invariants: the 'ALL' subtotals equal the sum of their
+    fine rows, the grand total equals everything, and the whole table
+    matches the GROUP BY ROLLUP oracle."""
+    import duckdb
+    import __ray_entry__ as entrymod
+    from linkinator_ray.pipelines.tpch import rollup_orders
+    got = rollup_orders(SF).to_pandas()
+    fine = got[(got.o_orderpriority != "ALL") & (got.o_orderstatus != "ALL")]
+    mid = got[(got.o_orderpriority != "ALL") & (got.o_orderstatus == "ALL")]
+    top = got[(got.o_orderpriority == "ALL")]
+    assert len(top) == 1
+    assert top.n_orders.iloc[0] == fine.n_orders.sum()
+    assert top.total_cents.iloc[0] == fine.total_cents.sum()
+    for _, r in mid.iterrows():
+        f = fine[fine.o_orderpriority == r.o_orderpriority]
+        assert r.n_orders == f.n_orders.sum()
+        assert r.total_cents == f.total_cents.sum()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet'")
+    want = con.sql(entrymod.oracle_sql()["rollup_orders"]).df()
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True),
+        want.astype({"total_cents": "int64", "n_orders": "int64"}))
+
+
+def test_pivot_events_planted(ray_session, tmp_path):
+    """Pivot counts on a planted events table: exact wide counts, users
+    missing a type get zero, unknown types are ignored (fixed contract)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from linkinator_ray.pipelines.events import pivot_events
+    t = pa.table({
+        "event_id": pa.array(range(7), pa.int64()),
+        "ts": pa.array([0] * 7, pa.timestamp("us")),
+        "user_id": pa.array([1, 1, 1, 2, 2, 3, 3], pa.int64()),
+        "event_type": ["click", "click", "view", "purchase", "click",
+                       "weird", "signup"],
+        "value": pa.array([0.0] * 7),
+        "props": [""] * 7,
+    })
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = pivot_events(str(tmp_path)).to_pandas().set_index("user_id")
+    assert got.loc[1].to_dict() == {
+        "n_click": 2, "n_error": 0, "n_purchase": 0, "n_signup": 0,
+        "n_view": 1}
+    assert got.loc[2].to_dict() == {
+        "n_click": 1, "n_error": 0, "n_purchase": 1, "n_signup": 0,
+        "n_view": 0}
+    # user 3's only counted event is the signup; 'weird' is ignored
+    assert got.loc[3].to_dict() == {
+        "n_click": 0, "n_error": 0, "n_purchase": 0, "n_signup": 1,
+        "n_view": 0}
