@@ -87,6 +87,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cocitation_topk": lambda sf: linkgraph.cocitation_topk(
             sf, k=20),  # NEW in r5: exact SQL oracle
         "crawl_depth": graph.crawl_depth,  # NEW in r5: exact SQL oracle
+        "anchor_text_stats": graph.anchor_text_stats,  # NEW in r5: span-text
+        # round-trip certificate, exact SQL oracle
         "triangle_count": linkgraph.triangle_count,  # exact SQL oracle
         # columnar classics over the star schema
         "top_customers": lambda sf: tpch.top_customers(sf, k=10),
@@ -99,6 +101,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "local_supplier_volume": lambda sf: tpch.local_supplier_volume(sf),
         "brand_revenue": lambda sf: tpch.brand_revenue(sf),
         "rollup_orders": tpch.rollup_orders,  # NEW in r5: exact SQL oracle
+        "copurchase_topk": lambda sf: tpch.copurchase_topk(
+            sf, k=20),  # NEW in r5: exact SQL oracle
         "pivot_events": lambda sf: events.pivot_events(
             sf),  # NEW in r5: exact SQL oracle
         # NEW in r5: grouped top-k, order-statistics rank, snapshot diff
@@ -727,6 +731,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, CAST(count(*) AS BIGINT) AS n
             FROM pairs GROUP BY a, b
             ORDER BY n DESC, a, b LIMIT 20
+        """,
+        # per-target anchor-span aggregation; text and offset re-derived
+        # from the corpus rule (span index i -> offset 10*i, text
+        # 'to-'||dst), so span-plumbing drift breaks the hash
+        # (pipelines/graph.py:anchor_text_stats)
+        "anchor_text_stats": """
+            WITH nn AS (SELECT count(*) AS c FROM documents),
+            spans AS (
+              SELECT doc_id AS src, 2*doc_id+1 AS dst,
+                     CAST(0 AS BIGINT) AS idx
+              FROM documents, nn WHERE 2*doc_id+1 < nn.c
+              UNION ALL
+              SELECT doc_id, 2*doc_id+2, 1
+              FROM documents, nn WHERE 2*doc_id+2 < nn.c
+              UNION ALL
+              SELECT doc_id, (7*doc_id+3) % nn.c,
+                     (CASE WHEN 2*doc_id+1 < nn.c THEN 1 ELSE 0 END
+                      + CASE WHEN 2*doc_id+2 < nn.c THEN 1 ELSE 0 END)
+              FROM documents, nn WHERE (7*doc_id+3) % nn.c <> doc_id
+            )
+            SELECT dst AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_links,
+                   CAST(sum(10 * idx) AS BIGINT) AS sum_offset,
+                   min('to-' || CAST(dst AS VARCHAR)) AS min_text,
+                   max('to-' || CAST(dst AS VARCHAR)) AS max_text
+            FROM spans WHERE src % 13 <> 7
+            GROUP BY dst ORDER BY doc_id
         """,
         # BFS discovery depth; the depth<64 bound mirrors the pipeline's
         # max_rounds=64 (both are far above the synthetic graph's
@@ -1654,6 +1685,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(sz) AS BIGINT) AS max_session_events,
                    CAST(sum(sz) AS BIGINT) AS n_events
             FROM sizes GROUP BY user_id ORDER BY user_id
+        """,
+        # basket-analysis face of the co-citation kernel; the 64-item
+        # basket cap is part of the operator contract, mirrored here
+        # (tpch.py:copurchase_topk)
+        "copurchase_topk": """
+            WITH e AS (SELECT DISTINCT l_orderkey AS src, l_partkey AS dst
+                       FROM lineitem),
+            ok AS (SELECT src FROM e GROUP BY src HAVING count(*) <= 64),
+            pairs AS (
+              SELECT e1.dst AS a, e2.dst AS b
+              FROM e e1 JOIN e e2 ON e1.src = e2.src AND e1.dst < e2.dst
+              WHERE e1.src IN (SELECT src FROM ok)
+            )
+            SELECT a, b, CAST(count(*) AS BIGINT) AS n
+            FROM pairs GROUP BY a, b
+            ORDER BY n DESC, a, b LIMIT 20
         """,
         # rollup levels marked 'ALL' on both sides (COALESCE) so
         # NULL-encoding differences can't break the value hash

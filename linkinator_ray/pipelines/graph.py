@@ -224,3 +224,58 @@ def extract_edges(sf_dir: str):
     distinct = hash_aggregate(edges, ["src_doc", "dst_doc"],
                               {"n": ("src_doc", "count")})
     return distinct.select_columns(["src_doc", "dst_doc"])  # unordered
+
+
+def anchor_text_stats(sf_dir: str, num_parts: int | None = None):
+    """Per-target anchor-text aggregation over the INTERLEAVED span
+    payload — the query-level certificate of the span-sequence contract
+    (kind, text, media_ref, offset round-trip through the corpus): for
+    each linked-to page, the count of incoming anchor SPANS (duplicate
+    edges from coinciding targets count per span, unlike the distinct
+    edge set), the exact sum of their span offsets, and min/max anchor
+    text. The DuckDB oracle re-derives text and offset from the
+    arithmetic corpus rule, so any drift in the span plumbing
+    (explode_spans, stages/extract.py:40) breaks the value hash.
+
+    Shape: zero-copy span explode per batch (list_flatten — no Python
+    row loop), RE2 id extraction, per-batch arrow combiner, ONE hash
+    exchange keyed on the target id (hashagg two-level merge)."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from linkinator_ray.pipelines.hashagg import hash_aggregate
+    from linkinator_ray.stages.extract import explode_spans
+
+    corpus = synth_corpus(sf_dir)
+
+    def to_rows(batch: pa.Table) -> pa.Table:
+        flat = explode_spans(batch)
+        src = pc.struct_field(
+            pc.extract_regex(flat["doc_id"], r"^d/(?P<id>\d+)\.html$"), "id")
+        dst = pc.struct_field(
+            pc.extract_regex(flat["media_ref"],
+                             r"^/d/(?P<id>\d+)\.html$"), "id")
+        keep = pc.and_(pc.and_(pc.is_valid(src), pc.is_valid(dst)),
+                       pc.equal(flat["kind"], "anchor"))
+        t = pa.table({
+            "doc_id": pc.cast(pc.filter(dst, keep), pa.int64()),
+            "text": pc.filter(flat["text"], keep),
+            "offset": pc.cast(pc.filter(flat["offset"], keep), pa.int64()),
+            "n": pa.array(np.ones(int(pc.sum(keep).as_py() or 0),
+                                  dtype=np.int64)),
+        })
+        return pa.TableGroupBy(t, ["doc_id"]).aggregate(
+            [("n", "sum"), ("offset", "sum"), ("text", "min"),
+             ("text", "max")]).rename_columns(
+            ["doc_id", "n", "offset", "text_min", "text_max"])
+
+    rows = rd.from_arrow(corpus).map_batches(
+        to_rows, batch_format="pyarrow", batch_size=2048)
+    out = hash_aggregate(rows, ["doc_id"],
+                         {"n_links": ("n", "sum"),
+                          "sum_offset": ("offset", "sum"),
+                          "min_text": ("text_min", "min"),
+                          "max_text": ("text_max", "max")},
+                         num_parts=num_parts)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(df, preserve_index=False)

@@ -501,3 +501,28 @@ def rollup_orders(sf_dir: str):
     out["total_cents"] = out["total_cents"].astype(np.int64)
     out["n_orders"] = out["n_orders"].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def copurchase_topk(sf_dir: str, k: int = 20, max_basket: int = 64,
+                    num_parts: int | None = None):
+    """Top-k co-purchased part pairs (basket analysis / frequent
+    2-itemsets): (a, b) ranked by how many orders contain both. The
+    SAME distributed kernel as the link graph's co-citation operator
+    (linkgraph.cocitation_topk_edges) aimed at the star schema — orders
+    are the citing side, parts the cited side; ``max_basket`` caps the
+    C(m,2) blowup of oversized baskets and is mirrored in the oracle."""
+    from linkinator_ray.pipelines.hashagg import hash_aggregate
+    from linkinator_ray.pipelines.linkgraph import cocitation_topk_edges
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+    edges = hash_aggregate(
+        li, ["l_orderkey", "l_partkey"], {"n": ("l_orderkey", "count")},
+        num_parts=num_parts)
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return pa.table({"src_doc": pc.cast(batch["l_orderkey"], pa.int64()),
+                         "dst_doc": pc.cast(batch["l_partkey"], pa.int64())})
+
+    return cocitation_topk_edges(
+        edges.map_batches(ren, batch_format="pyarrow"), k=k,
+        max_out_degree=max_basket, num_parts=num_parts)

@@ -2292,3 +2292,45 @@ def test_pivot_events_planted(ray_session, tmp_path):
     assert got.loc[3].to_dict() == {
         "n_click": 0, "n_error": 0, "n_purchase": 0, "n_signup": 1,
         "n_view": 0}
+
+
+def test_anchor_text_stats_duplicate_target_spans(ray_session, tmp_path):
+    """n=12, d=2: (7d+3)%12 == 2d+1 == 5, so doc 2 emits TWO anchor
+    spans to doc 5 (offsets 0 and 20) — span-level counting must see
+    both, unlike the distinct edge set."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from linkinator_ray.pipelines.graph import anchor_text_stats, targets_of
+    pq.write_table(pa.table({"doc_id": pa.array(range(12), pa.int64())}),
+                   tmp_path / "documents.parquet")
+    assert targets_of(2, 12) == [5, 6, 5]
+    got = anchor_text_stats(str(tmp_path)).to_pandas().set_index("doc_id")
+    # brute-force over the rule
+    from collections import defaultdict
+    n_links = defaultdict(int)
+    sum_off = defaultdict(int)
+    for d in range(12):
+        if d % 13 == 7:
+            continue
+        for i, t in enumerate(targets_of(d, 12)):
+            n_links[t] += 1
+            sum_off[t] += 10 * i
+    for t in n_links:
+        assert got.loc[t, "n_links"] == n_links[t], t
+        assert got.loc[t, "sum_offset"] == sum_off[t], t
+        assert got.loc[t, "min_text"] == got.loc[t, "max_text"] == f"to-{t}"
+    # doc 5 specifically carries the duplicate pair from doc 2
+    assert got.loc[5, "n_links"] == n_links[5] and n_links[5] >= 2
+
+
+def test_copurchase_matches_duckdb(ray_session):
+    import duckdb
+    import __ray_entry__ as entrymod
+    from linkinator_ray.pipelines.tpch import copurchase_topk
+    got = copurchase_topk(SF, k=20).to_pandas()
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW lineitem AS SELECT * FROM '{SF}/lineitem.parquet'")
+    want = con.sql(entrymod.oracle_sql()["copurchase_topk"]).df()
+    assert got["a"].tolist() == want["a"].tolist()
+    assert got["b"].tolist() == want["b"].tolist()
+    assert got["n"].tolist() == want["n"].astype("int64").tolist()
