@@ -206,7 +206,8 @@ def hash_map_groups(ds, keys: list[str] | str, fn,
 
 def hash_join(left, right, on: list[str] | str,
               right_on: list[str] | str | None = None,
-              how: str = "inner", num_parts: int | None = None):
+              how: str = "inner", num_parts: int | None = None,
+              salt: int = 1):
     """Distributed hash join built on the same primitives as everything
     else here (map_batches + one groupby exchange): both sides are
     tagged, schema-aligned, unioned, hash-partitioned on the key, and
@@ -222,6 +223,14 @@ def hash_join(left, right, on: list[str] | str,
     the right (right side deduped inside the merge — callers can skip a
     dedicated distinct exchange and just pre-thin the right side with a
     per-batch local unique).
+
+    ``salt`` > 1 is the hot-key lever (the join-side analogue of
+    fetch.py's host salting): LEFT rows fan out over ``salt`` lanes
+    (row-index mod salt, deterministic) and every RIGHT row is
+    replicated to all lanes, so one skewed key's probe rows spread over
+    ``salt`` partitions instead of stalling one reducer. Put the big /
+    skewed side LEFT; costs salt× the right side's exchange volume, so
+    use it for fact⋈dim shapes, not for two large sides.
     """
     on = [on] if isinstance(on, str) else list(on)
     right_on = on if right_on is None else (
@@ -270,33 +279,53 @@ def hash_join(left, right, on: list[str] | str,
             names.append("__side")
             arrays.append(pa.array(
                 np.full(batch.num_rows, side, dtype=np.int8)))
-            return pa.table(dict(zip(names, arrays)))
+            out = pa.table(dict(zip(names, arrays)))
+            if salt > 1:
+                if side == 0:
+                    lane = pa.array(
+                        (np.arange(out.num_rows) % salt).astype(np.int16))
+                    out = out.append_column("__lane", lane)
+                else:
+                    # replicate dim rows to every lane
+                    copies = [out.append_column("__lane", pa.array(
+                        np.full(out.num_rows, s, dtype=np.int16)))
+                        for s in range(salt)]
+                    out = pa.concat_tables(copies)
+            return out
         return fn
 
     both = left.map_batches(_align(0, l_cols, l_cols),
                             batch_format="pyarrow") \
         .union(right.map_batches(_align(1, r_cols, list(r_schema.names)),
                                  batch_format="pyarrow"))
+    route_keys = on + (["__lane"] if salt > 1 else [])
 
     out_cols = all_cols if how == "inner" else l_cols
 
+    # with salting, two lanes can hash into the SAME partition — the
+    # lane must stay a join key or a left row would match every
+    # co-resident replica of its dim row
+    lane_cols = ["__lane"] if salt > 1 else []
+    jk = on + lane_cols
+
     def merge(part: pd.DataFrame) -> pd.DataFrame:
-        ldf = part[part["__side"] == 0][l_cols]
-        rdf = part[part["__side"] == 1][on + r_extra]
+        ldf = part[part["__side"] == 0][l_cols + lane_cols]
+        rdf = part[part["__side"] == 1][jk + r_extra]
         for c in int_cols:
             if c in ldf.columns:
                 ldf = ldf.astype({c: "int64"})
             if c in rdf.columns:
                 rdf = rdf.astype({c: "int64"})
         if how == "inner":
-            return ldf.merge(rdf, on=on, how="inner")
+            return ldf.merge(rdf, on=jk, how="inner")
         if how == "semi":
-            return ldf.merge(rdf[on].drop_duplicates(), on=on, how="inner")
+            return ldf.merge(rdf[jk].drop_duplicates(), on=jk, how="inner")
         if how == "left_anti":
-            m = ldf.merge(rdf[on].drop_duplicates(), on=on,
+            m = ldf.merge(rdf[jk].drop_duplicates(), on=jk,
                           how="left", indicator=True)
             return m.loc[m["_merge"] == "left_only", l_cols]
         raise ValueError(f"unsupported how={how!r}")
 
-    return hash_partition_apply(both, on, merge, num_parts=num_parts) \
+    parts = num_parts if salt == 1 else max(num_parts, salt)
+    return hash_partition_apply(both, route_keys, merge, num_parts=parts) \
         .map_batches(lambda t: t.select(out_cols), batch_format="pyarrow")

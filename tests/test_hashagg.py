@@ -103,3 +103,26 @@ def test_hash_join_left_anti(ray_session, frame):
     want = left[~left["k2"].isin(right["k2"])] \
         .sort_values(["k2", "v"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_hash_join_salted_equals_unsalted(ray_session):
+    """Hot-key salting: 90% of probe rows share one key; salt=4 must
+    produce EXACTLY the unsalted result for inner/semi/left_anti (each
+    left row lives in one lane; every lane holds a full dim replica)."""
+    from linkinator_ray.pipelines.hashagg import hash_join
+    rng = np.random.default_rng(7)
+    n = 8000
+    keys = np.where(rng.random(n) < 0.9, 42,
+                    rng.integers(0, 300, n)).astype(np.int64)
+    left = pd.DataFrame({"k": keys, "v": np.arange(n, dtype=np.int64)})
+    right = pd.DataFrame({
+        "k": np.arange(0, 300, 2, dtype=np.int64),
+        "tag": [f"t{i}" for i in range(0, 300, 2)]})
+    for how in ("inner", "semi", "left_anti"):
+        plain = hash_join(_ds(left), _ds(right), on="k", how=how,
+                          num_parts=5).to_pandas() \
+            .sort_values(["k", "v"]).reset_index(drop=True)
+        salted = hash_join(_ds(left), _ds(right), on="k", how=how,
+                           num_parts=5, salt=4).to_pandas() \
+            .sort_values(["k", "v"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(salted, plain), how
