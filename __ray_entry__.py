@@ -202,6 +202,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, k=10, iters=3, threshold=0.95),  # rows-only (planted-dup test)
         "knn_lsh": lambda sf: similarity.knn_lsh(sf, k=5, num_queries=4),  # rows-only
         "knn_ivf": lambda sf: similarity.knn_ivf(sf, k=5, num_queries=4),  # rows-only + recall test
+        "media_resize": lambda sf: multimodal.media_resize(
+            sf, 32, 32),  # rows-only (codec output; exact-pixel pytest)
     }
 
 

@@ -105,10 +105,24 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def decode_png(payload: bytes) -> dict:
-    """REAL image decode: walk the PNG chunk stream, inflate the IDAT
-    data with stdlib zlib, and undo the per-scanline filters (None /
-    Sub / Up / Average / Paeth) to recover the raw pixel matrix —
-    genuine width / height / channels / mean-pixel features, no codec
+    """REAL image decode: genuine width / height / channels / mean-pixel
+    features off the defiltered raster (see :func:`png_pixels`)."""
+    px = png_pixels(payload)
+    h, w, channels = px.shape
+    mean = float(px.mean()) if px.size else 0.0
+    return {
+        "width": int(w),
+        "height": int(h),
+        "channels": channels,
+        "n_pixels": int(w) * int(h),
+        "mean_milli": int(round(mean * 1000)),
+    }
+
+
+def png_pixels(payload: bytes) -> "np.ndarray":
+    """REAL pixel raster (h, w, channels uint8): walk the PNG chunk
+    stream, inflate the IDAT data with stdlib zlib, and undo the
+    per-scanline filters (None / Sub / Up / Average / Paeth) — no codec
     library. 8-bit non-interlaced only (the common case); anything
     else raises ``ValueError`` and the caller keeps its stub features.
     Up is vectorized; Sub/Average/Paeth carry a per-pixel dependency
@@ -180,14 +194,38 @@ def decode_png(payload: bytes) -> dict:
         else:
             raise ValueError(f"invalid PNG filter type {f}")
         out[y] = res.astype(np.uint8)
-    mean = float(out.mean()) if out.size else 0.0
-    return {
-        "width": int(w),
-        "height": int(h),
-        "channels": channels,
-        "n_pixels": int(w) * int(h),
-        "mean_milli": int(round(mean * 1000)),
-    }
+    return out.reshape(h, w, channels)
+
+
+def encode_png(pixels: "np.ndarray") -> bytes:
+    """Deterministic minimal PNG encoder for the resize stage's output:
+    8-bit, filter 0 on every scanline, one IDAT, zlib level 9 — byte-
+    reproducible so resumable sinks and tests can compare payloads.
+    ``pixels`` is (h, w, channels) uint8 with channels ∈ {1, 2, 3, 4}."""
+    import struct
+    import zlib
+    h, w, channels = pixels.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return struct.pack(">I", len(data)) + typ + data + \
+            struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + pixels[y].tobytes() for y in range(h))
+    return _PNG_SIG + chunk(b"IHDR", ihdr) + \
+        chunk(b"IDAT", zlib.compress(raw, 9)) + chunk(b"IEND", b"")
+
+
+def resize_nearest(pixels: "np.ndarray", dst_w: int, dst_h: int) \
+        -> "np.ndarray":
+    """Nearest-neighbor resize as two index gathers (pure numpy, no
+    codec library): source index = floor((i + 0.5) * src / dst), the
+    pixel-center convention."""
+    h, w, _ = pixels.shape
+    ys = ((np.arange(dst_h) + 0.5) * h / dst_h).astype(np.int64).clip(0, h - 1)
+    xs = ((np.arange(dst_w) + 0.5) * w / dst_w).astype(np.int64).clip(0, w - 1)
+    return pixels[ys][:, xs]
 
 
 def encode_avi(frames: list[bytes], width: int, height: int,
@@ -380,3 +418,64 @@ def media_summary(sf_dir: str):
         Count(alias_name="n_items"),
         Sum("n_bytes", alias_name="total_bytes"))
     return out  # unordered; comparators sort
+
+
+class MediaResizer:
+    """Actor-pool image RESIZE stage — the missing quarter of the
+    decode / feature-extract / resize / frame-sample family. __init__ =
+    target geometry (once per actor); __call__ = per-batch: genuine
+    PNG payloads decode (png_pixels), nearest-neighbor resize
+    (resize_nearest), and re-encode deterministically (encode_png);
+    non-genuine payloads keep a deterministic stub row (resized_real =
+    False, empty payload) — the at-scale shape is real, the exotic
+    codecs are the documented stub gate. Small batch_size is the right
+    physical shape for wide binary rows (ray_guide 'Memory-aware')."""
+
+    def __init__(self, dst_w: int = 32, dst_h: int = 32):
+        self.dst_w, self.dst_h = int(dst_w), int(dst_h)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        kinds = batch["kind"].to_pylist()
+        n = len(payloads)
+        src_w = np.zeros(n, np.int64)
+        src_h = np.zeros(n, np.int64)
+        mean_milli = np.zeros(n, np.int64)
+        real = np.zeros(n, bool)
+        out_payloads: list[bytes] = [b""] * n
+        for i, p in enumerate(payloads):
+            if kinds[i] != "image" or p[:8] != _PNG_SIG:
+                continue
+            try:
+                px = png_pixels(p)
+            except ValueError:
+                continue
+            resized = resize_nearest(px, self.dst_w, self.dst_h)
+            out_payloads[i] = encode_png(resized)
+            src_h[i], src_w[i] = px.shape[0], px.shape[1]
+            mean_milli[i] = int(round(float(resized.mean()) * 1000))
+            real[i] = True
+        return pa.table({
+            "media_id": batch["media_id"],
+            "kind": batch["kind"],
+            "src_w": pa.array(src_w),
+            "src_h": pa.array(src_h),
+            "dst_w": pa.array(np.full(n, self.dst_w, np.int64)),
+            "dst_h": pa.array(np.full(n, self.dst_h, np.int64)),
+            "resized_mean_milli": pa.array(mean_milli),
+            "resized_real": pa.array(real),
+            "payload": pa.array(out_payloads, pa.binary()),
+        })
+
+
+def media_resize(sf_dir: str, dst_w: int = 32, dst_h: int = 32):
+    """synthesize → actor-pool resize stage → geometry/feature table
+    (payload dropped from the query face; the stage itself carries it
+    for a downstream sink). Rows-only driver check: the resized PNG
+    bytes are codec output, not SQL-derivable."""
+    media = synthesize_media(sf_dir)
+    out = media.map_batches(MediaResizer, batch_format="pyarrow",
+                            batch_size=512, concurrency=_autoconc(),
+                            fn_constructor_kwargs={"dst_w": dst_w,
+                                                   "dst_h": dst_h})
+    return out.drop_columns(["payload"])

@@ -2334,3 +2334,46 @@ def test_copurchase_matches_duckdb(ray_session):
     assert got["a"].tolist() == want["a"].tolist()
     assert got["b"].tolist() == want["b"].tolist()
     assert got["n"].tolist() == want["n"].astype("int64").tolist()
+
+
+def test_png_resize_roundtrip_exact():
+    """encode_png(resize_nearest(png_pixels(p))) round-trips: the
+    resized payload re-decodes to EXACTLY the expected gathered pixels
+    (pixel-center index rule), byte-reproducibly."""
+    import numpy as np
+    from linkinator_ray.pipelines.multimodal import (encode_png,
+                                                     png_pixels,
+                                                     resize_nearest)
+    payload, raw = _make_png(w=9, h=7, channels=3)
+    px = png_pixels(payload)
+    assert px.shape == (7, 9, 3)
+    assert (px == raw.reshape(7, 9, 3)).all()
+    small = resize_nearest(px, 3, 2)
+    ys = ((np.arange(2) + 0.5) * 7 / 2).astype(int)
+    xs = ((np.arange(3) + 0.5) * 9 / 3).astype(int)
+    assert (small == px[ys][:, xs]).all()
+    out = encode_png(small)
+    assert (png_pixels(out) == small).all()
+    assert encode_png(small) == out  # deterministic bytes
+
+
+def test_media_resizer_batch(ray_session):
+    """MediaResizer: genuine PNG rows resize for real; stub/audio rows
+    keep deterministic stub output with resized_real False."""
+    from linkinator_ray.pipelines.multimodal import (MediaResizer,
+                                                     png_pixels)
+    payload, _ = _make_png(w=8, h=6, channels=3)
+    batch = pa.table({
+        "media_id": pa.array([1, 2, 3], pa.int64()),
+        "kind": pa.array(["image", "image", "audio"], pa.string()),
+        "payload": pa.array([payload, b"\x00" * 64, b"\x00" * 64],
+                            pa.binary()),
+    })
+    out = MediaResizer(dst_w=4, dst_h=2)(batch)
+    df = out.to_pandas().set_index("media_id")
+    assert bool(df.loc[1, "resized_real"])
+    assert df.loc[1, "src_w"] == 8 and df.loc[1, "src_h"] == 6
+    resized = png_pixels(df.loc[1, "payload"])
+    assert resized.shape == (2, 4, 3)
+    assert not bool(df.loc[2, "resized_real"])
+    assert df.loc[2, "payload"] == b"" and df.loc[3, "payload"] == b""

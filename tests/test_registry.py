@@ -21,7 +21,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 # rows-only by declared design (float-geometry / iterative paths)
 NO_ORACLE = {"dedup_embedding_lsh", "kmeans_embeddings", "knn_lsh",
-             "knn_ivf", "semantic_dedup"}
+             "knn_ivf", "semantic_dedup", "media_resize"}
 
 
 @pytest.fixture(scope="module")
