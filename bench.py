@@ -204,6 +204,15 @@ def run_queries() -> dict:
         "pagerank": lambda: linkgraph.pagerank(SF_DIR),
         "pagerank_actors": lambda: linkgraph.pagerank_actors(SF_DIR),
         "hits": lambda: linkgraph.hits(SF_DIR),
+        "cocitation_topk": lambda: linkgraph.cocitation_topk(SF_DIR),
+        "crawl_depth": lambda: graph.crawl_depth(SF_DIR),
+        "anchor_text_stats": lambda: graph.anchor_text_stats(SF_DIR),
+        "rollup_orders": lambda: tpch.rollup_orders(SF_DIR),
+        "pivot_events": lambda: events.pivot_events(SF_DIR),
+        "copurchase_topk": lambda: tpch.copurchase_topk(SF_DIR),
+        "media_resize": lambda: __import__(
+            "linkinator_ray.pipelines.multimodal",
+            fromlist=["x"]).media_resize(SF_DIR),
     }
     if os.path.isdir(WARM_SF_DIR):
         global SF_DIR
