@@ -105,6 +105,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, k=20),  # NEW in r5: exact SQL oracle
         "pivot_events": lambda sf: events.pivot_events(
             sf),  # NEW in r5: exact SQL oracle
+        "daily_top_users": lambda sf: events.daily_top_users(
+            sf, k=3),  # NEW in r5: exact SQL oracle
         # NEW in r5: grouped top-k, order-statistics rank, snapshot diff
         "top_docs_per_lang": lambda sf: text.top_docs_per_lang(
             sf, k=5),  # exact SQL oracle (window function)
@@ -1716,6 +1718,24 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
             ORDER BY 1, 2
+        """,
+        # per-day leaderboard: exact rank with (n DESC, user_id)
+        # tiebreak, epoch-second day buckets (events.py:daily_top_users)
+        "daily_top_users": """
+            WITH counts AS (
+              SELECT (epoch(ts)::BIGINT // 86400) * 86400 AS day,
+                     user_id, CAST(count(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2
+            ),
+            ranked AS (
+              SELECT day, user_id, n,
+                     CAST(row_number() OVER (
+                         PARTITION BY day
+                         ORDER BY n DESC, user_id) AS BIGINT) AS rank
+              FROM counts
+            )
+            SELECT day, rank, user_id, n FROM ranked
+            WHERE rank <= 3 ORDER BY day, rank
         """,
         # fixed-type pivot contract, one column per event type
         # (events.py:pivot_events)

@@ -210,6 +210,7 @@ def run_queries() -> dict:
         "rollup_orders": lambda: tpch.rollup_orders(SF_DIR),
         "pivot_events": lambda: events.pivot_events(SF_DIR),
         "copurchase_topk": lambda: tpch.copurchase_topk(SF_DIR),
+        "daily_top_users": lambda: events.daily_top_users(SF_DIR),
         "media_resize": lambda: __import__(
             "linkinator_ray.pipelines.multimodal",
             fromlist=["x"]).media_resize(SF_DIR),

@@ -500,3 +500,49 @@ def pivot_events(sf_dir: str, types: tuple = EVENT_TYPES):
         {f"n_{t}": (f"n_{t}", "sum") for t in types})
     df = out.to_pandas().sort_values("user_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def daily_top_users(sf_dir: str, k: int = 3,
+                    num_parts: int | None = None):
+    """Per-day activity leaderboard — the windowed-aggregate × grouped
+    top-k composition: (day, user) event counts via per-batch combiner
+    + one hash exchange, then a SECOND day-keyed exchange finishes an
+    exact rank with the (n DESC, user_id) total order and keeps rank <=
+    k. Ties are deterministic (user_id breaks them), so the SQL
+    row_number oracle hashes identically. Exchange volume: distinct
+    (day, user) rows, then one row per (day, user) surviving the local
+    cap — never raw events."""
+    import pandas as pd
+
+    from linkinator_ray.pipelines.hashagg import (hash_aggregate,
+                                                  hash_partition_apply)
+
+    ds = read_events(sf_dir, ["ts", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = (_epoch_s(batch["ts"]) // 86400) * 86400
+        t = pa.table({
+            "day": pa.array(day),
+            "user_id": batch["user_id"],
+            "n": pa.array(np.ones(batch.num_rows, dtype=np.int64))})
+        return pa.TableGroupBy(t, ["day", "user_id"]).aggregate(
+            [("n", "sum")]).rename_columns(["day", "user_id", "n"])
+
+    counts = hash_aggregate(
+        _fanout(ds).map_batches(partial, batch_format="pyarrow"),
+        ["day", "user_id"], {"n": ("n", "sum")}, num_parts=num_parts)
+
+    def topk(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["day", "n", "user_id"],
+                            ascending=[True, False, True], kind="stable")
+        rank = df.groupby("day", sort=False).cumcount() + 1
+        out = df[rank <= k].copy()
+        out["rank"] = rank[rank <= k].astype(np.int64)
+        return out
+
+    top = hash_partition_apply(counts, "day", topk, num_parts=num_parts)
+    df = top.to_pandas().sort_values(["day", "rank"]).reset_index(drop=True)
+    df["day"] = df["day"].astype(np.int64)
+    df["n"] = df["n"].astype(np.int64)
+    return pa.Table.from_pandas(df[["day", "rank", "user_id", "n"]],
+                                preserve_index=False)

@@ -2377,3 +2377,30 @@ def test_media_resizer_batch(ray_session):
     assert resized.shape == (2, 4, 3)
     assert not bool(df.loc[2, "resized_real"])
     assert df.loc[2, "payload"] == b"" and df.loc[3, "payload"] == b""
+
+
+def test_daily_top_users_planted(ray_session, tmp_path):
+    """Leaderboard semantics: ties break by user_id, rank caps at k,
+    day boundaries at UTC midnight."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from linkinator_ray.pipelines.events import daily_top_users
+    day0 = 1704067200  # 2024-01-01 UTC
+    rows = [(day0 + 10, 1)] * 3 + [(day0 + 20, 2)] * 3 + \
+           [(day0 + 30, 3)] * 1 + [(day0 + 86400 + 5, 9)] * 2
+    ts = pa.array([np.datetime64(t * 1_000_000, "us") for t, _ in rows],
+                  pa.timestamp("us"))
+    t = pa.table({
+        "event_id": pa.array(range(len(rows)), pa.int64()),
+        "ts": ts,
+        "user_id": pa.array([u for _, u in rows], pa.int64()),
+        "event_type": ["click"] * len(rows),
+        "value": pa.array([0.0] * len(rows)),
+        "props": [""] * len(rows)})
+    pq.write_table(t, tmp_path / "events.parquet")
+    got = daily_top_users(str(tmp_path), k=2).to_pandas()
+    d1 = got[got.day == day0]
+    assert list(zip(d1["rank"], d1.user_id, d1.n)) == [(1, 1, 3), (2, 2, 3)]
+    d2 = got[got.day == day0 + 86400]
+    assert list(zip(d2["rank"], d2.user_id, d2.n)) == [(1, 9, 2)]
