@@ -260,19 +260,31 @@ def _rev_units(batch: pa.Table) -> pa.ChunkedArray:
 
 def local_supplier_volume(sf_dir: str, region: str = "ASIA",
                           date_from: str = "1996-01-01",
-                          date_to: str = "1999-01-01"):
+                          date_to: str = "1999-01-01",
+                          broadcast_threshold: int = 5_000_000):
     """Q5-shaped multi-join: revenue by nation where the customer and
     the supplier share the nation, one region, one date window.
 
-    The canonical 3-exchange distributed plan: region⋈nation collapses
-    to a tiny nationkey set on the driver (dimension broadcast);
-    customer and supplier filter against it AT THE READ; then exactly
-    three hash-partitioned exchanges join the big sides —
-    orders⋈customer on custkey, lineitem⋈supplier on suppkey, and the
-    two halves on orderkey — with the c_nationkey = s_nationkey
-    equality applied as a vectorized post-join filter. Revenue partials
-    pre-combine per (orderkey, s_nationkey) inside each batch before
-    the last exchange; the final per-nation aggregate is 5 rows."""
+    Two plans, picked by the size of the region+date-filtered ORDER
+    map (r5 — the 3-exchange plan paid ~2-3 s of fixed all-to-all cost
+    per join on this Ray build even at toy sizes):
+
+    - **broadcast** (filtered orders ≤ ``broadcast_threshold``): the
+      region's customer→nation and supplier→nation maps are read
+      driver-side (bounded by the region's dim sizes), the date+region
+      filtered orderkey→nation map is built by ONE streamed pass over
+      orders and shipped via ``ray.put`` once; lineitem then needs ZERO
+      big exchanges — per batch, two sorted-array searchsorted lookups
+      + the nation-equality filter + a per-batch nation partial, and
+      the final aggregate is 5 rows. ~65 k orderkeys at sf0.1 ≈ 1 MB
+      broadcast; the threshold caps it at ~80 MB.
+    - **exchange** (above threshold — the 100 TB shape): the canonical
+      3-exchange plan — orders⋈customer on custkey, lineitem⋈supplier
+      on suppkey, halves on orderkey, nation equality as a vectorized
+      post-join filter; revenue partials pre-combine per (orderkey,
+      suppkey) before the last exchange. Forced-equality tested against
+      the broadcast plan.
+    """
     import pyarrow.dataset as pads
     import ray.data as rd
 
@@ -291,18 +303,23 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
                if rk in rkeys}
     nat_keys = sorted(name_of)
 
-    cust = rd.read_parquet(
-        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
-        filter=pads.field("c_nationkey").isin(nat_keys))
-    supp = rd.read_parquet(
-        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"],
-        filter=pads.field("s_nationkey").isin(nat_keys))
     lo = pa.scalar(np.datetime64(date_from, "us"))
     hi = pa.scalar(np.datetime64(date_to, "us"))
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"],
         filter=(pads.field("o_orderdate") >= lo)
         & (pads.field("o_orderdate") < hi))
+
+    n_orders = orders.count()
+    if n_orders <= broadcast_threshold:
+        return _lsv_broadcast(sf_dir, orders, nat_keys, name_of, lo, hi)
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"],
+        filter=pads.field("c_nationkey").isin(nat_keys))
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"],
+        filter=pads.field("s_nationkey").isin(nat_keys))
 
     def rev_partial(batch: pa.Table) -> pa.Table:
         t = pa.table({"l_orderkey": batch["l_orderkey"],
@@ -501,6 +518,86 @@ def rollup_orders(sf_dir: str):
     out["total_cents"] = out["total_cents"].astype(np.int64)
     out["n_orders"] = out["n_orders"].astype(np.int64)
     return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _lsv_broadcast(sf_dir: str, orders, nat_keys, name_of, lo, hi):
+    """Broadcast plan of ``local_supplier_volume`` (small filtered-dim
+    regime): zero big exchanges — see the caller's docstring."""
+    import ray
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    from linkinator_ray.pipelines.hashagg import hash_aggregate
+
+    def _kv(table: pa.Table, k: str, v: str):
+        ks = np.asarray(table[k].to_numpy(zero_copy_only=False), np.int64)
+        vs = np.asarray(table[v].to_numpy(zero_copy_only=False), np.int64)
+        order = np.argsort(ks, kind="stable")
+        return ks[order], vs[order]
+
+    cust_t = pads.dataset(f"{sf_dir}/customer.parquet").to_table(
+        columns=["c_custkey", "c_nationkey"],
+        filter=pads.field("c_nationkey").isin(nat_keys))
+    supp_t = pads.dataset(f"{sf_dir}/supplier.parquet").to_table(
+        columns=["s_suppkey", "s_nationkey"],
+        filter=pads.field("s_nationkey").isin(nat_keys))
+    ck, cv = _kv(cust_t, "c_custkey", "c_nationkey")
+    cust_ref = ray.put((ck, cv))
+
+    def order_nat(batch: pa.Table) -> pa.Table:
+        k, v = ray.get(cust_ref)
+        ok = np.asarray(batch["o_custkey"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        pos = np.searchsorted(k, ok)
+        pos_c = np.clip(pos, 0, len(k) - 1)
+        hit = (len(k) > 0) & (k[pos_c] == ok)
+        return pa.table({
+            "o_orderkey": pc.filter(batch["o_orderkey"], pa.array(hit)),
+            "c_nat": pa.array(v[pos_c[hit]]) if hit.any()
+            else pa.array([], pa.int64())})
+
+    # ONE streamed pass over orders; the collected map is bounded by
+    # the caller's broadcast_threshold check on the filtered order count
+    omap = pa.concat_tables(
+        ray.get(r) for r in orders.map_batches(
+            order_nat, batch_format="pyarrow").to_arrow_refs())
+    okk, onv = _kv(omap, "o_orderkey", "c_nat")
+    sk, sv = _kv(supp_t, "s_suppkey", "s_nationkey")
+    maps_ref = ray.put((okk, onv, sk, sv))
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        okk, onv, sk, sv = ray.get(maps_ref)
+        lk = np.asarray(batch["l_orderkey"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        ls = np.asarray(batch["l_suppkey"].to_numpy(zero_copy_only=False),
+                        np.int64)
+        p1 = np.clip(np.searchsorted(okk, lk), 0, max(len(okk) - 1, 0))
+        p2 = np.clip(np.searchsorted(sk, ls), 0, max(len(sk) - 1, 0))
+        hit = (len(okk) > 0) & (len(sk) > 0) & (okk[p1] == lk) & \
+            (sk[p2] == ls) & (onv[p1] == sv[p2])
+        if not hit.any():
+            return pa.table({"nk": pa.array([], pa.int64()),
+                             "rev": pa.array([], pa.int64())})
+        rev = np.asarray(_rev_units(batch).to_numpy(zero_copy_only=False),
+                         np.int64)[hit]
+        t = pa.table({"nk": pa.array(sv[p2[hit]]), "rev": pa.array(rev)})
+        agg = t.group_by("nk", use_threads=False).aggregate([("rev", "sum")])
+        return pa.table({"nk": agg["nk"], "rev": agg["rev_sum"]})
+
+    lines = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"]).map_batches(
+        li_partial, batch_format="pyarrow", batch_size=131072)
+    per_nation = hash_aggregate(lines, "nk", {"revenue_u": ("rev", "sum")})
+
+    def name_row(batch: pa.Table) -> pa.Table:
+        nk = batch["nk"].to_pylist()
+        return pa.table({
+            "n_name": pa.array([name_of[k] for k in nk], pa.string()),
+            "revenue_u": batch["revenue_u"]})
+
+    return per_nation.map_batches(name_row, batch_format="pyarrow")
 
 
 def copurchase_topk(sf_dir: str, k: int = 20, max_basket: int = 64,

@@ -2404,3 +2404,15 @@ def test_daily_top_users_planted(ray_session, tmp_path):
     assert list(zip(d1["rank"], d1.user_id, d1.n)) == [(1, 1, 3), (2, 2, 3)]
     d2 = got[got.day == day0 + 86400]
     assert list(zip(d2["rank"], d2.user_id, d2.n)) == [(1, 9, 2)]
+
+
+def test_local_supplier_volume_plans_equal(ray_session):
+    """The broadcast plan (small filtered-dim regime) and the 3-exchange
+    plan (100 TB shape, forced via broadcast_threshold=0) must produce
+    identical revenue tables."""
+    from linkinator_ray.pipelines.tpch import local_supplier_volume
+    a = local_supplier_volume(SF).to_pandas() \
+        .sort_values("n_name").reset_index(drop=True)
+    b = local_supplier_volume(SF, broadcast_threshold=0).to_pandas() \
+        .sort_values("n_name").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
