@@ -120,6 +120,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_tokens": lambda sf: text.top_tokens(sf, k=20),
         "bigram_counts": lambda sf: text.bigram_counts(
             sf, k=20),  # NEW in r5: exact SQL oracle
+        "vocab_build": lambda sf: text.vocab_build(
+            sf, min_doc_freq=2),  # NEW in r5: exact SQL oracle
         "lang_id": text.lang_id,                      # exact SQL oracle
         "tfidf_top_terms": lambda sf: text.tfidf_top_terms(sf, k=3),
         "unigram_logppl": text.unigram_logppl,  # exact SQL oracle
@@ -1556,6 +1558,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, CAST(count(*) AS BIGINT) AS n
             FROM big GROUP BY bigram
             ORDER BY n DESC, bigram ASC LIMIT 20
+        """,
+        # frequency-filtered vocabulary; vocab_id = exact rank under
+        # (doc_freq DESC, token ASC) — text.py:vocab_build
+        "vocab_build": r"""
+            WITH tok AS (
+                SELECT doc_id, unnest(list_distinct(
+                    string_split_regex(trim(text), '\s+'))) AS token
+                FROM documents
+            ),
+            freqs AS (
+                SELECT token, CAST(count(*) AS BIGINT) AS doc_freq
+                FROM tok GROUP BY token HAVING count(*) >= 2
+            )
+            SELECT token, doc_freq,
+                   CAST(row_number() OVER (
+                       ORDER BY doc_freq DESC, token ASC) AS BIGINT)
+                       AS vocab_id
+            FROM freqs ORDER BY vocab_id
         """,
         "top_tokens": r"""
             WITH tok AS (

@@ -1894,3 +1894,70 @@ def bigram_counts(sf_dir: str, k: int = 20):
         .sort_values(["n", "bigram"], ascending=[False, True]).head(k)
     return pa.Table.from_pandas(top.reset_index(drop=True),
                                 preserve_index=False)
+
+
+def vocab_build(sf_dir: str, min_doc_freq: int = 2,
+                num_parts: int | None = None):
+    """Frequency-filtered vocabulary with STABLE dense ids — the
+    tokenizer-prep operator: every token with document frequency >=
+    ``min_doc_freq`` gets vocab_id = its exact rank under (doc_freq
+    DESC, token ASC).
+
+    Scale shape (global_rank's rank-by-histogram scan aimed at the
+    vocabulary): per-batch distinct-token doc-count combiner → ONE
+    token-hash exchange merges doc frequencies (vocab-bounded, never
+    corpus-bounded) → frequency histogram on the driver (bounded by
+    max doc freq, i.e. corpus doc count DISTINCT VALUES — small) →
+    one freq-hash exchange co-locates each frequency band, a per-band
+    vectorized finish sorts tokens lexicographically and adds the
+    band's exclusive prefix offset. No global sort; nothing
+    vocabulary-sized on the driver."""
+    from linkinator_ray.pipelines.hashagg import (hash_aggregate,
+                                                  hash_map_groups)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        trimmed = pc.utf8_trim_whitespace(_text_col(batch))
+        lst = pc.split_pattern_regex(trimmed, r"\s+")
+        pairs = pa.table({"p": pc.list_parent_indices(lst),
+                          "token": pc.list_flatten(lst)})
+        distinct = pairs.group_by(["p", "token"],
+                                  use_threads=False).aggregate([])
+        agg = distinct.group_by("token", use_threads=False).aggregate(
+            [([], "count_all")])
+        return pa.table({"token": agg.column("token"),
+                         "n": agg.column("count_all")})
+
+    partials = read_docs(sf_dir, ["doc_id", "text"]).map_batches(
+        partial, batch_format="pyarrow", batch_size=8192)
+    freqs = hash_aggregate(partials, "token", {"doc_freq": ("n", "sum")},
+                           num_parts=num_parts)
+
+    def thresh(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(
+            pc.greater_equal(batch["doc_freq"],
+                             pa.scalar(min_doc_freq, pa.int64())))
+
+    kept = freqs.map_batches(thresh, batch_format="pyarrow")
+    hist = hash_aggregate(kept, "doc_freq", {"n": ("token", "count")},
+                          num_parts=num_parts).to_pandas()
+    hist = hist.sort_values("doc_freq", ascending=False)
+    counts = hist["n"].to_numpy(np.int64)
+    offsets = dict(zip(hist["doc_freq"].to_numpy(np.int64),
+                       np.concatenate(([0], np.cumsum(counts)[:-1]))))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("token", kind="stable")
+        base = offsets[int(g["doc_freq"].iloc[0])]
+        return pd.DataFrame({
+            "token": g["token"].to_numpy(),
+            "doc_freq": g["doc_freq"].to_numpy(np.int64),
+            "vocab_id": base + np.arange(1, len(g) + 1, dtype=np.int64),
+        })
+
+    empty = pd.DataFrame({"token": pd.array([], dtype="str"),
+                          "doc_freq": pd.array([], dtype="int64"),
+                          "vocab_id": pd.array([], dtype="int64")})
+    return hash_map_groups(kept, "doc_freq", finish, num_parts=num_parts,
+                           empty=empty)

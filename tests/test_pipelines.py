@@ -2416,3 +2416,30 @@ def test_local_supplier_volume_plans_equal(ray_session):
     b = local_supplier_volume(SF, broadcast_threshold=0).to_pandas() \
         .sort_values("n_name").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_vocab_build_planted(ray_session, tmp_path):
+    """Vocabulary semantics: doc-frequency (not occurrence) counting,
+    min_doc_freq gate, dense rank under (doc_freq DESC, token ASC)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from linkinator_ray.pipelines.text import vocab_build
+    docs = ["a a b c", "a b", "a d", "d x"]
+    t = pa.table({
+        "doc_id": pa.array(range(len(docs)), pa.int64()),
+        "text": docs,
+        "lang": ["en"] * len(docs),
+        "source": ["s"] * len(docs),
+        "n_chars": pa.array([len(d) for d in docs], pa.int64()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = vocab_build(str(tmp_path), min_doc_freq=2).to_pandas() \
+        .sort_values("vocab_id").reset_index(drop=True)
+    # a: df 3 (duplicate within doc counts once); b: 2; d: 2; c/x: 1 (cut)
+    assert list(zip(got.token, got.doc_freq, got.vocab_id)) == [
+        ("a", 3, 1), ("b", 2, 2), ("d", 2, 3)]
+    # partition invariance
+    got2 = vocab_build(str(tmp_path), min_doc_freq=2,
+                       num_parts=7).to_pandas() \
+        .sort_values("vocab_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, got2)
