@@ -89,6 +89,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_depth": graph.crawl_depth,  # NEW in r5: exact SQL oracle
         "anchor_text_stats": graph.anchor_text_stats,  # NEW in r5: span-text
         # round-trip certificate, exact SQL oracle
+        "crawl_prepare_corpus": lambda sf: graph.crawl_prepare_corpus(
+            sf),  # NEW in r5 flagship composition: exact SQL oracle
         "triangle_count": linkgraph.triangle_count,  # exact SQL oracle
         # columnar classics over the star schema
         "top_customers": lambda sf: tpch.top_customers(sf, k=10),
@@ -735,6 +737,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, CAST(count(*) AS BIGINT) AS n
             FROM pairs GROUP BY a, b
             ORDER BY n DESC, a, b LIMIT 20
+        """,
+        # the crawl -> training-corpus composition: reach CTE gates the
+        # documents, then the prepare_corpus chain verbatim
+        # (pipelines/graph.py:crawl_prepare_corpus)
+        "crawl_prepare_corpus": f"""
+            WITH RECURSIVE {_REACH_CTE},
+            okdocs AS (SELECT doc FROM reach WHERE doc % 13 <> 7),
+            gated AS (
+              SELECT d.doc_id, d.lang,
+                     trim(regexp_replace(lower(nfc_normalize(d.text)),
+                          '\\s+', ' ', 'g')) AS t
+              FROM documents d JOIN okdocs o ON o.doc = d.doc_id
+            ), q AS (
+              SELECT doc_id, lang, t,
+                     CAST(len(string_split_regex(t, '\\s+')) AS BIGINT)
+                         AS n_tokens,
+                     CAST(1000000 * length(regexp_replace(
+                              t, '[^A-Za-z]', '', 'g'))
+                          // greatest(length(t), 1) AS BIGINT) AS alpha_ppm
+              FROM gated
+            ), pass AS (
+              SELECT * FROM q
+              WHERE n_tokens BETWEEN 20 AND 1000 AND alpha_ppm >= 500000
+            ), grp AS (
+              SELECT arg_min(lang, doc_id) AS lang,
+                     min(n_tokens) AS n_tokens, count(*) AS grp_n
+              FROM pass GROUP BY md5(t)
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_kept,
+                   CAST(sum(n_tokens) AS BIGINT) AS kept_tokens,
+                   CAST(sum(grp_n - 1) AS BIGINT) AS n_dup_dropped
+            FROM grp GROUP BY lang ORDER BY lang
         """,
         # per-target anchor-span aggregation; text and offset re-derived
         # from the corpus rule (span index i -> offset 10*i, text

@@ -279,3 +279,57 @@ def anchor_text_stats(sf_dir: str, num_parts: int | None = None):
                          num_parts=num_parts)
     df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
     return pa.Table.from_pandas(df, preserve_index=False)
+
+
+def crawl_prepare_corpus(sf_dir: str, gate: str = "broadcast",
+                         num_parts: int | None = None):
+    """The round-5 flagship COMPOSITION: engine BFS crawl → only the
+    reachable, OK pages pass → the prepare_corpus training-data
+    pipeline (normalize → quality-gate → exact-dedup → per-language
+    summary). One query exercises the whole system: fetch/extract/
+    seen-set, the reachability contract, and the streaming corpus
+    pipeline whose oracle is the reach CTE chained into the
+    prepare_corpus CTEs.
+
+    ``gate="broadcast"``: the reachable-OK id set ships once via
+    ``ray.put`` and the scan drops non-crawled docs with a vectorized
+    searchsorted — right when the reachable set fits a worker heap.
+    ``gate="join"``: hash-partitioned SEMI join against the id set —
+    the 100 TB shape (equality-tested against broadcast)."""
+    import pyarrow.compute as pc
+
+    import ray
+    import ray.data as rd
+
+    from linkinator_ray.pipelines import text as textmod
+    if gate not in ("broadcast", "join"):
+        raise ValueError(f"gate must be broadcast|join: {gate!r}")
+
+    reach = crawl_reachability(sf_dir)
+    ok_t = reach.filter(pc.equal(reach["state"], "OK"))
+    ok_ids = np.sort(np.asarray(
+        ok_t["doc_id"].to_numpy(zero_copy_only=False), np.int64))
+
+    docs = textmod.read_docs(sf_dir, ["doc_id", "text", "lang"])
+    if gate == "broadcast":
+        ref = ray.put(ok_ids)
+
+        def gate_fn(batch: pa.Table) -> pa.Table:
+            k = ray.get(ref)
+            ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False),
+                             np.int64)
+            if not len(k):
+                return batch.slice(0, 0)
+            pos = np.clip(np.searchsorted(k, ids), 0, len(k) - 1)
+            return batch.filter(pa.array(k[pos] == ids))
+
+        gated = docs.map_batches(gate_fn, batch_format="pyarrow")
+    else:
+        from linkinator_ray.pipelines.hashagg import hash_join
+        ids_ds = rd.from_arrow(pa.table({"doc_id": pa.array(ok_ids)}))
+        gated = hash_join(docs, ids_ds, on="doc_id", how="semi",
+                          num_parts=num_parts)
+
+    from linkinator_ray.pipelines.text import _fanout as _text_fanout
+    return textmod.prepare_corpus_ds(_text_fanout(gated),
+                                     num_parts=num_parts)

@@ -1785,6 +1785,18 @@ def prepare_corpus(sf_dir: str, min_tokens: int = 20,
     Same conventions as the component operators (text_normalize /
     quality_filter / dedup_exact), so the DuckDB oracle is their CTE
     chain — exact, hash-portable, no floats anywhere."""
+    return prepare_corpus_ds(
+        _fanout(read_docs(sf_dir, ["doc_id", "text", "lang"])),
+        min_tokens=min_tokens, max_tokens=max_tokens,
+        min_alpha_ppm=min_alpha_ppm, num_parts=num_parts)
+
+
+def prepare_corpus_ds(docs, min_tokens: int = 20, max_tokens: int = 1000,
+                      min_alpha_ppm: int = 500_000,
+                      num_parts: int | None = None):
+    """Core of ``prepare_corpus`` over any (doc_id, text, lang) dataset
+    — callers can pre-gate the corpus (e.g. graph.crawl_prepare_corpus
+    feeds only the crawl's reachable-OK pages)."""
     import pyarrow.compute as pc
 
     from linkinator_ray.pipelines.hashagg import (hash_aggregate,
@@ -1810,8 +1822,8 @@ def prepare_corpus(sf_dir: str, min_tokens: int = 20,
             "n_tokens": pa.array(n_tokens[keep.to_numpy(
                 zero_copy_only=False)])})
 
-    kept = _fanout(read_docs(sf_dir, ["doc_id", "text", "lang"])) \
-        .map_batches(kernel, batch_format="pyarrow", batch_size=4096)
+    kept = docs.map_batches(kernel, batch_format="pyarrow",
+                            batch_size=4096)
 
     def per_part(df: pd.DataFrame) -> pd.DataFrame:
         if not len(df):

@@ -2443,3 +2443,23 @@ def test_vocab_build_planted(ray_session, tmp_path):
                        num_parts=7).to_pandas() \
         .sort_values("vocab_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(got, got2)
+
+
+def test_crawl_prepare_corpus_gates_equal(ray_session):
+    """Flagship composition: the broadcast gate and the semi-join gate
+    must produce the same per-language summary, and only reachable OK
+    pages may contribute (a reachable-broken page's text never counts)."""
+    from linkinator_ray.pipelines.graph import (crawl_prepare_corpus,
+                                                crawl_reachability)
+    import pyarrow.compute as pc
+    a = crawl_prepare_corpus(SF, gate="broadcast").to_pandas() \
+        .sort_values("lang").reset_index(drop=True)
+    b = crawl_prepare_corpus(SF, gate="join").to_pandas() \
+        .sort_values("lang").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    reach = crawl_reachability(SF)
+    n_ok = reach.filter(pc.equal(reach["state"], "OK")).num_rows
+    # every kept doc is an OK page: kept+dups can never exceed OK count
+    assert (a.n_kept.sum() + a.n_dup_dropped.sum()) <= n_ok
+    with pytest.raises(ValueError):
+        crawl_prepare_corpus(SF, gate="nope")
