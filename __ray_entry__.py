@@ -146,7 +146,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf, "lineitem"),  # exact SQL oracle
         # composed preprocessing flagship: normalize -> quality-gate ->
         # exact-dedup -> per-lang summary, one stream
-        "prepare_corpus": lambda sf: text.prepare_corpus(sf),  # exact SQL oracle
         # streaming-shaped; daily_active_users / retention_cohorts are
         # r4 additions never driver-swept — kept inside the 50-window
         "daily_active_users": lambda sf: events.daily_active_users(
@@ -155,6 +154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf),  # exact SQL oracle
         # --- overflow margin: hash-green in earlier driver sweeps, code
         #     unchanged since, re-checkable anytime ---
+        "prepare_corpus": lambda sf: text.prepare_corpus(sf),  # exact SQL oracle
         "train_split": lambda sf: text.train_split(sf),
         "shuffle_export": lambda sf: text.shuffle_export(sf, num_shards=8),
         "interval_join": lambda sf: events.interval_join(
