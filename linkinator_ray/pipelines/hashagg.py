@@ -329,3 +329,42 @@ def hash_join(left, right, on: list[str] | str,
     parts = num_parts if salt == 1 else max(num_parts, salt)
     return hash_partition_apply(both, route_keys, merge, num_parts=parts) \
         .map_batches(lambda t: t.select(out_cols), batch_format="pyarrow")
+
+
+def partition_stats(ds, keys: list[str] | str,
+                    num_parts: int | None = None) -> pd.DataFrame:
+    """Skew diagnostic for any exchange this module would run: per
+    hash partition, row count, distinct-key count, and the hottest
+    key's share (ppm) — the numbers that tell you whether a groupby /
+    join key needs salting (hash_join(salt=) / fetch.py host salting)
+    BEFORE the 100 TB run stalls on one reducer.
+
+    One combiner exchange itself: per-batch (part, key) counts, P-way
+    merge, per-partition readoff — the diagnostic never moves raw rows.
+    Returns a driver-sized DataFrame (P rows)."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    num_parts = num_parts or default_parts()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        part = _part_of_table(batch, keys, num_parts)
+        t = batch.select(keys).append_column("part", part)
+        agg = t.group_by(["part"] + keys, use_threads=False).aggregate(
+            [([], "count_all")])
+        return agg.rename_columns(["part"] + keys + ["n"])
+
+    def readoff(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.groupby(["part"] + keys, sort=False, as_index=False)["n"] \
+            .sum()
+        out = []
+        for p, g in df.groupby("part", sort=False):
+            n = int(g["n"].sum())
+            out.append({"part": int(p), "n_rows": n,
+                        "n_keys": int(len(g)),
+                        "max_key_share_ppm":
+                            int(g["n"].max() * 1_000_000 // max(n, 1))})
+        return pd.DataFrame(out)
+
+    stats = hash_partition_apply(
+        ds.map_batches(partial, batch_format="pyarrow"), "part", readoff,
+        num_parts=num_parts).to_pandas()
+    return stats.sort_values("part").reset_index(drop=True)

@@ -126,3 +126,25 @@ def test_hash_join_salted_equals_unsalted(ray_session):
                            num_parts=5, salt=4).to_pandas() \
             .sort_values(["k", "v"]).reset_index(drop=True)
         pd.testing.assert_frame_equal(salted, plain), how
+
+
+def test_partition_stats_detects_planted_skew(ray_session):
+    """Diagnostic contract: totals reconcile, all rows of the planted
+    hot key land in ONE partition, and that partition reports a
+    max_key_share_ppm near 10^6 — the number a caller checks before
+    deciding to salt."""
+    from linkinator_ray.pipelines.hashagg import partition_stats
+    rng = np.random.default_rng(3)
+    n = 6000
+    keys = np.where(rng.random(n) < 0.5, 7,
+                    rng.integers(0, 500, n)).astype(np.int64)
+    df = pd.DataFrame({"k": keys, "v": np.arange(n)})
+    stats = partition_stats(_ds(df), "k", num_parts=8)
+    assert stats["n_rows"].sum() == n
+    assert len(stats) <= 8
+    hot = stats.loc[stats["max_key_share_ppm"].idxmax()]
+    n_hot = int((keys == 7).sum())
+    # the hot partition holds all of key 7 plus its hash-share of others
+    assert hot["n_rows"] >= n_hot
+    assert hot["max_key_share_ppm"] >= n_hot * 1_000_000 // hot["n_rows"]
+    assert hot["max_key_share_ppm"] > 500_000
