@@ -71,9 +71,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # length_quantiles, the three export roundtrips, keyword_search,
     # hll/cms sketches, bm25_search, chunk_documents, text_normalize,
     # inverted_index — tests/test_registry.py pins that every first-50
-    # entry carries an oracle), and the four rows-only queries (no
-    # oracle by declared design: LSH/IVF/kmeans float paths, recall-
-    # and differential-tested in pytest instead).
+    # entry carries an oracle), and the six rows-only queries (no
+    # oracle by declared design: LSH/IVF/kmeans/SemDeDup float paths
+    # and the media_resize codec output — recall-, differential- or
+    # exact-pixel-tested in pytest instead).
     return {
         # crawl engine over the deterministic link graph
         "crawl_reachability": graph.crawl_reachability,

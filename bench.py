@@ -298,9 +298,11 @@ def run_dedup_scale() -> dict:
     n_input = pq_.read_metadata(
         os.path.join(x10, "documents.parquet")).num_rows
     # untimed warm-up at sf0.001 so a fresh session's worker-spawn /
-    # import storm isn't billed to the probe
-    from linkinator_ray.pipelines import text as _text
-    _text.doc_stats(WARM_SF_DIR).count()
+    # import storm isn't billed to the probe (same isdir guard as
+    # run_queries — a missing warm dir must not abort the whole bench)
+    if os.path.isdir(WARM_SF_DIR):
+        from linkinator_ray.pipelines import text as _text
+        _text.doc_stats(WARM_SF_DIR).count()
     t0 = time.time()
     res = dedup.corpus_dedup_keep(x10)
     sec = time.time() - t0

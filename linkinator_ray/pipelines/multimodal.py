@@ -155,7 +155,13 @@ def png_pixels(payload: bytes) -> "np.ndarray":
             f"unsupported PNG shape: depth={depth} ctype={ctype} "
             f"interlace={interlace}")
     channels = _PNG_CHANNELS[ctype]
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as exc:
+        # a signature-passing payload with a corrupt deflate stream must
+        # surface as ValueError — that's the contract every caller
+        # (MediaDecoder / MediaResizer stub fallback) catches
+        raise ValueError(f"corrupt PNG IDAT stream: {exc}") from exc
     stride = w * channels
     if len(raw) != h * (stride + 1):
         raise ValueError("scanline data size mismatch")

@@ -409,21 +409,14 @@ def _kmeans_init(sf_dir: str, k: int) -> np.ndarray:
     return _normalized(mat[np.argsort(ids)])
 
 
-def kmeans_embeddings(sf_dir: str, k: int = 10, iters: int = 5):
-    """Spherical k-means (Lloyd) over the embedding column — the
-    iterative-ML pattern on Ray Data: each iteration is ONE streaming
-    ``map_batches`` pass where workers read the broadcast centroid
-    matrix (``ray.put`` once per iteration, k x d floats) and emit a
-    per-batch mergeable sketch (per-cluster vector sum + count, k rows
-    per batch); the driver reduces the tiny sketch table and updates
-    centroids. No shuffle, no full materialization — the only data
-    that ever leaves the workers is k x (d+2) numbers per batch.
-
-    Returns a Dataset (vec_id, cluster) from a final assignment pass.
-    Empty clusters keep their previous centroid (deterministic).
-    """
+def _train_centroids(sf_dir: str, k: int, iters: int) -> np.ndarray:
+    """Shared broadcast-centroid k-means sketch loop (kmeans_embeddings
+    and semantic_dedup both train with it): per iteration, ONE streamed
+    pass emits k partial (sum, count) rows per batch against the
+    ray.put centroids; the driver merge touches k x (d+2) numbers per
+    batch, never vectors. Empty clusters keep their previous centroid
+    (deterministic)."""
     import ray
-    import ray.data as rd
 
     cents = _kmeans_init(sf_dir, k)
 
@@ -457,15 +450,39 @@ def kmeans_embeddings(sf_dir: str, k: int = 10, iters: int = 5):
             _partial, batch_format="pyarrow", batch_size=4096,
             fn_kwargs={"cents_ref": ref}).to_pandas()
         new = cents.copy()
-        g = parts.groupby("cluster")
-        for c, grp in g:
+        for c, grp in parts.groupby("cluster"):
             n = int(grp["n"].sum())
             if n > 0:
-                s = np.sum(np.stack(grp["psum"].to_numpy()), axis=0)
-                norm = np.linalg.norm(s)
+                ssum = np.sum(np.stack(grp["psum"].to_numpy()), axis=0)
+                norm = np.linalg.norm(ssum)
                 if norm > 1e-12:
-                    new[int(c)] = s / norm
+                    new[int(c)] = ssum / norm
         cents = new
+    return cents
+
+
+def kmeans_embeddings(sf_dir: str, k: int = 10, iters: int = 5):
+    """Spherical k-means (Lloyd) over the embedding column — the
+    iterative-ML pattern on Ray Data: each iteration is ONE streaming
+    ``map_batches`` pass where workers read the broadcast centroid
+    matrix (``ray.put`` once per iteration, k x d floats) and emit a
+    per-batch mergeable sketch (per-cluster vector sum + count, k rows
+    per batch); the driver reduces the tiny sketch table and updates
+    centroids. No shuffle, no full materialization — the only data
+    that ever leaves the workers is k x (d+2) numbers per batch.
+
+    Returns a Dataset (vec_id, cluster) from a final assignment pass.
+    Empty clusters keep their previous centroid (deterministic).
+    """
+    import ray
+
+    cents = _train_centroids(sf_dir, k, iters)
+
+    def _put(obj):
+        return ray.put(obj) if ray.is_initialized() else obj
+
+    def _cents_of(ref) -> np.ndarray:
+        return ref if isinstance(ref, np.ndarray) else ray.get(ref)
 
     def _assign(batch: pa.Table, *, cents_ref) -> pa.Table:
         cents_m = _cents_of(cents_ref)
@@ -519,42 +536,13 @@ def semantic_dedup(sf_dir: str, k: int = 10, iters: int = 3,
     # dedup kernel needs the embedding co-located with the assignment,
     # so the assignment pass below carries the vector through instead
     # of paying a join against a second read)
-    cents = _kmeans_init(sf_dir, k)
+    cents = _train_centroids(sf_dir, k, iters)
 
     def _put(obj):
         return ray.put(obj) if ray.is_initialized() else obj
 
     def _cents_of(ref) -> np.ndarray:
         return ref if isinstance(ref, np.ndarray) else ray.get(ref)
-
-    def _partial(batch: pa.Table, *, cents_ref) -> pa.Table:
-        cents_m = _cents_of(cents_ref)
-        mat = _normalized(_embedding_matrix(batch.column("embedding")))
-        assign = (mat @ cents_m.T).argmax(1)
-        kk = cents_m.shape[0]
-        sums = np.zeros((kk, mat.shape[1]))
-        np.add.at(sums, assign, mat)
-        counts = np.bincount(assign, minlength=kk).astype(np.int64)
-        return pa.table({
-            "cluster": pa.array(np.arange(kk, dtype=np.int64)),
-            "n": pa.array(counts),
-            "psum": pa.array(list(sums)),
-        })
-
-    for _ in range(iters):
-        ref = _put(cents)
-        parts = read_embeddings(sf_dir).map_batches(
-            _partial, batch_format="pyarrow", batch_size=4096,
-            fn_kwargs={"cents_ref": ref}).to_pandas()
-        new = cents.copy()
-        for c, grp in parts.groupby("cluster"):
-            n = int(grp["n"].sum())
-            if n > 0:
-                s = np.sum(np.stack(grp["psum"].to_numpy()), axis=0)
-                norm = np.linalg.norm(s)
-                if norm > 1e-12:
-                    new[int(c)] = s / norm
-        cents = new
 
     final_ref = _put(cents)
 

@@ -1951,7 +1951,10 @@ def vocab_build(sf_dir: str, min_doc_freq: int = 2,
             pc.greater_equal(batch["doc_freq"],
                              pa.scalar(min_doc_freq, pa.int64())))
 
-    kept = freqs.map_batches(thresh, batch_format="pyarrow")
+    # materialize: kept is consumed twice (histogram + finish) and is
+    # vocab-bounded; without this the corpus tokenize + token exchange
+    # would re-execute for the second consumer
+    kept = freqs.map_batches(thresh, batch_format="pyarrow").materialize()
     hist = hash_aggregate(kept, "doc_freq", {"n": ("token", "count")},
                           num_parts=num_parts).to_pandas()
     hist = hist.sort_values("doc_freq", ascending=False)

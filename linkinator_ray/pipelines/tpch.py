@@ -302,6 +302,11 @@ def local_supplier_volume(sf_dir: str, region: str = "ASIA",
                                         nat["n_regionkey"].to_pylist())
                if rk in rkeys}
     nat_keys = sorted(name_of)
+    if not nat_keys:
+        # unknown region: zero-row result on either plan (the exchange
+        # plan's empty filtered reads have no schema for hash_join)
+        return pa.table({"n_name": pa.array([], pa.string()),
+                         "revenue_u": pa.array([], pa.int64())})
 
     lo = pa.scalar(np.datetime64(date_from, "us"))
     hi = pa.scalar(np.datetime64(date_to, "us"))
@@ -498,12 +503,10 @@ def rollup_orders(sf_dir: str):
                           {"total_cents": ("cents", "sum"),
                            "n_orders": ("n", "sum")})
     # the fine aggregate is tiny (|priorities| x |statuses| rows):
-    # finish the rollup levels in one driver-side arrow pass
-    fine_t = pa.concat_tables(
-        [b for b in fine.iter_batches(batch_format="pyarrow")
-         if b.num_rows], promote_options="none") \
-        if fine.count() else fine.schema().empty_table()
-    df = fine_t.to_pandas()
+    # finish the rollup levels in one driver-side pass — ONE consumption
+    # of the lazy plan (count()+iter_batches would scan the fact table
+    # twice)
+    df = fine.to_pandas()
     mid = df.groupby("o_orderpriority", as_index=False)[
         ["total_cents", "n_orders"]].sum()
     mid["o_orderstatus"] = "ALL"
@@ -546,38 +549,51 @@ def _lsv_broadcast(sf_dir: str, orders, nat_keys, name_of, lo, hi):
 
     def order_nat(batch: pa.Table) -> pa.Table:
         k, v = ray.get(cust_ref)
+        empty = pa.table({"o_orderkey": pa.array([], pa.int64()),
+                          "c_nat": pa.array([], pa.int64())})
+        # a fully-filtered parquet read can emit a zero-column block
+        if not len(k) or batch.num_rows == 0 \
+                or "o_orderkey" not in batch.schema.names:
+            return empty
         ok = np.asarray(batch["o_custkey"].to_numpy(zero_copy_only=False),
                         np.int64)
-        pos = np.searchsorted(k, ok)
-        pos_c = np.clip(pos, 0, len(k) - 1)
-        hit = (len(k) > 0) & (k[pos_c] == ok)
+        pos_c = np.clip(np.searchsorted(k, ok), 0, len(k) - 1)
+        hit = k[pos_c] == ok
+        if not hit.any():
+            return empty
         return pa.table({
             "o_orderkey": pc.filter(batch["o_orderkey"], pa.array(hit)),
-            "c_nat": pa.array(v[pos_c[hit]]) if hit.any()
-            else pa.array([], pa.int64())})
+            "c_nat": pa.array(v[pos_c[hit]])})
 
     # ONE streamed pass over orders; the collected map is bounded by
     # the caller's broadcast_threshold check on the filtered order count
-    omap = pa.concat_tables(
-        ray.get(r) for r in orders.map_batches(
-            order_nat, batch_format="pyarrow").to_arrow_refs())
+    # a fully-filtered read can yield zero-column blocks that bypass
+    # the UDF — keep only properly-shaped outputs
+    otabs = [t for t in (ray.get(r) for r in orders.map_batches(
+        order_nat, batch_format="pyarrow").to_arrow_refs())
+        if "o_orderkey" in t.schema.names]
+    omap = pa.concat_tables(otabs) if otabs else pa.table(
+        {"o_orderkey": pa.array([], pa.int64()),
+         "c_nat": pa.array([], pa.int64())})
     okk, onv = _kv(omap, "o_orderkey", "c_nat")
     sk, sv = _kv(supp_t, "s_suppkey", "s_nationkey")
     maps_ref = ray.put((okk, onv, sk, sv))
 
     def li_partial(batch: pa.Table) -> pa.Table:
         okk, onv, sk, sv = ray.get(maps_ref)
+        empty = pa.table({"nk": pa.array([], pa.int64()),
+                          "rev": pa.array([], pa.int64())})
+        if not len(okk) or not len(sk):  # empty maps: nothing matches
+            return empty
         lk = np.asarray(batch["l_orderkey"].to_numpy(zero_copy_only=False),
                         np.int64)
         ls = np.asarray(batch["l_suppkey"].to_numpy(zero_copy_only=False),
                         np.int64)
-        p1 = np.clip(np.searchsorted(okk, lk), 0, max(len(okk) - 1, 0))
-        p2 = np.clip(np.searchsorted(sk, ls), 0, max(len(sk) - 1, 0))
-        hit = (len(okk) > 0) & (len(sk) > 0) & (okk[p1] == lk) & \
-            (sk[p2] == ls) & (onv[p1] == sv[p2])
+        p1 = np.clip(np.searchsorted(okk, lk), 0, len(okk) - 1)
+        p2 = np.clip(np.searchsorted(sk, ls), 0, len(sk) - 1)
+        hit = (okk[p1] == lk) & (sk[p2] == ls) & (onv[p1] == sv[p2])
         if not hit.any():
-            return pa.table({"nk": pa.array([], pa.int64()),
-                             "rev": pa.array([], pa.int64())})
+            return empty
         rev = np.asarray(_rev_units(batch).to_numpy(zero_copy_only=False),
                          np.int64)[hit]
         t = pa.table({"nk": pa.array(sv[p2[hit]]), "rev": pa.array(rev)})

@@ -2463,3 +2463,28 @@ def test_crawl_prepare_corpus_gates_equal(ray_session):
     assert (a.n_kept.sum() + a.n_dup_dropped.sum()) <= n_ok
     with pytest.raises(ValueError):
         crawl_prepare_corpus(SF, gate="nope")
+
+
+def test_local_supplier_volume_empty_region(ray_session):
+    """An unknown region (empty filtered dims) must return zero rows on
+    BOTH plans, not crash the broadcast kernels (r5 review finding:
+    empty-map searchsorted indexing)."""
+    from linkinator_ray.pipelines.tpch import local_supplier_volume
+    a = local_supplier_volume(SF, region="NOSUCH")
+    assert consume_rows(a) == 0
+    b = local_supplier_volume(SF, region="NOSUCH", broadcast_threshold=0)
+    assert consume_rows(b) == 0
+    # empty date window: the broadcast kernels see an EMPTY order map
+    # and must hit their guards, not index into a zero-length array
+    c = local_supplier_volume(SF, date_from="2099-01-01",
+                              date_to="2099-02-01")
+    assert consume_rows(c) == 0
+
+
+def consume_rows(x) -> int:
+    import pyarrow as pa
+    if isinstance(x, pa.Table):
+        return x.num_rows
+    if isinstance(x, pd.DataFrame):
+        return len(x)
+    return x.count()

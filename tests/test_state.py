@@ -630,10 +630,14 @@ class TestResumeHardening:
                            multi_host=True, use_ray=True).check()
 
         ck = str(tmp_path / "crossck")
+        # 5 ms injected latency: without it a fast machine drains the
+        # whole mesh before the first 0.2 s checkpoint epoch fires and
+        # the bomb never goes off (results are latency-independent)
         partial = LinkChecker(
             CheckOptions(**base, mesh=True, checkpoint_dir=ck,
                          checkpoint_interval_s=0.2, batch_size=64),
-            docs, [], multi_host=True, use_ray=True)
+            docs, [], multi_host=True, use_ray=True,
+            transport_latency_s=0.005)
         orig = partial._mesh_checkpoint
         calls = {"n": 0}
 
