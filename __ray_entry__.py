@@ -92,6 +92,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-trip certificate, exact SQL oracle
         "crawl_prepare_corpus": lambda sf: graph.crawl_prepare_corpus(
             sf),  # NEW in r5 flagship composition: exact SQL oracle
+        "broken_link_parents": graph.broken_link_parents,  # NEW in r5:
+        # duplicate-broken-join certificate, exact SQL oracle
         "triangle_count": linkgraph.triangle_count,  # exact SQL oracle
         # columnar classics over the star schema
         "top_customers": lambda sf: tpch.top_customers(sf, k=10),
@@ -143,8 +145,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_by_source": text.sample_by_source,
         "stratified_sample": lambda sf: text.stratified_sample(sf, 50),
         # schema-generic single-pass table profiling
-        "profile_table": lambda sf: profile.profile_table(
-            sf, "lineitem"),  # exact SQL oracle
         # composed preprocessing flagship: normalize -> quality-gate ->
         # exact-dedup -> per-lang summary, one stream
         # streaming-shaped; daily_active_users / retention_cohorts are
@@ -156,6 +156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- overflow margin: hash-green in earlier driver sweeps, code
         #     unchanged since, re-checkable anytime ---
         "prepare_corpus": lambda sf: text.prepare_corpus(sf),  # exact SQL oracle
+        "profile_table": lambda sf: profile.profile_table(
+            sf, "lineitem"),  # exact SQL oracle
         "train_split": lambda sf: text.train_split(sf),
         "shuffle_export": lambda sf: text.shuffle_export(sf, num_shards=8),
         "interval_join": lambda sf: events.interval_join(
@@ -738,6 +740,21 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b, CAST(count(*) AS BIGINT) AS n
             FROM pairs GROUP BY a, b
             ORDER BY n DESC, a, b LIMIT 20
+        """,
+        # duplicate-broken-join certificate: the engine's BROKEN rows
+        # grouped by url must equal the SQL edge set of crawled pages
+        # linking to missing docs (graph.py:broken_link_parents)
+        "broken_link_parents": f"""
+            WITH RECURSIVE {_REACH_CTE},
+            crawled AS (SELECT doc FROM reach WHERE doc % 13 <> 7),
+            e AS (SELECT DISTINCT src, dst FROM edges
+                  JOIN crawled c ON c.doc = edges.src
+                  WHERE dst % 13 = 7)
+            SELECT dst AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_parents,
+                   CAST(min(src) AS BIGINT) AS min_parent,
+                   CAST(max(src) AS BIGINT) AS max_parent
+            FROM e GROUP BY dst ORDER BY doc_id
         """,
         # the crawl -> training-corpus composition: reach CTE gates the
         # documents, then the prepare_corpus chain verbatim

@@ -213,6 +213,7 @@ def run_queries() -> dict:
         "daily_top_users": lambda: events.daily_top_users(SF_DIR),
         "vocab_build": lambda: text.vocab_build(SF_DIR),
         "crawl_prepare_corpus": lambda: graph.crawl_prepare_corpus(SF_DIR),
+        "broken_link_parents": lambda: graph.broken_link_parents(SF_DIR),
         "media_resize": lambda: __import__(
             "linkinator_ray.pipelines.multimodal",
             fromlist=["x"]).media_resize(SF_DIR),

@@ -333,3 +333,38 @@ def crawl_prepare_corpus(sf_dir: str, gate: str = "broadcast",
     from linkinator_ray.pipelines.text import _fanout as _text_fanout
     return textmod.prepare_corpus_ds(_text_fanout(gated),
                                      num_parts=num_parts)
+
+
+def broken_link_parents(sf_dir: str) -> pa.Table:
+    """Per broken page: distinct referring parents — the query-level
+    certificate of the duplicate-broken JOIN (reference behavior
+    src/index.ts:840-875, our post-hoc hash join at
+    crawl.py:_duplicate_broken_join): the engine must re-report a
+    BROKEN url once per distinct (url, parent) edge, so grouping its
+    BROKEN result rows by url reproduces exactly the SQL edge set of
+    reachable sources linking to missing docs. Output: (doc_id,
+    n_parents, min_parent, max_parent), all exact integers."""
+    import pyarrow.compute as pc
+    res = _crawl_results(sf_dir)
+    b = res.filter(pc.equal(res["state"], "BROKEN"))
+    dst = pc.struct_field(
+        pc.extract_regex(b["url"],
+                         r"^http://corpus\.test/d/(?P<id>\d+)\.html$"), "id")
+    par = pc.struct_field(
+        pc.extract_regex(b["parent"],
+                         r"^http://corpus\.test/d/(?P<id>\d+)\.html$"), "id")
+    keep = pc.and_(pc.is_valid(dst), pc.is_valid(par))
+    t = pa.table({"doc_id": pc.cast(pc.filter(dst, keep), pa.int64()),
+                  "parent": pc.cast(pc.filter(par, keep), pa.int64())})
+    # distinct (url, parent): the frontier-level row and the join's
+    # re-emissions are distinct edges by construction, but dedup anyway
+    # so the contract is explicit
+    d = t.group_by(["doc_id", "parent"]).aggregate([])
+    g = d.group_by("doc_id").aggregate(
+        [([], "count_all"), ("parent", "min"), ("parent", "max")])
+    return pa.table({
+        "doc_id": g["doc_id"],
+        "n_parents": pc.cast(g["count_all"], pa.int64()),
+        "min_parent": g["parent_min"],
+        "max_parent": g["parent_max"],
+    }).sort_by("doc_id")
