@@ -29,6 +29,10 @@ from linkinator_ray.pipelines.crawl import LinkChecker
 from linkinator_ray.stages.extract import ExtractLinks
 
 _DOC_URL = re.compile(r"^http://corpus\.test/d/(\d+)\.html$")
+# the same scheme as an Arrow extract_regex named-group pattern — keep
+# the corpus URL format in ONE place (non-matches go null and would be
+# silently dropped by is_valid filters, not error)
+DOC_URL_RE = r"^http://corpus\.test/d/(?P<id>\d+)\.html$"
 
 
 def _doc_ids(sf_dir: str) -> np.ndarray:
@@ -146,9 +150,7 @@ def crawl_depth(sf_dir: str) -> pa.Table:
     import pyarrow.compute as pc
     res = _crawl_results(sf_dir)
     t = res.filter(pc.greater_equal(res["round"], 0))
-    ids = pc.struct_field(
-        pc.extract_regex(t["url"], r"^http://corpus\.test/d/(?P<id>\d+)\.html$"),
-        "id")
+    ids = pc.struct_field(pc.extract_regex(t["url"], DOC_URL_RE), "id")
     keep = pc.is_valid(ids)
     doc = pc.cast(pc.filter(ids, keep), pa.int64())
     rnd = pc.cast(pc.filter(t["round"], keep), pa.int64())
@@ -347,19 +349,19 @@ def broken_link_parents(sf_dir: str) -> pa.Table:
     import pyarrow.compute as pc
     res = _crawl_results(sf_dir)
     b = res.filter(pc.equal(res["state"], "BROKEN"))
-    dst = pc.struct_field(
-        pc.extract_regex(b["url"],
-                         r"^http://corpus\.test/d/(?P<id>\d+)\.html$"), "id")
-    par = pc.struct_field(
-        pc.extract_regex(b["parent"],
-                         r"^http://corpus\.test/d/(?P<id>\d+)\.html$"), "id")
+    dst = pc.struct_field(pc.extract_regex(b["url"], DOC_URL_RE), "id")
+    par = pc.struct_field(pc.extract_regex(b["parent"], DOC_URL_RE), "id")
     keep = pc.and_(pc.is_valid(dst), pc.is_valid(par))
     t = pa.table({"doc_id": pc.cast(pc.filter(dst, keep), pa.int64()),
                   "parent": pc.cast(pc.filter(par, keep), pa.int64())})
-    # distinct (url, parent): the frontier-level row and the join's
-    # re-emissions are distinct edges by construction, but dedup anyway
-    # so the contract is explicit
+    # the frontier-level row and the join's re-emissions must be
+    # DISTINCT edges — enforce it so a double-emission regression in
+    # the duplicate-broken join fails loudly instead of being collapsed
     d = t.group_by(["doc_id", "parent"]).aggregate([])
+    if d.num_rows != t.num_rows:
+        raise AssertionError(
+            "duplicate-broken join re-emitted a (url, parent) edge "
+            f"more than once: {t.num_rows - d.num_rows} duplicates")
     g = d.group_by("doc_id").aggregate(
         [([], "count_all"), ("parent", "min"), ("parent", "max")])
     return pa.table({

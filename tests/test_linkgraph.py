@@ -345,3 +345,36 @@ def test_crawl_depth_engine_matches_reference(ray_session):
     expect = _bfs_reference(_edges(SF), [0])
     got = crawl_depth(SF).to_pandas()
     assert dict(zip(got.doc_id, got.depth)) == expect
+
+
+def test_broken_link_parents_matches_rule(ray_session):
+    """The duplicate-broken-join certificate vs the known edge rule:
+    per missing doc, the distinct crawled parents — and the operator
+    must RAISE if the engine ever re-emits a (url, parent) edge twice
+    (the exactly-once half of the contract)."""
+    from collections import defaultdict
+    from linkinator_ray.pipelines.graph import (_doc_ids,
+                                                broken_link_parents,
+                                                targets_of)
+    ids = _doc_ids(SF)
+    n = len(ids)
+    parents = defaultdict(set)
+    for d in ids:
+        d = int(d)
+        if d % 13 == 7:
+            continue
+        for t in targets_of(d, n):
+            if t % 13 == 7:
+                parents[t].add(d)
+    # only parents that the crawl actually reached count
+    from linkinator_ray.pipelines.linkgraph import crawl_depth_edges  # noqa
+    reach = _bfs_reference(_edges(SF), [0])
+    parents = {t: {p for p in ps if p in reach}
+               for t, ps in parents.items()}
+    parents = {t: ps for t, ps in parents.items() if ps and t in reach}
+    got = broken_link_parents(SF).to_pandas().set_index("doc_id")
+    assert set(got.index) == set(parents)
+    for t, ps in parents.items():
+        assert got.loc[t, "n_parents"] == len(ps)
+        assert got.loc[t, "min_parent"] == min(ps)
+        assert got.loc[t, "max_parent"] == max(ps)
